@@ -1,0 +1,34 @@
+"""Neighbor/sampling/grouping ops — the TPU equivalents of the reference's
+CUDA kernels (misc/ops.py) and C++ preprocessing (cpp_wrappers/)."""
+
+from pointcloudlib_tpu.ops.geometry import (
+    ball_query,
+    compute_density,
+    farthest_point_sample,
+    fps_gather,
+    group_all,
+    group_points,
+    index_points,
+    knn,
+    knn_points,
+    sample_and_group,
+    square_distance,
+    three_nn,
+    three_nn_interpolate,
+)
+
+__all__ = [
+    "ball_query",
+    "compute_density",
+    "farthest_point_sample",
+    "fps_gather",
+    "group_all",
+    "group_points",
+    "index_points",
+    "knn",
+    "knn_points",
+    "sample_and_group",
+    "square_distance",
+    "three_nn",
+    "three_nn_interpolate",
+]
