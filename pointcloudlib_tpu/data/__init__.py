@@ -1,0 +1,17 @@
+"""Data layer: dataset loaders, augments, static-shape batching."""
+
+from pointcloudlib_tpu.data.loader import cls_batches, seg_batches
+from pointcloudlib_tpu.data.modelnet40 import ModelNet40, make_modelnet40
+from pointcloudlib_tpu.data.synthetic import (
+    SyntheticModelNet,
+    SyntheticShapeNetPart,
+)
+
+__all__ = [
+    "ModelNet40",
+    "SyntheticModelNet",
+    "SyntheticShapeNetPart",
+    "cls_batches",
+    "make_modelnet40",
+    "seg_batches",
+]

@@ -1,0 +1,86 @@
+"""Static-shape batching iterator.
+
+XLA compiles one program per shape, so every batch this yields has the
+same shape: the last partial batch is padded by repetition and flagged
+via a boolean ``valid`` mask (eval divides by mask sum, so padding never
+skews metrics). The reference instead sets ``drop_last=True``
+(shapenet_loader.py:86) or silently evaluates the ragged tail.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+def _pad_to(arrs: list, batch_size: int):
+    n = len(arrs)
+    if n == batch_size:
+        return np.stack(arrs), np.ones(batch_size, bool)
+    pad = [arrs[-1]] * (batch_size - n)
+    valid = np.zeros(batch_size, bool)
+    valid[:n] = True
+    return np.stack(arrs + pad), valid
+
+
+def cls_batches(
+    dataset,
+    batch_size: int,
+    shuffle: bool = False,
+    seed: int = 0,
+    drop_last: bool = False,
+    with_normals: bool = True,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Yield ``{"xyz", "feats"?, "label", "valid"}`` batches from a
+    classification dataset of ``(pts, normals, label)`` items."""
+    order = np.arange(len(dataset))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    for start in range(0, len(order), batch_size):
+        chunk = order[start : start + batch_size]
+        if len(chunk) < batch_size and drop_last:
+            return
+        pts, nrm, lab = [], [], []
+        for i in chunk:
+            p, n, l = dataset[int(i)]
+            pts.append(p); nrm.append(n); lab.append(l)
+        xyz, valid = _pad_to(pts, batch_size)
+        labels, _ = _pad_to(lab, batch_size)
+        batch = {
+            "xyz": xyz.astype(np.float32),
+            "label": labels.astype(np.int32),
+            "valid": valid,
+        }
+        if with_normals:
+            batch["feats"] = _pad_to(nrm, batch_size)[0].astype(np.float32)
+        yield batch
+
+
+def seg_batches(
+    dataset,
+    batch_size: int,
+    shuffle: bool = False,
+    seed: int = 0,
+    drop_last: bool = True,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Yield ``{"xyz", "label", "seg", "valid"}`` batches from a part-seg
+    dataset of ``(pts, label, seg)`` items."""
+    order = np.arange(len(dataset))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    for start in range(0, len(order), batch_size):
+        chunk = order[start : start + batch_size]
+        if len(chunk) < batch_size and drop_last:
+            return
+        pts, lab, seg = [], [], []
+        for i in chunk:
+            p, l, s = dataset[int(i)]
+            pts.append(p); lab.append(l); seg.append(s)
+        xyz, valid = _pad_to(pts, batch_size)
+        yield {
+            "xyz": xyz.astype(np.float32),
+            "label": _pad_to(lab, batch_size)[0].astype(np.int32),
+            "seg": _pad_to(seg, batch_size)[0].astype(np.int32),
+            "valid": valid,
+        }

@@ -1,0 +1,50 @@
+"""Model zoo registry.
+
+Classification entries take ``(xyz [B,N,3], feats [B,N,C]|None,
+training)`` → logits ``[B, n_classes]``. Part-segmentation entries
+additionally take a 16-way one-hot object label and return per-point
+logits ``[B, N, part_num]``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pointcloudlib_tpu.models.dgcnn import DGCNN, DGCNNPartSeg
+from pointcloudlib_tpu.models.kpconv.adapter import KPConvCls
+from pointcloudlib_tpu.models.pointcnn import PointCNNCls
+from pointcloudlib_tpu.models.pointconv import PointConvDensityCls
+from pointcloudlib_tpu.models.pointnet import PointNet, PointNetPartSeg
+from pointcloudlib_tpu.models.pointnet2 import (
+    PointNet2MSG,
+    PointNet2PartSeg,
+    PointNet2SSG,
+)
+
+CLS_MODELS: Dict[str, Callable] = {
+    "pointnet": PointNet,
+    "pointnet2": PointNet2SSG,
+    "pointnet2_msg": PointNet2MSG,
+    "dgcnn": DGCNN,
+    "pointconv": PointConvDensityCls,
+    "pointcnn": PointCNNCls,
+    "kpconv": KPConvCls,
+}
+
+SEG_MODELS: Dict[str, Callable] = {
+    "pointnet": PointNetPartSeg,
+    "pointnet2": PointNet2PartSeg,
+    "dgcnn": DGCNNPartSeg,
+}
+
+
+def get_cls_model(name: str, n_classes: int = 40, **kw):
+    if name not in CLS_MODELS:
+        raise KeyError(f"unknown cls model {name!r}; have {sorted(CLS_MODELS)}")
+    return CLS_MODELS[name](n_classes=n_classes, **kw)
+
+
+def get_seg_model(name: str, part_num: int = 50, **kw):
+    if name not in SEG_MODELS:
+        raise KeyError(f"unknown seg model {name!r}; have {sorted(SEG_MODELS)}")
+    return SEG_MODELS[name](part_num=part_num, **kw)

@@ -1,0 +1,128 @@
+"""DGCNN classification (dynamic graph CNN with EdgeConv).
+
+Reference: networks/cls/dgcnn.py:61-122. k=20, edge features
+``concat(x_j - x_i, x_i)`` (dgcnn.py:29-50), four EdgeConvs
+(64,64,128,256), conv5→1024 on the concat, global max+mean pooling,
+LeakyReLU(0.2) throughout.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pointcloudlib_tpu.nn.layers import DenseBNAct
+from pointcloudlib_tpu.ops import index_points, knn
+
+Array = jax.Array
+
+
+def edge_features(x: Array, k: int) -> Array:
+    """Dynamic-graph edge features ``[B, N, k, 2C]``: kNN in the current
+    feature space, then ``concat(neighbor - center, center)``
+    (reference get_graph_feature, networks/cls/dgcnn.py:29-50)."""
+    _, idx = knn(x, x, k)
+    nbr = index_points(x, idx)  # [B, N, k, C]
+    ctr = jnp.broadcast_to(x[:, :, None, :], nbr.shape)
+    return jnp.concatenate([nbr - ctr, ctr], axis=-1)
+
+
+def _lrelu(x: Array) -> Array:
+    return nn.leaky_relu(x, negative_slope=0.2)
+
+
+class EdgeConv(nn.Module):
+    """One EdgeConv: pointwise Dense+BN+LeakyReLU on the edge features,
+    max over the neighbor axis."""
+
+    features: int
+    k: int
+
+    @nn.compact
+    def __call__(self, x: Array, training: bool = False) -> Array:
+        e = edge_features(x, self.k)
+        h = DenseBNAct(self.features, act=_lrelu)(e, training)
+        return jnp.max(h, axis=2)
+
+
+class DGCNN(nn.Module):
+    n_classes: int = 40
+    k: int = 20
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz: Array,
+        feats: Optional[Array] = None,
+        training: bool = False,
+    ) -> Array:
+        del feats  # xyz-only model
+        x1 = EdgeConv(64, self.k)(xyz, training)
+        x2 = EdgeConv(64, self.k)(x1, training)
+        x3 = EdgeConv(128, self.k)(x2, training)
+        x4 = EdgeConv(256, self.k)(x3, training)
+        x = jnp.concatenate([x1, x2, x3, x4], axis=-1)  # [B, N, 512]
+        x = DenseBNAct(1024, act=_lrelu)(x, training)
+        x = jnp.concatenate([jnp.max(x, axis=1), jnp.mean(x, axis=1)], -1)
+        x = DenseBNAct(512, act=_lrelu)(x, training)
+        x = nn.Dropout(0.5, deterministic=not training)(x)
+        x = DenseBNAct(256, act=_lrelu, use_bias=True)(x, training)
+        x = nn.Dropout(0.5, deterministic=not training)(x)
+        return nn.Dense(self.n_classes)(x)
+
+
+class DGCNNPartSeg(nn.Module):
+    """DGCNN part segmentation (networks/seg/dgcnn_partseg.py:35-128).
+
+    k=40; EdgeConv pairs (64,64)→max, (64,64)→max, (64)→max; conv6→1024
+    global max; label embedding 16→64; decoder 1280→256→256→128→parts
+    with dropout 0.5 twice, LeakyReLU(0.2), final conv bias-free.
+    """
+
+    part_num: int = 50
+    k: int = 40
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz: Array,
+        cls_label: Array,          # [B, 16] one-hot
+        feats: Optional[Array] = None,
+        training: bool = False,
+    ) -> Array:
+        del feats
+        b, n, _ = xyz.shape
+
+        e = edge_features(xyz, self.k)
+        e = DenseBNAct(64, act=_lrelu)(e, training)
+        e = DenseBNAct(64, act=_lrelu)(e, training)
+        x1 = jnp.max(e, axis=2)
+
+        e = edge_features(x1, self.k)
+        e = DenseBNAct(64, act=_lrelu)(e, training)
+        e = DenseBNAct(64, act=_lrelu)(e, training)
+        x2 = jnp.max(e, axis=2)
+
+        e = edge_features(x2, self.k)
+        e = DenseBNAct(64, act=_lrelu)(e, training)
+        x3 = jnp.max(e, axis=2)
+
+        x = jnp.concatenate([x1, x2, x3], axis=-1)  # [B, N, 192]
+        x = DenseBNAct(1024, act=_lrelu)(x, training)
+        g = jnp.max(x, axis=1)  # [B, 1024]
+
+        l = DenseBNAct(64, act=_lrelu)(
+            cls_label.astype(xyz.dtype), training)  # [B, 64]
+        g = jnp.concatenate([g, l], axis=-1)  # [B, 1088]
+        g = jnp.broadcast_to(g[:, None, :], (b, n, g.shape[-1]))
+
+        h = jnp.concatenate([g, x1, x2, x3], axis=-1)  # [B, N, 1280]
+        h = DenseBNAct(256, act=_lrelu)(h, training)
+        h = nn.Dropout(0.5, deterministic=not training)(h)
+        h = DenseBNAct(256, act=_lrelu)(h, training)
+        h = nn.Dropout(0.5, deterministic=not training)(h)
+        h = DenseBNAct(128, act=_lrelu)(h, training)
+        return nn.Dense(self.part_num, use_bias=False)(h)

@@ -1,0 +1,41 @@
+"""Adapter giving KPCNN the common cls-model interface
+``(xyz, feats, training) -> logits`` used by the registry/CLI.
+
+The reference instead routes KPConv through a completely separate data
+path (KPConvLoader + ModelNet40CustomBatch); here the on-device pyramid
+builder lets KPConv consume the same ``[B, N, 3]`` batches as every
+other model.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+from flax import linen as nn
+
+from pointcloudlib_tpu.models.kpconv.model import KPCNN, KPConvConfig
+
+Array = jax.Array
+
+
+class KPConvCls(nn.Module):
+    n_classes: int = 40
+    # ModelNet clouds are unit-sphere normalized; the reference resamples
+    # them at dl=0.02 on load (kpconv_loader.py:614-694) — with N≈1024
+    # inputs a 0.05 grid gives comparable pyramid occupancy.
+    first_subsampling_dl: float = 0.05
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz: Array,
+        feats: Optional[Array] = None,
+        training: bool = False,
+    ) -> Array:
+        del feats  # KPConv uses constant-1 features (in_features_dim=1)
+        cfg = KPConvConfig(
+            num_classes=self.n_classes,
+            first_subsampling_dl=self.first_subsampling_dl,
+        )
+        return KPCNN(cfg)(xyz, training=training)

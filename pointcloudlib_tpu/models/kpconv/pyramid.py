@@ -1,0 +1,205 @@
+"""On-device multi-scale pyramid: grid subsampling + radius neighbors.
+
+TPU replacement for the reference's per-batch CPU preprocessing
+(cpp_wrappers grid_subsampling.cpp:109 / neighbors.cpp:211, driven by
+classification_inputs, data_utils/kpconv_loader.py:493-603). Everything
+here is jit-compiled, static-shape, and mask-based:
+
+* ``grid_subsample`` — voxel binning via quantize → sort → segment-sum
+  barycenters, padded to a static ``n_max`` voxels;
+* ``radius_neighbors`` — k *nearest* supports within the radius
+  (the reference sorts all in-radius neighbors by distance and trims to
+  ``neighborhood_limits`` [22,35,41,42,37], kpconv_loader.py:705,796-805
+  — identical semantics with k = the limit);
+* ``build_pyramid`` — walks the architecture the same way the reference
+  loader does (radius neighbors at each layer, stride-2 voxel pooling
+  between layers).
+
+Invalid neighbor slots hold the sentinel ``N_l`` (one-past-the-end),
+mirroring the reference's shadow-point convention (blocks.py:258) but
+carried alongside an explicit boolean mask.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Array = jax.Array
+
+_GRID = 1024  # voxel coordinates clamped to [0, _GRID) per axis
+
+
+def _grid_subsample_one(
+    xyz: Array, mask: Array, dl: float, n_max: int
+) -> Tuple[Array, Array]:
+    """One cloud: ``xyz [N,3]``, ``mask [N]`` → ``(centers [n_max,3],
+    vmask [n_max])``. Barycenter per occupied voxel (reference
+    grid_subsampling.cpp:5-107 semantics)."""
+    n = xyz.shape[0]
+    origin = jnp.min(jnp.where(mask[:, None], xyz, jnp.inf), axis=0)
+    v = jnp.clip(
+        jnp.floor((xyz - origin) / dl).astype(jnp.int32), 0, _GRID - 1
+    )
+    key = (v[:, 0] * _GRID + v[:, 1]) * _GRID + v[:, 2]
+    key = jnp.where(mask, key, jnp.iinfo(jnp.int32).max)
+
+    order = jnp.argsort(key)
+    sk = key[order]
+    sx = xyz[order]
+    smask = mask[order]
+
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), sk[1:] != sk[:-1]]
+    ) & smask
+    rank = jnp.cumsum(first) - 1  # voxel ordinal per sorted point
+    seg = jnp.where(smask & (rank < n_max), rank, n_max)
+
+    sums = jax.ops.segment_sum(
+        jnp.where(smask[:, None], sx, 0.0), seg, num_segments=n_max + 1
+    )[:n_max]
+    cnt = jax.ops.segment_sum(
+        smask.astype(jnp.float32), seg, num_segments=n_max + 1
+    )[:n_max]
+    centers = sums / jnp.maximum(cnt[:, None], 1.0)
+    return centers, cnt > 0
+
+
+def grid_subsample(
+    xyz: Array, mask: Array, dl: float, n_max: int
+) -> Tuple[Array, Array]:
+    """Batched voxel-grid subsampling ``[B,N,3] → [B,n_max,3]`` + mask."""
+    return jax.vmap(
+        functools.partial(_grid_subsample_one, dl=dl, n_max=n_max)
+    )(xyz, mask)
+
+
+def radius_neighbors(
+    query: Array,
+    qmask: Array,
+    support: Array,
+    smask: Array,
+    radius: float,
+    k: int,
+) -> Tuple[Array, Array]:
+    """k nearest in-radius supports per query.
+
+    Returns ``(idx [B,M,k] int32, nmask [B,M,k] bool)``; invalid slots
+    hold the shadow sentinel ``N`` (one-past-the-end of the support set).
+    """
+    n = support.shape[1]
+    q2 = jnp.sum(query * query, axis=-1, keepdims=True)
+    s2 = jnp.sum(support * support, axis=-1, keepdims=True)
+    inner = jnp.einsum(
+        "bmc,bnc->bmn", query, support, preferred_element_type=jnp.float32
+    )
+    d2 = jnp.maximum(q2 - 2 * inner + jnp.swapaxes(s2, -1, -2), 0.0)
+    valid = smask[:, None, :] & (d2 < radius * radius)
+    keyed = jnp.where(valid, d2, jnp.inf)
+    kk = min(k, n)
+    neg, idx = lax.top_k(-keyed, kk)
+    nmask = neg > -jnp.inf
+    if k > n:
+        idx = jnp.concatenate(
+            [idx, jnp.zeros((*idx.shape[:-1], k - n), idx.dtype)], -1
+        )
+        nmask = jnp.concatenate(
+            [nmask, jnp.zeros((*nmask.shape[:-1], k - n), bool)], -1
+        )
+    nmask = nmask & qmask[:, :, None]
+    idx = jnp.where(nmask, idx, n)  # shadow sentinel
+    return idx.astype(jnp.int32), nmask
+
+
+class Pyramid(NamedTuple):
+    """Static-shape multi-scale structure consumed by the KPConv blocks.
+
+    Per layer l (list entries): points ``[B, N_l, 3]``, masks
+    ``[B, N_l]``, neighbors ``[B, N_l, K_l]`` (self-layer), and for
+    l < L-1 pools ``[B, N_{l+1}, K_l]`` (stride-2 downsampling links into
+    layer l). The reference's flat 4L+5 input list
+    (kpconv_loader.py:600-603) carries the same content as ragged
+    tensors.
+    """
+
+    points: List[Array]
+    masks: List[Array]
+    neighbors: List[Array]
+    neighbor_masks: List[Array]
+    pools: List[Array]
+    pool_masks: List[Array]
+
+
+def pyramid_shapes(
+    n_points: int, n_layers: int, neighborhood_limits: Sequence[int]
+) -> Tuple[List[int], List[int]]:
+    """Static per-layer point caps (~1/4 per level like the reference's
+    stride-2 voxel pooling in 2.5D-occupied space) and neighbor widths."""
+    caps = [max(16, n_points // (4**l)) for l in range(n_layers)]
+    ks = list(neighborhood_limits[:n_layers])
+    return caps, ks
+
+
+def build_pyramid(
+    xyz: Array,
+    mask: Array,
+    first_dl: float,
+    conv_radius: float,
+    deform_radius: float,
+    architecture: Sequence[str],
+    neighborhood_limits: Sequence[int],
+    subsample_input: bool = True,
+) -> Pyramid:
+    """Walk the architecture string list and build every layer's
+    points/neighbors/pools (mirrors classification_inputs,
+    kpconv_loader.py:493-603, but batched, dense and on device)."""
+    # split architecture into layers exactly like the reference walk
+    layer_blocks: List[List[str]] = [[]]
+    for block in architecture:
+        if "global" in block or "upsample" in block:
+            break
+        layer_blocks[-1].append(block)
+        if "pool" in block or "strided" in block:
+            layer_blocks.append([])
+    n_layers = len(layer_blocks)
+
+    b, n0, _ = xyz.shape
+    caps, ks = pyramid_shapes(n0, n_layers, neighborhood_limits)
+
+    points, masks = [], []
+    if subsample_input:
+        p0, m0 = grid_subsample(xyz, mask, first_dl, caps[0])
+    else:
+        p0, m0 = xyz, mask
+    points.append(p0)
+    masks.append(m0)
+
+    neighbors, nmasks, pools, pmasks = [], [], [], []
+    r = first_dl * conv_radius
+    dl = first_dl
+    for l, blocks in enumerate(layer_blocks):
+        deform = any("deformable" in bl for bl in blocks)
+        r_l = r * (deform_radius / conv_radius) if deform else r
+        idx, nm = radius_neighbors(
+            points[l], masks[l], points[l], masks[l], r_l, ks[l]
+        )
+        neighbors.append(idx)
+        nmasks.append(nm)
+        if l + 1 < n_layers:
+            nxt_p, nxt_m = grid_subsample(
+                points[l], masks[l], 2 * dl, caps[l + 1]
+            )
+            pidx, pm = radius_neighbors(
+                nxt_p, nxt_m, points[l], masks[l], r_l, ks[l]
+            )
+            points.append(nxt_p)
+            masks.append(nxt_m)
+            pools.append(pidx)
+            pmasks.append(pm)
+            dl *= 2
+            r *= 2
+    return Pyramid(points, masks, neighbors, nmasks, pools, pmasks)

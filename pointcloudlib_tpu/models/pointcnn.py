@@ -1,0 +1,186 @@
+"""PointCNN (X-transform convolution) classification.
+
+Reference: networks/cls/pointcnn.py:23-52, misc/layers.py:273-517.
+Stack: XConv(3→48, K=8, D=1, all pts) → (48→96, K=12, D=2, P=384) →
+(96→192, K=16, D=2, P=128) → (192→384, K=16, D=3, P=128) → Dense head
+192→128(drop .5)→n_classes, mean over remaining points. Input features
+are the coordinates themselves (pointcnn.py:44-46).
+
+Fidelity notes:
+* "Rand"PointCNN actually uses furthest-point sampling
+  (misc/layers.py:314), reproduced.
+* Dilated kNN: query K·D neighbors, keep every D-th rank
+  (misc/layers.py:399-400).
+* The reference's Conv/SepConv blocks apply activation BEFORE BatchNorm
+  (misc/layers.py:158-162,196-200) while Dense blocks do BN→act — both
+  quirks reproduced via ``act_before_bn``.
+* The reference gathers regions with a per-batch Python loop
+  (select_region, misc/layers.py:381-388); here it's one vmapped gather.
+* The X-matrix generator's first stage is a full (K·3)→K² linear map
+  (Conv kernel (1,K), misc/layers.py:434-438) — implemented as a Dense
+  on the flattened neighborhood, which is the same linear map.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pointcloudlib_tpu.ops import fps, index_points, knn
+
+Array = jax.Array
+
+
+class DenseBlock(nn.Module):
+    """Dense with the reference's two BN/act orderings."""
+
+    features: int
+    with_bn: bool = True
+    act: bool = True
+    act_before_bn: bool = False
+    drop_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: Array, training: bool = False) -> Array:
+        # reference Dense_Conv*/Conv keep conv bias except Conv w/ bn
+        x = nn.Dense(self.features, use_bias=True)(x)
+        def bn(v):
+            return nn.BatchNorm(
+                use_running_average=not training, momentum=0.9, epsilon=1e-5
+            )(v)
+        if self.act_before_bn:
+            if self.act:
+                x = nn.relu(x)
+            if self.with_bn:
+                x = bn(x)
+        else:
+            if self.with_bn:
+                x = bn(x)
+            if self.act:
+                x = nn.relu(x)
+        if self.drop_rate > 0:
+            x = nn.Dropout(self.drop_rate, deterministic=not training)(x)
+        return x
+
+
+class XConv(nn.Module):
+    """X-transform convolution over one neighborhood
+    (misc/layers.py:413-517)."""
+
+    c_out: int
+    k: int
+    c_mid: int
+    depth_multiplier: int
+
+    @nn.compact
+    def __call__(
+        self,
+        rep: Array,          # [B, P, 3]
+        pts: Array,          # [B, P, K, 3]
+        fts: Optional[Array],  # [B, P, K, C_in] | None
+        training: bool = False,
+    ) -> Array:
+        k = self.k
+        local = pts - rep[:, :, None, :]  # [B, P, K, 3]
+
+        # lift coordinates into C_mid feature space
+        lifted = DenseBlock(self.c_mid)(local, training)
+        lifted = DenseBlock(self.c_mid)(lifted, training)
+        cat = (
+            lifted if fts is None
+            else jnp.concatenate([lifted, fts], axis=-1)
+        )  # [B, P, K, C_mid + C_in]
+
+        # learn the K×K X-transform from the local geometry
+        flat = local.reshape(*local.shape[:2], k * 3)  # [B, P, K*3]
+        x = DenseBlock(k * k, act_before_bn=True)(flat, training)
+        x = DenseBlock(k * k)(x, training)
+        x = DenseBlock(k * k, with_bn=False, act=False)(x, training)
+        X = x.reshape(*x.shape[:2], k, k)  # [B, P, K, K]
+
+        h = jnp.einsum(
+            "bpij,bpjc->bpic", X, cat, preferred_element_type=jnp.float32
+        )
+
+        # depthwise-separable conv over the neighbor axis
+        c = h.shape[-1]
+        dw = self.param(
+            "depthwise", nn.initializers.lecun_normal(),
+            (c, k, self.depth_multiplier),
+        )
+        h = jnp.einsum("bpkc,ckm->bpcm", h, dw)
+        h = h.reshape(*h.shape[:2], c * self.depth_multiplier)
+        h = nn.Dense(self.c_out, use_bias=False)(h)
+        h = nn.relu(h)  # reference SepConv: act before BN
+        h = nn.BatchNorm(
+            use_running_average=not training, momentum=0.9, epsilon=1e-5
+        )(h)
+        return h  # [B, P, C_out]
+
+
+class PointCNNLayer(nn.Module):
+    """FPS (optional) + dilated kNN + XConv — RandPointCNN + PointCNN
+    (misc/layers.py:305-409)."""
+
+    c_in: int
+    c_out: int
+    k: int
+    d: int = 1
+    p: int = -1  # representative points; -1 → keep all
+
+    @nn.compact
+    def __call__(
+        self,
+        pts: Array,
+        fts: Optional[Array],
+        training: bool = False,
+        rep: Optional[Array] = None,
+    ) -> Tuple[Array, Array]:
+        if rep is None:
+            if 0 < self.p < pts.shape[1]:
+                rep = index_points(pts, fps(pts, self.p))
+            else:
+                rep = pts
+        if self.c_in != 0 and fts is not None:
+            fts = DenseBlock(self.c_out // 2)(fts, training)
+            c_mid = self.c_out // 4
+            dm = int(math.ceil(self.c_out / self.c_in))
+        else:
+            fts = None
+            c_mid = self.c_out // 2
+            dm = 4
+        _, idx = knn(rep, pts, self.k * self.d)
+        idx = idx[..., :: self.d]  # dilated: every D-th rank
+        pts_reg = index_points(pts, idx)
+        fts_reg = index_points(fts, idx) if fts is not None else None
+        out = XConv(
+            c_out=self.c_out, k=self.k, c_mid=c_mid, depth_multiplier=dm
+        )(rep, pts_reg, fts_reg, training)
+        return rep, out
+
+
+class PointCNNCls(nn.Module):
+    n_classes: int = 40
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz: Array,
+        feats: Optional[Array] = None,
+        training: bool = False,
+    ) -> Array:
+        fts = feats if feats is not None else xyz
+        pts, fts = PointCNNLayer(3, 48, k=8, d=1, p=-1)(xyz, fts, training)
+        pts, fts = PointCNNLayer(48, 96, k=12, d=2, p=384)(pts, fts, training)
+        pts, fts = PointCNNLayer(96, 192, k=16, d=2, p=128)(pts, fts, training)
+        pts, fts = PointCNNLayer(192, 384, k=16, d=3, p=128)(pts, fts, training)
+        h = DenseBlock(192)(fts, training)
+        h = DenseBlock(128, drop_rate=0.5)(h, training)
+        logits = DenseBlock(self.n_classes, with_bn=False, act=False)(
+            h, training
+        )
+        return jnp.mean(logits, axis=1)

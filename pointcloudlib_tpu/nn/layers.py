@@ -1,0 +1,164 @@
+"""Shared NN building blocks, channel-last, flax.linen.
+
+The reference's 1x1 Conv1d/Conv2d stacks (misc/layers.py:208-270, the
+build_mlps helper networks/cls/pointnet2.py:18-31) are all pointwise
+convolutions — on TPU those are Dense layers over the trailing feature
+axis, which XLA maps straight onto the MXU with the feature dim in lanes.
+
+BatchNorm: the reference uses torch-convention momentum 0.1 (new stats
+weighted 0.1); flax's convention is the complement, so ``momentum=0.9``
+here reproduces it. KPConv uses 0.05 → 0.95 (datasets/ModelNet40.py:1375).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pointcloudlib_tpu.ops import (
+    ball_query,
+    fps,
+    group_all,
+    group_points,
+    index_points,
+    three_nn_interpolate,
+)
+
+Array = jax.Array
+
+
+class DenseBNAct(nn.Module):
+    """Dense → BatchNorm → activation, the pervasive pointwise block."""
+
+    features: int
+    use_bn: bool = True
+    act: Optional[Callable[[Array], Array]] = nn.relu
+    bn_momentum: float = 0.9
+    use_bias: Optional[bool] = None  # default: bias iff no BN
+
+    @nn.compact
+    def __call__(self, x: Array, training: bool = False) -> Array:
+        bias = (not self.use_bn) if self.use_bias is None else self.use_bias
+        x = nn.Dense(self.features, use_bias=bias)(x)
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=not training,
+                momentum=self.bn_momentum,
+                epsilon=1e-5,
+            )(x)
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
+class PointMLP(nn.Module):
+    """Stack of DenseBNAct blocks applied over the trailing channel axis.
+
+    Works on any rank: ``[B, N, C]`` or grouped ``[B, M, K, C]``.
+    Equivalent of the reference's build_mlps (networks/cls/pointnet2.py:18).
+    """
+
+    features: Sequence[int]
+    use_bn: bool = True
+    act: Callable[[Array], Array] = nn.relu
+    bn_momentum: float = 0.9
+
+    @nn.compact
+    def __call__(self, x: Array, training: bool = False) -> Array:
+        for f in self.features:
+            x = DenseBNAct(
+                f, use_bn=self.use_bn, act=self.act,
+                bn_momentum=self.bn_momentum,
+            )(x, training)
+        return x
+
+
+class SetAbstraction(nn.Module):
+    """PointNet++ single-scale set-abstraction layer.
+
+    FPS → ball query → group (recentred xyz ++ features) → shared MLP →
+    max-pool over the neighbor axis. ``n_points=None`` is the group-all
+    final layer. Mirrors PointnetModule (networks/cls/pointnet2.py:65-80)
+    with the per-group max of pointnet2.py:57.
+    """
+
+    mlp: Sequence[int]
+    n_points: Optional[int] = None
+    radius: Optional[float] = None
+    n_samples: Optional[int] = None
+    use_xyz: bool = True
+
+    @nn.compact
+    def __call__(
+        self, xyz: Array, feats: Optional[Array], training: bool = False
+    ) -> Tuple[Array, Array]:
+        if self.n_points is None:
+            grouped = group_all(xyz, feats, use_xyz=self.use_xyz)  # [B,1,N,C]
+            new_xyz = jnp.zeros((xyz.shape[0], 1, 3), xyz.dtype)
+        else:
+            idx = fps(xyz, self.n_points)
+            new_xyz = index_points(xyz, idx)
+            nidx, _ = ball_query(new_xyz, xyz, self.radius, self.n_samples)
+            grouped = group_points(xyz, feats, new_xyz, nidx, self.use_xyz)
+        h = PointMLP(self.mlp)(grouped, training)
+        return new_xyz, jnp.max(h, axis=2)
+
+
+class SetAbstractionMSG(nn.Module):
+    """Multi-scale-grouping SA layer (PointnetModuleMSG,
+    networks/cls/pointnet2.py:84-98): one FPS, several radii, features
+    concatenated across scales."""
+
+    n_points: int
+    radii: Sequence[float]
+    n_samples: Sequence[int]
+    mlps: Sequence[Sequence[int]]
+    use_xyz: bool = True
+
+    @nn.compact
+    def __call__(
+        self, xyz: Array, feats: Optional[Array], training: bool = False
+    ) -> Tuple[Array, Array]:
+        idx = fps(xyz, self.n_points)
+        new_xyz = index_points(xyz, idx)
+        outs = []
+        for r, k, mlp in zip(self.radii, self.n_samples, self.mlps):
+            nidx, _ = ball_query(new_xyz, xyz, r, k)
+            grouped = group_points(xyz, feats, new_xyz, nidx, self.use_xyz)
+            h = PointMLP(mlp)(grouped, training)
+            outs.append(jnp.max(h, axis=2))
+        return new_xyz, jnp.concatenate(outs, axis=-1)
+
+
+class FeaturePropagation(nn.Module):
+    """PointNet++ feature-propagation (decoder) layer.
+
+    3-NN inverse-distance interpolation of coarse features up to the fine
+    point set, skip-concat, shared MLP (reference misc/ops.py:54-107).
+    """
+
+    mlp: Sequence[int]
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz_fine: Array,
+        xyz_coarse: Array,
+        feats_fine: Optional[Array],
+        feats_coarse: Array,
+        training: bool = False,
+    ) -> Array:
+        if xyz_coarse.shape[1] == 1:
+            # single coarse point: broadcast (reference misc/ops.py:78-84)
+            up = jnp.broadcast_to(
+                feats_coarse,
+                (xyz_fine.shape[0], xyz_fine.shape[1], feats_coarse.shape[-1]),
+            )
+        else:
+            up = three_nn_interpolate(xyz_fine, xyz_coarse, feats_coarse)
+        if feats_fine is not None:
+            up = jnp.concatenate([feats_fine, up], axis=-1)
+        return PointMLP(self.mlp)(up, training)

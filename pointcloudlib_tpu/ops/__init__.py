@@ -1,6 +1,7 @@
 """Neighbor/sampling/grouping ops — the TPU equivalents of the reference's
 CUDA kernels (misc/ops.py) and C++ preprocessing (cpp_wrappers/)."""
 
+from pointcloudlib_tpu.ops.dispatch import fps
 from pointcloudlib_tpu.ops.geometry import (
     ball_query,
     compute_density,
@@ -19,6 +20,7 @@ from pointcloudlib_tpu.ops.geometry import (
 
 __all__ = [
     "ball_query",
+    "fps",
     "compute_density",
     "farthest_point_sample",
     "fps_gather",

@@ -1,0 +1,43 @@
+"""Backend dispatch for ops with both an XLA and a Pallas implementation.
+
+The Pallas kernels compile only for TPU; on CPU (tests, virtual meshes)
+the XLA compositions run instead. Selection happens once at import —
+one process, one backend — and can be forced with
+``POINTCLOUDLIB_KERNELS=xla|pallas`` for A/B benchmarking.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+from pointcloudlib_tpu.ops import geometry
+
+
+def _use_pallas() -> bool:
+    forced = os.environ.get("POINTCLOUDLIB_KERNELS")
+    if forced == "pallas":
+        return True
+    if forced == "xla":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # backend init failure → safe fallback
+        return False
+
+
+USE_PALLAS = _use_pallas()
+
+
+def fps(xyz, n_samples: int, skip_near_origin: bool = True):
+    """Farthest-point sampling indices [B, n_samples] — Pallas on TPU,
+    lax.scan elsewhere. Both produce bit-identical indices
+    (tests/test_pallas_fps.py)."""
+    if USE_PALLAS:
+        from pointcloudlib_tpu.ops.pallas.fps import fps_pallas
+
+        return fps_pallas(xyz, n_samples, skip_near_origin=skip_near_origin)
+    return geometry.farthest_point_sample(
+        xyz, n_samples, skip_near_origin=skip_near_origin
+    )

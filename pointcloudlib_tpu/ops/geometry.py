@@ -197,11 +197,11 @@ def three_nn(query: Array, points: Array) -> Tuple[Array, Array]:
     """3 nearest neighbors and inverse-distance weights for interpolation.
 
     Returns ``(idx [B, M, 3], weight [B, M, 3])`` with weights normalised
-    ``(1/(d2+1e-10)) / sum`` — reference misc/ops.py:86-93 semantics
+    ``(1/(d2+1e-8)) / sum`` — reference misc/ops.py:86-93 semantics
     (note: the reference weights by inverse *squared* distance).
     """
     d2, idx = knn(query, points, 3)
-    inv = 1.0 / (d2 + 1e-10)
+    inv = 1.0 / (d2 + 1e-8)
     weight = inv / jnp.sum(inv, axis=-1, keepdims=True)
     return idx, weight
 
@@ -258,7 +258,9 @@ def sample_and_group(
     semantics (no near-origin skip — reference misc/utils.py:74 doesn't
     skip).
     """
-    fps_idx = farthest_point_sample(xyz, n_points, skip_near_origin=False)
+    from pointcloudlib_tpu.ops.dispatch import fps as _fps  # lazy: no cycle
+
+    fps_idx = _fps(xyz, n_points, skip_near_origin=False)
     new_xyz = index_points(xyz, fps_idx)
     _, idx = knn(new_xyz, xyz, k)
     grouped = group_points(xyz, feats, new_xyz, idx, use_xyz=True)

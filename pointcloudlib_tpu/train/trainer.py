@@ -1,0 +1,143 @@
+"""Step factories: one jit-ed, donated, mesh-sharded train step.
+
+Replaces the reference's per-step host syncs (train_cls.py:73-75 pulls
+``.data`` every iteration, serializing the pipeline) — metrics stay on
+device and are fetched asynchronously by the loop.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pointcloudlib_tpu.parallel.mesh import (
+    Mesh,
+    shard_train_step,
+    replicated,
+    batch_sharding,
+)
+from pointcloudlib_tpu.train.losses import soft_cross_entropy
+from pointcloudlib_tpu.train.state import TrainState
+
+
+def make_cls_train_step(
+    model,
+    mesh: Optional[Mesh] = None,
+    smoothing: bool = True,
+):
+    """Build ``step(state, batch, rng) -> (state, metrics)`` for
+    classification. ``batch = {"xyz", "feats" (optional), "label"}``."""
+
+    def loss_fn(params, state: TrainState, batch, rng):
+        variables = {"params": params}
+        mutable = []
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+            mutable = ["batch_stats"]
+        out = model.apply(
+            variables,
+            batch["xyz"],
+            batch.get("feats"),
+            training=True,
+            mutable=mutable,
+            rngs={"dropout": rng},
+        )
+        logits, mut = out if mutable else (out, {})
+        loss = soft_cross_entropy(logits, batch["label"], smoothing=smoothing)
+        acc = (jnp.argmax(logits, -1) == batch["label"]).mean()
+        return loss, (mut.get("batch_stats"), acc)
+
+    def step(state: TrainState, batch, rng):
+        (loss, (bs, acc)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state, batch, rng)
+        state = state.apply_gradients(grads=grads)
+        if bs is not None:
+            state = state.replace(batch_stats=bs)
+        metrics = {"loss": loss, "acc": acc}
+        return state, metrics
+
+    if mesh is not None:
+        return shard_train_step(step, mesh)
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_cls_eval_step(model, mesh: Optional[Mesh] = None):
+    """``eval_step(state, batch) -> (correct_count, batch_size)``."""
+
+    def step(state: TrainState, batch):
+        logits = model.apply(
+            state.variables(), batch["xyz"], batch.get("feats"),
+            training=False,
+        )
+        pred = jnp.argmax(logits, -1)
+        valid = batch.get("valid")
+        if valid is None:
+            valid = jnp.ones_like(pred, dtype=jnp.bool_)
+        correct = jnp.sum((pred == batch["label"]) & valid)
+        return correct, jnp.sum(valid)
+
+    if mesh is not None:
+        repl = replicated(mesh)
+        data = batch_sharding(mesh)
+        return jax.jit(step, in_shardings=(repl, data),
+                       out_shardings=(repl, repl))
+    return jax.jit(step)
+
+
+def make_seg_train_step(model, mesh: Optional[Mesh] = None):
+    """Train step for part segmentation.
+
+    ``batch = {"xyz", "cls_onehot", "feats"?, "seg"}``; plain CE per point
+    (reference train_partseg.py:116).
+    """
+    from pointcloudlib_tpu.train.losses import cross_entropy_seg
+
+    def loss_fn(params, state: TrainState, batch, rng):
+        variables = {"params": params}
+        mutable = []
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+            mutable = ["batch_stats"]
+        out = model.apply(
+            variables, batch["xyz"], batch["cls_onehot"],
+            feats=batch.get("feats"), training=True,
+            mutable=mutable, rngs={"dropout": rng},
+        )
+        logits, mut = out if mutable else (out, {})
+        loss = cross_entropy_seg(logits, batch["seg"])
+        acc = (jnp.argmax(logits, -1) == batch["seg"]).mean()
+        return loss, (mut.get("batch_stats"), acc)
+
+    def step(state: TrainState, batch, rng):
+        (loss, (bs, acc)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state, batch, rng)
+        state = state.apply_gradients(grads=grads)
+        if bs is not None:
+            state = state.replace(batch_stats=bs)
+        return state, {"loss": loss, "acc": acc}
+
+    if mesh is not None:
+        return shard_train_step(step, mesh)
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_seg_eval_step(model, mesh: Optional[Mesh] = None):
+    """``eval_step(state, batch) -> pred [B, N]`` (IoU is computed on host
+    over the whole epoch, reference train_partseg.py:139-158)."""
+
+    def step(state: TrainState, batch):
+        logits = model.apply(
+            state.variables(), batch["xyz"], batch["cls_onehot"],
+            feats=batch.get("feats"), training=False,
+        )
+        return jnp.argmax(logits, -1)
+
+    if mesh is not None:
+        repl = replicated(mesh)
+        data = batch_sharding(mesh)
+        return jax.jit(step, in_shardings=(repl, data), out_shardings=data)
+    return jax.jit(step)

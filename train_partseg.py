@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""ShapeNet part-segmentation training CLI.
+
+Same UX as the reference train_partseg.py:222-237 (``--model
+{pointnet,pointnet2,pointcnn,dgcnn,pointconv}``) plus ``--synthetic`` /
+``--n-devices`` / step caps for smoke runs. Metrics: per-point accuracy
+and mean shape IoU (reference calculate_shape_IoU semantics,
+train_partseg.py:28-63).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Part segmentation (TPU)")
+    p.add_argument("--model", default="pointnet2")
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--num_points", type=int, default=2048)
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--optimizer", default="sgd", choices=["sgd", "adam"])
+    p.add_argument("--eval", action="store_true")
+    p.add_argument("--data-root", default="data/shapenet_part_seg_hdf5_data")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--synthetic-size", type=int, default=256)
+    p.add_argument("--steps-per-epoch", type=int, default=None)
+    p.add_argument("--n-devices", type=int, default=None)
+    p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log-every", type=int, default=50)
+    return p.parse_args(argv)
+
+
+def _prep(batch, model_name):
+    """Attach the 16-way one-hot; pointnet2 also gets xyz as features
+    (reference passes ``model(data, data, one_hot)``,
+    train_partseg.py:111)."""
+    out = {
+        "xyz": batch["xyz"],
+        "seg": batch["seg"],
+        "cls_onehot": np.eye(16, dtype=np.float32)[batch["label"]],
+    }
+    if model_name.startswith("pointnet2"):
+        out["feats"] = batch["xyz"]
+    return out
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import optax
+
+    from pointcloudlib_tpu.data import seg_batches
+    from pointcloudlib_tpu.data.shapenet import make_shapenet
+    from pointcloudlib_tpu.models import get_seg_model
+    from pointcloudlib_tpu.parallel import make_mesh, replicate, shard_batch
+    from pointcloudlib_tpu.train import create_train_state, sgd_momentum, step_decay
+    from pointcloudlib_tpu.train.metrics import shape_ious
+    from pointcloudlib_tpu.train.trainer import (
+        make_seg_eval_step,
+        make_seg_train_step,
+    )
+    from pointcloudlib_tpu.utils.checkpoint import CheckpointManager
+
+    mesh = make_mesh(args.n_devices)
+    n_dev = mesh.devices.size
+    if args.batch_size % n_dev:
+        raise SystemExit(
+            f"batch_size {args.batch_size} not divisible by mesh size {n_dev}"
+        )
+    print(f"devices: {n_dev} × {jax.devices()[0].device_kind}, "
+          f"model={args.model}, N={args.num_points}, B={args.batch_size}")
+
+    train_ds = make_shapenet(
+        "trainval", args.num_points, data_root=args.data_root,
+        synthetic=args.synthetic, synthetic_size=args.synthetic_size,
+        seed=args.seed,
+    )
+    test_ds = make_shapenet(
+        "test", args.num_points, data_root=args.data_root,
+        synthetic=args.synthetic,
+        synthetic_size=max(64, args.synthetic_size // 4), seed=args.seed,
+    )
+
+    model = get_seg_model(args.model, part_num=50)
+    rng = jax.random.key(args.seed)
+    sample = _prep(
+        next(seg_batches(train_ds, args.batch_size)), args.model
+    )
+
+    def init_state():
+        variables = model.init(
+            rng, sample["xyz"], sample["cls_onehot"],
+            feats=sample.get("feats"), training=False,
+        )
+        if args.optimizer == "sgd":
+            sched = step_decay(args.lr,
+                               decay_step=max(1, 15000 // args.batch_size))
+            tx = sgd_momentum(sched, momentum=args.momentum)
+        else:
+            tx = optax.adam(args.lr)
+        from pointcloudlib_tpu.train.state import TrainState
+
+        return TrainState.create(
+            apply_fn=model.apply,
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats"),
+            tx=tx,
+        )
+
+    state = replicate(mesh, init_state())
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+    print(f"params: {n_params/1e6:.2f}M")
+
+    train_step = make_seg_train_step(model, mesh)
+    eval_step = make_seg_eval_step(model, mesh)
+    ckpt = CheckpointManager(Path(args.checkpoint_dir) / f"{args.model}_partseg")
+
+    def evaluate(state):
+        correct = total = 0
+        ious = []
+        for batch in seg_batches(test_ds, args.batch_size, drop_last=False):
+            prepped = _prep(batch, args.model)
+            pred = np.asarray(eval_step(state, shard_batch(mesh, prepped)))
+            valid = batch["valid"]
+            correct += ((pred == batch["seg"]) & valid[:, None]).sum()
+            total += valid.sum() * pred.shape[1]
+            ious.append(shape_ious(pred[valid], batch["seg"][valid],
+                                   batch["label"][valid]))
+        return (100.0 * correct / max(total, 1),
+                100.0 * float(np.mean(np.concatenate(ious))))
+
+    if args.eval:
+        state = ckpt.restore(state) or state
+        acc, iou = evaluate(state)
+        print(f"eval acc: {acc:.2f}%  mean shape IoU: {iou:.2f}%")
+        return
+
+    best_iou, pending = 0.0, None
+    for epoch in range(args.epochs):
+        t0, seen = time.perf_counter(), 0
+        for i, batch in enumerate(
+            seg_batches(train_ds, args.batch_size, shuffle=True,
+                        seed=args.seed + epoch, drop_last=True)
+        ):
+            if args.steps_per_epoch and i >= args.steps_per_epoch:
+                break
+            prepped = shard_batch(mesh, _prep(batch, args.model))
+            rng, sub = jax.random.split(rng)
+            state, metrics = train_step(state, prepped, sub)
+            pending = metrics
+            seen += args.batch_size
+            if (i + 1) % args.log_every == 0:
+                m = jax.device_get(pending)
+                print(f"epoch {epoch} step {i+1}: "
+                      f"loss={float(m['loss']):.4f} "
+                      f"acc={float(m['acc'])*100:.2f}%")
+        if pending is not None:
+            jax.block_until_ready(pending)
+        dt = time.perf_counter() - t0
+        acc, iou = evaluate(state)
+        m = jax.device_get(pending) if pending else {"loss": float("nan")}
+        print(f"epoch {epoch}: loss={float(m['loss']):.4f} "
+              f"test acc={acc:.2f}% IoU={iou:.2f}% "
+              f"({seen/dt:.1f} samples/s)")
+        ckpt.save(state, step=epoch, best=iou > best_iou)
+        best_iou = max(best_iou, iou)
+    print(f"best IoU: {best_iou:.2f}%")
+
+
+if __name__ == "__main__":
+    main()
