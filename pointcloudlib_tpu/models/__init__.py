@@ -12,8 +12,11 @@ from typing import Callable, Dict
 
 from pointcloudlib_tpu.models.dgcnn import DGCNN, DGCNNPartSeg
 from pointcloudlib_tpu.models.kpconv.adapter import KPConvCls
-from pointcloudlib_tpu.models.pointcnn import PointCNNCls
-from pointcloudlib_tpu.models.pointconv import PointConvDensityCls
+from pointcloudlib_tpu.models.pointcnn import PointCNNCls, PointCNNPartSeg
+from pointcloudlib_tpu.models.pointconv import (
+    PointConvDensityCls,
+    PointConvPartSeg,
+)
 from pointcloudlib_tpu.models.pointnet import PointNet, PointNetPartSeg
 from pointcloudlib_tpu.models.pointnet2 import (
     PointNet2MSG,
@@ -35,6 +38,8 @@ SEG_MODELS: Dict[str, Callable] = {
     "pointnet": PointNetPartSeg,
     "pointnet2": PointNet2PartSeg,
     "dgcnn": DGCNNPartSeg,
+    "pointconv": PointConvPartSeg,
+    "pointcnn": PointCNNPartSeg,
 }
 
 

@@ -163,6 +163,48 @@ class PointCNNLayer(nn.Module):
         return rep, out
 
 
+class PointCNNPartSeg(nn.Module):
+    """PointCNN part segmentation
+    (networks/seg/pointcnn_partseg.py:17-47): 4 XConv encoders
+    (3→256→256→512→1024, P: all/768/384/128, D=1) and 4 decoder stages
+    projecting back up the pyramid, each fusing the skip features with a
+    Dense block (RandPointCNN_Decoder, misc/layers.py:273-302).
+
+    Notes reproduced from the reference: the object one-hot is ignored
+    (pointcnn_partseg.py:34 takes ``normal=None``); the final decoder's
+    fuse block ends in BN+ReLU, so logits are non-negative.
+    """
+
+    part_num: int = 50
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz: Array,
+        cls_label: Array,
+        feats: Optional[Array] = None,
+        training: bool = False,
+    ) -> Array:
+        del cls_label, feats
+        p0, f0 = PointCNNLayer(3, 256, k=8, d=1, p=-1)(xyz, xyz, training)
+        p1, f1 = PointCNNLayer(256, 256, k=12, d=1, p=768)(p0, f0, training)
+        p2, f2 = PointCNNLayer(256, 512, k=16, d=1, p=384)(p1, f1, training)
+        p3, f3 = PointCNNLayer(512, 1024, k=16, d=1, p=128)(p2, f2, training)
+
+        def decode(c_in, c_out, k, pts_l, fts_l, pts_h, fts_h):
+            _, proj = PointCNNLayer(c_in, c_out, k=k, d=1)(
+                pts_l, fts_l, training, rep=pts_h
+            )
+            fused = jnp.concatenate([proj, fts_h], axis=-1)
+            return DenseBlock(c_out)(fused, training)
+
+        f3 = decode(1024, 1024, 16, p3, f3, p3, f3)
+        f2 = decode(1024, 512, 16, p3, f3, p2, f2)
+        f1 = decode(512, 256, 12, p2, f2, p1, f1)
+        f0 = decode(256, self.part_num, 8, p1, f1, p0, f0)
+        return f0  # [B, N, part_num]
+
+
 class PointCNNCls(nn.Module):
     n_classes: int = 40
 

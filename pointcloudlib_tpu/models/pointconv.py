@@ -28,7 +28,13 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from pointcloudlib_tpu.nn.layers import DenseBNAct, PointMLP
-from pointcloudlib_tpu.ops import compute_density, sample_and_group
+from pointcloudlib_tpu.ops import (
+    compute_density,
+    index_points,
+    knn,
+    sample_and_group,
+    three_nn_interpolate,
+)
 
 Array = jax.Array
 
@@ -108,6 +114,94 @@ class PointConvSA(nn.Module):
             use_running_average=not training, momentum=0.9, epsilon=1e-5
         )(out)
         return new_xyz, nn.relu(out)
+
+
+class PointConvInterp(nn.Module):
+    """Density-weighted PointConv interpolation (decoder) layer.
+
+    Reference: PointConvDensitySetInterpolation
+    (misc/pointconv_utils.py:253-329): 3-NN inverse-square-distance
+    upsampling of the coarse features, then a full density-weighted
+    PointConv over the fine points' kNN neighborhoods.
+
+    Divergence (deliberate): the reference runs sample_and_group with
+    npoint == N, i.e. an FPS pass selecting *all* points — which returns
+    them in FPS order, silently permuting the layer's outputs relative
+    to its inputs (and to the segmentation labels downstream). We keep
+    identity ordering, which is what its callers assume.
+    """
+
+    mlp: Sequence[int]
+    bandwidth: float
+    k: int = 16
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz_fine: Array,
+        xyz_coarse: Array,
+        feats_coarse: Array,
+        training: bool = False,
+    ) -> Array:
+        b, n, _ = xyz_fine.shape
+        up = three_nn_interpolate(xyz_fine, xyz_coarse, feats_coarse)
+        density = compute_density(xyz_fine, self.bandwidth)
+        scale = DensityNet()(density, training)  # [B, N, 1]
+
+        _, idx = knn(xyz_fine, xyz_fine, self.k)
+        local = index_points(xyz_fine, idx) - xyz_fine[:, :, None, :]
+        grouped = jnp.concatenate([local, index_points(up, idx)], axis=-1)
+        gd = index_points(scale, idx)  # [B, N, k, 1]
+
+        h = PointMLP(self.mlp)(grouped, training) * gd
+        w = WeightNet()(local, training)
+        agg = jnp.einsum("bskc,bskw->bscw", h, w,
+                         preferred_element_type=jnp.float32)
+        agg = agg.reshape(b, n, self.mlp[-1] * 16)
+        out = nn.Dense(self.mlp[-1], use_bias=True)(agg)
+        out = nn.BatchNorm(
+            use_running_average=not training, momentum=0.9, epsilon=1e-5
+        )(out)
+        return nn.relu(out)
+
+
+class PointConvPartSeg(nn.Module):
+    """PointConv part segmentation
+    (networks/seg/pointconv_partseg.py:9-61): 4 SA (1024/256/64/36 pts,
+    k=32, bw .1-.8) + 4 interpolation decoders + conv head, dropout 0.4.
+
+    Note: the reference model ignores the object one-hot entirely
+    (execute takes cls_label but never uses it) — reproduced.
+    """
+
+    part_num: int = 50
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz: Array,
+        cls_label: Array,
+        feats: Optional[Array] = None,
+        training: bool = False,
+    ) -> Array:
+        del cls_label, feats
+        l1x, l1f = PointConvSA(mlp=[32, 32, 64], bandwidth=0.1,
+                               n_points=1024, k=32)(xyz, None, training)
+        l2x, l2f = PointConvSA(mlp=[64, 64, 128], bandwidth=0.2,
+                               n_points=256, k=32)(l1x, l1f, training)
+        l3x, l3f = PointConvSA(mlp=[128, 128, 256], bandwidth=0.4,
+                               n_points=64, k=32)(l2x, l2f, training)
+        l4x, l4f = PointConvSA(mlp=[256, 256, 512], bandwidth=0.8,
+                               n_points=36, k=32)(l3x, l3f, training)
+
+        l3f = PointConvInterp([512, 512], 0.8)(l3x, l4x, l4f, training)
+        l2f = PointConvInterp([256, 256], 0.4)(l2x, l3x, l3f, training)
+        l1f = PointConvInterp([128, 128], 0.2)(l1x, l2x, l2f, training)
+        l0f = PointConvInterp([128, 128, 128], 0.1)(xyz, l1x, l1f, training)
+
+        h = DenseBNAct(128, use_bias=True)(l0f, training)
+        h = nn.Dropout(0.4, deterministic=not training)(h)
+        return nn.Dense(self.part_num, use_bias=True)(h)
 
 
 class PointConvDensityCls(nn.Module):

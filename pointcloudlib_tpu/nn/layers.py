@@ -30,6 +30,25 @@ from pointcloudlib_tpu.ops import (
 Array = jax.Array
 
 
+def compute_dtype():
+    """Matmul compute dtype: bf16 on TPU (MXU native, f32 accumulate via
+    preferred_element_type), f32 elsewhere. Override with
+    ``POINTCLOUDLIB_DTYPE=float32|bfloat16``. BatchNorm statistics and
+    parameters always stay f32.
+    """
+    import os
+
+    forced = os.environ.get("POINTCLOUDLIB_DTYPE")
+    if forced == "float32":
+        return jnp.float32
+    if forced == "bfloat16":
+        return jnp.bfloat16
+    try:
+        return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    except Exception:
+        return jnp.float32
+
+
 class DenseBNAct(nn.Module):
     """Dense → BatchNorm → activation, the pervasive pointwise block."""
 
@@ -42,13 +61,15 @@ class DenseBNAct(nn.Module):
     @nn.compact
     def __call__(self, x: Array, training: bool = False) -> Array:
         bias = (not self.use_bn) if self.use_bias is None else self.use_bias
-        x = nn.Dense(self.features, use_bias=bias)(x)
+        x = nn.Dense(self.features, use_bias=bias, dtype=compute_dtype())(x)
         if self.use_bn:
             x = nn.BatchNorm(
                 use_running_average=not training,
                 momentum=self.bn_momentum,
                 epsilon=1e-5,
+                dtype=jnp.float32,  # stats and normalization in f32
             )(x)
+        x = x.astype(jnp.float32)
         if self.act is not None:
             x = self.act(x)
         return x

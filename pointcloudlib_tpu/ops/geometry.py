@@ -77,7 +77,24 @@ def index_points(points: Array, idx: Array) -> Array:
 
     Replaces the reference's thrice-duplicated fancy-indexing helper
     (misc/ops.py:12, misc/utils.py:55, misc/pointconv_utils.py:55).
+
+    On TPU, float32 gathers route to the Pallas gather-as-matmul kernel
+    (ops/pallas/gather.py) — XLA's native lowering of narrow-row batched
+    gathers is ~100x off the roofline there.
     """
+    from pointcloudlib_tpu.ops.dispatch import USE_PALLAS  # lazy: no cycle
+
+    if (
+        USE_PALLAS
+        and points.dtype == jnp.float32
+        and idx.ndim in (2, 3)
+        and points.ndim == 3
+    ):
+        from pointcloudlib_tpu.ops.pallas.gather import gather_neighbors
+
+        idx3 = idx[:, :, None] if idx.ndim == 2 else idx
+        out = gather_neighbors(points, idx3)
+        return out[:, :, 0, :] if idx.ndim == 2 else out
     return jnp.take_along_axis(
         points,
         idx.reshape(idx.shape[0], -1, 1),
@@ -93,7 +110,13 @@ def knn(query: Array, points: Array, k: int) -> Tuple[Array, Array]:
     ``points`` (matches reference misc/ops.py:726-737 ``knn_point`` and the
     CUDA ``KNN`` misc/ops.py:422).
     """
+    from pointcloudlib_tpu.ops.dispatch import USE_PALLAS  # lazy: no cycle
+
     n = points.shape[1]
+    if USE_PALLAS and points.dtype == jnp.float32 and k <= n:
+        from pointcloudlib_tpu.ops.pallas.neighbors import knn_pallas
+
+        return knn_pallas(query, points, k)
     d2 = square_distance(query, points)  # [B, M, N]
     neg, idx = lax.top_k(-d2, min(k, n))
     if k > n:  # more neighbors requested than points exist: repeat the last
@@ -122,7 +145,15 @@ def ball_query(
     rows uninitialised — misc/ops.py:313-327 — they cannot occur in its
     models because each center is itself a support point).
     """
+    from pointcloudlib_tpu.ops.dispatch import USE_PALLAS  # lazy: no cycle
+
     n = points.shape[1]
+    if USE_PALLAS and points.dtype == jnp.float32 and k <= n:
+        from pointcloudlib_tpu.ops.pallas.neighbors import (
+            ball_query_pallas,
+        )
+
+        return ball_query_pallas(centers, points, radius, k)
     d2 = square_distance(centers, points)  # [B, M, N]
     mask = d2 < (radius * radius)
     # Position key: in-radius points keep their index, others get n (larger

@@ -1,0 +1,212 @@
+"""Fused neighbor-search Pallas kernels: ball query and kNN.
+
+The XLA compositions (ops/geometry.py) materialize the [B, M, N]
+distance matrix in HBM and run ``lax.top_k`` — a full sort per row that
+dominates PointNet++/DGCNN step time (~10-20 ms each at B=64, N=1024).
+These kernels fuse distance computation (MXU: ``|c|² - 2c·pᵀ + |p|²``)
+with selection in VMEM and never write the distance matrix to HBM.
+
+Selection strategies (no sorting networks needed):
+* ball query — first-k-in-index-order semantics make selection a
+  *rank* computation: ``rank = cumsum(in_radius)`` and the k-th
+  neighbor is the lane where ``rank == k`` — one cumsum + one masked
+  reduction, fully parallel (reproduces reference misc/ops.py:313-327
+  exactly, including repeat-first padding).
+* kNN — k rounds of masked argmin (k ≤ 64 in every model here), each a
+  VPU reduction over lanes; ties break to the lower index like
+  ``lax.top_k`` and the reference's insertion sort (misc/ops.py:504).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_FAR = 1e9  # padding coordinate, outside any radius
+
+
+def _dist2(c: Array, p: Array) -> Array:
+    """Squared distances [Mt, N] via the MXU expansion."""
+    c2 = jnp.sum(c * c, axis=1, keepdims=True)           # [Mt, 1]
+    p2 = jnp.sum(p * p, axis=1, keepdims=True)           # [N, 1]
+    inner = jax.lax.dot_general(
+        c, p, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                     # [Mt, N]
+    return jnp.maximum(c2 - 2.0 * inner + p2.T, 0.0)
+
+
+def _cumsum_lanes(x: Array) -> Array:
+    """Inclusive cumsum along the lane axis via log-step shift-adds
+    (Mosaic has no native cumsum)."""
+    mt, n = x.shape
+    lane = lax.broadcasted_iota(jnp.int32, (mt, n), 1)
+    shift = 1
+    while shift < n:
+        rolled = pltpu.roll(x, shift, axis=1)
+        x = x + jnp.where(lane >= shift, rolled, 0)
+        shift *= 2
+    return x
+
+
+def _ball_query_kernel(r2_ref, c_ref, p_ref, idx_ref, cnt_ref):
+    mt = c_ref.shape[1]
+    n = p_ref.shape[1]
+    k = idx_ref.shape[2]
+    d2 = _dist2(c_ref[0], p_ref[0])
+    mask = d2 < r2_ref[0]
+    maski = mask.astype(jnp.int32)
+    rank = _cumsum_lanes(maski)                           # [Mt, N]
+    lane = lax.broadcasted_iota(jnp.int32, (mt, n), 1)
+    kcol = lax.broadcasted_iota(jnp.int32, (mt, k), 1)
+
+    def body(j, idx_out):
+        # at most one lane has rank == j+1 among in-radius points, so a
+        # sum-extract recovers its index (0 when the slot is empty)
+        ind = maski * (rank == j + 1).astype(jnp.int32)
+        idx_j = jnp.sum(ind * lane, axis=1)               # [Mt]
+        return jnp.where(kcol == j, idx_j[:, None], idx_out)
+
+    idx = lax.fori_loop(0, k, body, jnp.zeros((mt, k), jnp.int32))
+    cnt = rank[:, n - 1 :]                                # [Mt, 1]
+    valid = kcol < cnt
+    first = idx[:, 0:1]                                   # 0 when cnt==0
+    idx_ref[0] = jnp.where(valid, idx, first)
+    cnt_ref[0] = cnt  # [Mt, 1]
+
+
+def _knn_kernel(c_ref, p_ref, idx_ref, d2_ref):
+    mt = c_ref.shape[1]
+    n = p_ref.shape[1]
+    k = idx_ref.shape[2]
+    d2 = _dist2(c_ref[0], p_ref[0])
+    lane = lax.broadcasted_iota(jnp.int32, (mt, n), 1)
+    kcol = lax.broadcasted_iota(jnp.int32, (mt, k), 1)
+
+    def body(j, carry):
+        d2cur, idx_out, d2_out = carry
+        best = jnp.argmin(d2cur, axis=1).astype(jnp.int32)    # [Mt]
+        bestd = jnp.min(d2cur, axis=1)                        # [Mt]
+        idx_out = jnp.where(kcol == j, best[:, None], idx_out)
+        d2_out = jnp.where(kcol == j, bestd[:, None], d2_out)
+        d2cur = jnp.where(lane == best[:, None], jnp.inf, d2cur)
+        return d2cur, idx_out, d2_out
+
+    init = (
+        d2,
+        jnp.zeros((mt, k), jnp.int32),
+        jnp.zeros((mt, k), jnp.float32),
+    )
+    _, idx_out, d2_out = lax.fori_loop(0, k, body, init)
+    idx_ref[0] = idx_out
+    d2_ref[0] = d2_out
+
+
+def _pad_points(p: Array, mult: int = 128) -> Array:
+    n = p.shape[1]
+    pad = (-n) % mult
+    if pad:
+        p = jnp.pad(p, ((0, 0), (0, pad), (0, 0)), constant_values=_FAR)
+    return p
+
+
+def _tile_m(m: int, n: int, k: int, bytes_per: int = 8) -> int:
+    budget = 6 * 1024 * 1024
+    mt = max(1, min(m, budget // max(1, n * k * bytes_per)))
+    mt = min(mt, 256)
+    while m % mt:
+        mt -= 1
+    return mt
+
+
+@functools.partial(
+    jax.jit, static_argnames=("radius", "k", "interpret")
+)
+def ball_query_pallas(
+    centers: Array,
+    points: Array,
+    radius: float,
+    k: int,
+    interpret: bool = False,
+) -> Tuple[Array, Array]:
+    """Drop-in for ops.geometry.ball_query on TPU (same semantics)."""
+    b, m, c = centers.shape
+    n = points.shape[1]
+    p = _pad_points(points.astype(jnp.float32))
+    npad = p.shape[1]
+    # live VMEM is a handful of [Mt, N] planes (no 3-D tensor): big tiles
+    mt = _tile_m(m, npad, 1, bytes_per=32)
+    r2 = jnp.full((1,), radius * radius, jnp.float32)
+
+    idx, cnt = pl.pallas_call(
+        _ball_query_kernel,
+        grid=(b, m // mt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, mt, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, npad, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, mt, k), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mt, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, m, k), jnp.int32),
+            jax.ShapeDtypeStruct((b, m, 1), jnp.int32),
+        ),
+        interpret=interpret,
+    )(r2, centers.astype(jnp.float32), p)
+    return idx, cnt[..., 0]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def knn_pallas(
+    query: Array,
+    points: Array,
+    k: int,
+    interpret: bool = False,
+) -> Tuple[Array, Array]:
+    """Drop-in for ops.geometry.knn on TPU: returns (sq_dists, idx),
+    ascending, ties to the lower index. Padded rows sit at distance
+    ~1e18 so they are never selected while real points remain."""
+    b, m, c = query.shape
+    n = points.shape[1]
+    assert k <= n, (k, n)
+    p = _pad_points(points.astype(jnp.float32))
+    npad = p.shape[1]
+    mt = _tile_m(m, npad, 1, bytes_per=16)
+
+    idx, d2 = pl.pallas_call(
+        _knn_kernel,
+        grid=(b, m // mt),
+        in_specs=[
+            pl.BlockSpec((1, mt, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, npad, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, mt, k), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mt, k), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, m, k), jnp.int32),
+            jax.ShapeDtypeStruct((b, m, k), jnp.float32),
+        ),
+        interpret=interpret,
+    )(query.astype(jnp.float32), p)
+    return d2, idx

@@ -1,0 +1,48 @@
+"""Pallas gather-as-matmul kernel vs XLA take_along_axis (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointcloudlib_tpu.ops.pallas.gather import gather_neighbors
+
+
+@pytest.mark.parametrize("b,n,c,m,k", [(2, 64, 8, 16, 4), (1, 128, 3, 32, 7)])
+def test_matches_xla_gather(b, n, c, m, k):
+    rng = np.random.default_rng(n + c)
+    pts = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, n, (b, m, k)), jnp.int32)
+    want = jnp.take_along_axis(
+        pts, idx.reshape(b, -1, 1), axis=1
+    ).reshape(b, m, k, c)
+    got = gather_neighbors(pts, idx, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_shadow_sentinel_zero():
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.standard_normal((2, 32, 4)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, 32, (2, 8, 3)), jnp.int32)
+    idx = idx.at[:, :, 1].set(32)  # one-past-the-end sentinel
+    got = np.asarray(gather_neighbors(pts, idx, interpret=True))
+    np.testing.assert_array_equal(got[:, :, 1], 0.0)
+
+
+def test_vjp_matches_xla():
+    rng = np.random.default_rng(1)
+    pts = jnp.asarray(rng.standard_normal((2, 48, 6)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, 48, (2, 12, 5)), jnp.int32)
+
+    def f_pallas(p):
+        return jnp.sum(jnp.sin(gather_neighbors(p, idx, interpret=True)))
+
+    def f_xla(p):
+        g = jnp.take_along_axis(p, idx.reshape(2, -1, 1), axis=1)
+        return jnp.sum(jnp.sin(g))
+
+    g1 = jax.grad(f_pallas)(pts)
+    g2 = jax.grad(f_xla)(pts)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)

@@ -1,0 +1,45 @@
+"""Pallas ball-query / kNN kernels vs the XLA geometry ops
+(interpret mode; compiled parity is part of the TPU verify recipe)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointcloudlib_tpu.ops import ball_query, knn
+from pointcloudlib_tpu.ops.pallas.neighbors import (
+    ball_query_pallas,
+    knn_pallas,
+)
+
+
+@pytest.mark.parametrize("b,m,n,k,r", [(2, 16, 200, 8, 0.9), (1, 32, 64, 16, 1.5)])
+def test_ball_query_matches_xla(b, m, n, k, r):
+    rng = np.random.default_rng(b * 100 + n)
+    centers = jnp.asarray(rng.standard_normal((b, m, 3)), jnp.float32)
+    points = jnp.asarray(rng.standard_normal((b, n, 3)), jnp.float32)
+    want_idx, want_cnt = ball_query(centers, points, r, k)
+    got_idx, got_cnt = ball_query_pallas(centers, points, r, k,
+                                         interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_cnt), np.asarray(want_cnt))
+    np.testing.assert_array_equal(np.asarray(got_idx), np.asarray(want_idx))
+
+
+def test_ball_query_empty_rows():
+    centers = jnp.full((1, 4, 3), 50.0, jnp.float32)
+    points = jnp.zeros((1, 16, 3), jnp.float32)
+    idx, cnt = ball_query_pallas(centers, points, 0.5, 4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(cnt), 0)
+    np.testing.assert_array_equal(np.asarray(idx), 0)
+
+
+@pytest.mark.parametrize("b,m,n,k", [(2, 16, 100, 7), (1, 8, 130, 20)])
+def test_knn_matches_xla(b, m, n, k):
+    rng = np.random.default_rng(b + n + k)
+    q = jnp.asarray(rng.standard_normal((b, m, 3)), jnp.float32)
+    p = jnp.asarray(rng.standard_normal((b, n, 3)), jnp.float32)
+    want_d2, want_idx = knn(q, p, k)
+    got_d2, got_idx = knn_pallas(q, p, k, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_idx), np.asarray(want_idx))
+    np.testing.assert_allclose(
+        np.asarray(got_d2), np.asarray(want_d2), rtol=1e-5, atol=1e-5
+    )
