@@ -34,9 +34,13 @@ class ModelNet40:
         train: bool = True,
         data_root: Optional[str] = None,
         seed: int = 0,
+        augment: Optional[bool] = None,
     ):
         self.n_points = n_points
         self.train = train
+        # voting eval re-augments the test split (reference
+        # classification_test, train_cls.py:230-328)
+        self.augment = train if augment is None else augment
         self._rng = np.random.default_rng(seed)
         self._data = None  # (points [M, 10000, 6], labels [M])
         root = Path(data_root) if data_root else None
@@ -78,14 +82,14 @@ class ModelNet40:
 
     def __getitem__(self, i: int):
         raw, label = self._data[0][i], int(self._data[1][i])
-        if self.train:
+        if self.augment:
             sel = self._rng.permutation(raw.shape[0])[: self.n_points]
         else:
             sel = np.arange(self.n_points)
         item = raw[sel]
         pts, nrm = item[:, :3], item[:, 3:6]
         pts = A.normalize_unit_sphere(pts)
-        if self.train:
+        if self.augment:
             pts = A.random_scale_translate(pts, self._rng)
         return pts.astype(np.float32), nrm.astype(np.float32), label
 
@@ -97,10 +101,12 @@ def make_modelnet40(
     synthetic: bool = False,
     synthetic_size: int = 512,
     seed: int = 0,
+    augment: Optional[bool] = None,
 ):
     if synthetic:
         return SyntheticModelNet(
-            n_points=n_points, train=train, size=synthetic_size, seed=seed
+            n_points=n_points, train=train, size=synthetic_size, seed=seed,
+            augment=augment,
         )
     return ModelNet40(n_points=n_points, train=train, data_root=data_root,
-                      seed=seed)
+                      seed=seed, augment=augment)

@@ -104,11 +104,13 @@ class SyntheticModelNet:
         size: int = 512,
         train: bool = True,
         seed: int = 0,
+        augment=None,
     ):
         self.n_points = n_points
         self.n_classes = n_classes
         self.size = size
         self.train = train
+        self.augment = train if augment is None else augment
         self._rng = np.random.default_rng(seed + (0 if train else 10_000))
         # fixed per-item seeds → deterministic dataset
         self._seeds = self._rng.integers(0, 2**31 - 1, size)
@@ -132,9 +134,11 @@ class SyntheticModelNet:
         from pointcloudlib_tpu.data import augment as A
 
         pts = A.normalize_unit_sphere(pts)
-        if self.train:
-            pts = A.random_scale_translate(pts, rng)
-            perm = rng.permutation(self.n_points)
+        if self.augment:
+            # voting passes need fresh randomness per epoch/vote
+            arng = np.random.default_rng(self._rng.integers(2**31 - 1))
+            pts = A.random_scale_translate(pts, arng)
+            perm = arng.permutation(self.n_points)
             pts, nrm = pts[perm], nrm[perm]
         return pts.astype(np.float32), nrm, label
 

@@ -11,7 +11,10 @@ from __future__ import annotations
 from typing import Callable, Dict
 
 from pointcloudlib_tpu.models.dgcnn import DGCNN, DGCNNPartSeg
-from pointcloudlib_tpu.models.kpconv.adapter import KPConvCls
+from pointcloudlib_tpu.models.kpconv.adapter import (
+    KPConvCls,
+    KPConvDeformCls,
+)
 from pointcloudlib_tpu.models.pointcnn import PointCNNCls, PointCNNPartSeg
 from pointcloudlib_tpu.models.pointconv import (
     PointConvDensityCls,
@@ -32,6 +35,7 @@ CLS_MODELS: Dict[str, Callable] = {
     "pointconv": PointConvDensityCls,
     "pointcnn": PointCNNCls,
     "kpconv": KPConvCls,
+    "kpconv_deform": KPConvDeformCls,
 }
 
 SEG_MODELS: Dict[str, Callable] = {

@@ -39,3 +39,35 @@ class KPConvCls(nn.Module):
             first_subsampling_dl=self.first_subsampling_dl,
         )
         return KPCNN(cfg)(xyz, training=training)
+
+
+class KPConvDeformCls(nn.Module):
+    """Deformable variant: the last two scales use deformable KPConv
+    (the KP-Conv paper's KPCNN-deform layout; the block zoo and the
+    p2p fitting/repulsive regularizer follow blocks.py:125-359 and
+    kpconv.py:12-45)."""
+
+    n_classes: int = 40
+    first_subsampling_dl: float = 0.05
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz: Array,
+        feats: Optional[Array] = None,
+        training: bool = False,
+    ) -> Array:
+        del feats
+        arch = list(KPConvConfig().architecture)
+        arch = [
+            b.replace("resnetb", "resnetb_deformable")
+            if i >= 9 and b.startswith("resnetb")
+            else b
+            for i, b in enumerate(arch)
+        ]
+        cfg = KPConvConfig(
+            num_classes=self.n_classes,
+            first_subsampling_dl=self.first_subsampling_dl,
+            architecture=tuple(arch),
+        )
+        return KPCNN(cfg)(xyz, training=training)

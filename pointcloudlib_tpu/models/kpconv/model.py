@@ -220,12 +220,31 @@ class KPConvOp(nn.Module):
                 (nbr[:, :, :, None, :] - kpts[:, :, None, :, :]) ** 2,
                 axis=-1,
             )  # [B,M,K,P]
-            # residuals for the fitting/repulsive regularizer
+            # fitting + repulsive regularizer contribution of this conv
+            # (p2p_fitting_regularizer, networks/cls/kpconv.py:12-45),
+            # sown as a scalar the trainer sums generically
             min_d2 = jnp.min(
                 jnp.where(nmask[..., None], d2, jnp.inf), axis=2
             )
-            self.sow("intermediates", "min_d2", min_d2)
-            self.sow("intermediates", "deformed_kp", kpts)
+            fitting = jnp.mean(
+                jnp.where(jnp.isfinite(min_d2), min_d2, 0.0)
+            ) / (self.kp_extent**2)
+            locs = kpts / self.kp_extent
+            pd = jnp.sqrt(
+                jnp.sum(
+                    (locs[..., :, None, :] - locs[..., None, :, :]) ** 2,
+                    -1,
+                )
+                + 1e-12
+            )
+            off_diag = 1.0 - jnp.eye(p)
+            rep = (
+                jnp.clip(pd - 1.2, a_max=0.0) ** 2 * off_diag
+            )  # repulse_extent 1.2
+            repulsive = jnp.mean(jnp.sum(rep, axis=-1)) / p
+            self.sow(
+                "intermediates", "reg_loss", 2.0 * fitting + repulsive
+            )
         else:
             d2 = jnp.sum(
                 (nbr[:, :, :, None, :] - kp[None, None, None]) ** 2, axis=-1
@@ -235,7 +254,11 @@ class KPConvOp(nn.Module):
         if self.influence == "constant":
             infl = jnp.ones_like(d2)
         elif self.influence == "linear":
-            infl = jnp.maximum(1.0 - jnp.sqrt(d2) / self.kp_extent, 0.0)
+            # eps inside the sqrt: its gradient at 0 is inf, and in the
+            # deformable path d2 is a function of the offset params
+            infl = jnp.maximum(
+                1.0 - jnp.sqrt(d2 + 1e-12) / self.kp_extent, 0.0
+            )
         elif self.influence == "gaussian":
             sigma = self.kp_extent * 0.3
             infl = jnp.exp(-d2 / (2 * sigma * sigma))
@@ -445,37 +468,12 @@ class KPCNN(nn.Module):
         )
 
 
-def p2p_fitting_regularizer(
-    intermediates, cfg: KPConvConfig, kp_extent_by_call=None
-) -> Array:
-    """Deformable fitting + repulsive loss (networks/cls/kpconv.py:12-45)
-    computed from sown ``min_d2`` / ``deformed_kp`` intermediates.
-
-    Note: distances are normalized by KP_extent inside KPConvOp callers;
-    here we take the sown values as-is with the config extent.
-    """
-    fitting = 0.0
-    repulsive = 0.0
-    leaves = jax.tree_util.tree_leaves_with_path(intermediates)
-    mins = [v for p, v in leaves if "min_d2" in str(p)]
-    kps = [v for p, v in leaves if "deformed_kp" in str(p)]
-    if not mins:
-        return jnp.zeros(())
-    for min_d2 in mins:
-        fitting += jnp.mean(
-            jnp.where(jnp.isfinite(min_d2), min_d2, 0.0)
-        )
-    for kp in kps:
-        # [B,M,P,3] normalized locations
-        locs = kp / cfg.kp_extent
-        d = jnp.sqrt(
-            jnp.sum(
-                (locs[..., :, None, :] - locs[..., None, :, :]) ** 2, -1
-            )
-            + 1e-12
-        )
-        p = locs.shape[-2]
-        off_diag = 1.0 - jnp.eye(p)
-        rep = jnp.clip(d - cfg.repulse_extent, a_max=0.0) ** 2 * off_diag
-        repulsive += jnp.mean(jnp.sum(rep, axis=-1)) / p
-    return cfg.deform_fitting_power * (2.0 * fitting + repulsive)
+def sum_reg_losses(intermediates) -> Array:
+    """Total deformable-KPConv regularizer: sum of every ``reg_loss``
+    scalar sown by deformable KPConvOp layers (the per-module collection
+    replaces the reference's net.modules() walk, kpconv.py:16-18)."""
+    total = jnp.zeros(())
+    for path, leaf in jax.tree_util.tree_leaves_with_path(intermediates):
+        if "reg_loss" in str(path):
+            total = total + jnp.sum(leaf)
+    return total

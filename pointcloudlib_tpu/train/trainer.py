@@ -32,11 +32,11 @@ def make_cls_train_step(
 
     def loss_fn(params, state: TrainState, batch, rng):
         variables = {"params": params}
-        mutable = []
+        mutable = ["intermediates"]
         if state.batch_stats is not None:
             variables["batch_stats"] = state.batch_stats
-            mutable = ["batch_stats"]
-        out = model.apply(
+            mutable.append("batch_stats")
+        logits, mut = model.apply(
             variables,
             batch["xyz"],
             batch.get("feats"),
@@ -44,8 +44,13 @@ def make_cls_train_step(
             mutable=mutable,
             rngs={"dropout": rng},
         )
-        logits, mut = out if mutable else (out, {})
         loss = soft_cross_entropy(logits, batch["label"], smoothing=smoothing)
+        if "intermediates" in mut:
+            # deformable-KPConv (and any other module) can sow scalar
+            # auxiliary losses under the name "reg_loss"
+            from pointcloudlib_tpu.models.kpconv.model import sum_reg_losses
+
+            loss = loss + sum_reg_losses(mut["intermediates"])
         acc = (jnp.argmax(logits, -1) == batch["label"]).mean()
         return loss, (mut.get("batch_stats"), acc)
 

@@ -38,6 +38,10 @@ def parse_args(argv=None):
     p.add_argument("--momentum", type=float, default=0.9)
     p.add_argument("--optimizer", default="sgd", choices=["sgd", "adam"])
     p.add_argument("--eval", action="store_true")
+    p.add_argument("--votes", type=int, default=1,
+                   help="voting eval: average softmax over N re-augmented "
+                        "passes (reference classification_test, "
+                        "train_cls.py:230-328)")
     p.add_argument("--data-root", default="data/modelnet40_normal_resampled")
     p.add_argument("--synthetic", action="store_true",
                    help="train on the procedural synthetic dataset")
@@ -96,7 +100,21 @@ def main(argv=None):
     rng = jax.random.key(args.seed)
     sample = next(cls_batches(train_ds, args.batch_size,
                               with_normals=with_normals))
-    if args.optimizer == "sgd":
+    if args.model == "kpconv" and args.optimizer == "sgd":
+        # the reference KPConv recipe (datasets/ModelNet40.py:1392-1402):
+        # lr 1e-2, momentum 0.98, 0.1^(1/100) decay per epoch, clip 100
+        steps_per_epoch = args.steps_per_epoch or max(
+            1, len(train_ds) // args.batch_size
+        )
+        sched = optax.exponential_decay(
+            1e-2, transition_steps=steps_per_epoch,
+            decay_rate=0.1 ** (1 / 100), staircase=True,
+        )
+        tx = optax.chain(
+            optax.clip_by_global_norm(100.0),
+            optax.sgd(sched, momentum=0.98),
+        )
+    elif args.optimizer == "sgd":
         # reference schedule counts samples; we count steps
         sched = step_decay(args.lr,
                            decay_step=max(1, 15000 // args.batch_size))
@@ -123,9 +141,48 @@ def main(argv=None):
             correct += int(c); total += int(t)
         return 100.0 * correct / max(total, 1)
 
+    def evaluate_voting(state, n_votes):
+        """Average softmax over re-augmented passes (reference
+        classification_test: incremental per-model prob average,
+        train_cls.py:309-313)."""
+        import jax.numpy as jnp
+
+        prob_step = jax.jit(
+            lambda st, b: jax.nn.softmax(
+                model.apply(st.variables(), b["xyz"], b.get("feats"),
+                            training=False),
+                axis=-1,
+            )
+        )
+        vote_ds = make_modelnet40(
+            args.num_points, train=False, data_root=args.data_root,
+            synthetic=args.synthetic,
+            synthetic_size=max(64, args.synthetic_size // 4),
+            seed=args.seed, augment=True,
+        )
+        probs, labels, valids = None, [], []
+        for v in range(n_votes):
+            pv, first = [], probs is None
+            for batch in cls_batches(vote_ds, args.batch_size,
+                                     with_normals=with_normals):
+                pv.append(np.asarray(prob_step(state, shard_batch(mesh, batch))))
+                if first:
+                    labels.append(batch["label"])
+                    valids.append(batch["valid"])
+            pv = np.concatenate(pv)
+            probs = pv if first else probs + (pv - probs) / (v + 1)
+        labels = np.concatenate(labels)
+        valid = np.concatenate(valids)
+        pred = probs.argmax(-1)
+        return 100.0 * ((pred == labels) & valid).sum() / valid.sum()
+
     if args.eval:
         state = ckpt.restore(state) or state
-        print(f"eval OA: {evaluate(state):.2f}%")
+        if args.votes > 1:
+            print(f"eval OA ({args.votes} votes): "
+                  f"{evaluate_voting(state, args.votes):.2f}%")
+        else:
+            print(f"eval OA: {evaluate(state):.2f}%")
         return
 
     best_oa, step_count = 0.0, 0
