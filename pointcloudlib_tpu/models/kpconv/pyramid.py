@@ -23,7 +23,7 @@ carried alongside an explicit boolean mask.
 from __future__ import annotations
 
 import functools
-from typing import List, NamedTuple, Sequence, Tuple
+from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,9 +41,15 @@ def _grid_subsample_one(
     vmask [n_max])``. Barycenter per occupied voxel (reference
     grid_subsampling.cpp:5-107 semantics)."""
     n = xyz.shape[0]
+    # shift by whole cells (the reference's originCorner =
+    # floor(min/dl)*dl, grid_subsampling.cpp) so the voxel partition is
+    # exactly floor(p/dl) — a raw-min shift would move cell boundaries
     origin = jnp.min(jnp.where(mask[:, None], xyz, jnp.inf), axis=0)
+    origin_cell = jnp.floor(origin / dl)
     v = jnp.clip(
-        jnp.floor((xyz - origin) / dl).astype(jnp.int32), 0, _GRID - 1
+        (jnp.floor(xyz / dl) - origin_cell).astype(jnp.int32),
+        0,
+        _GRID - 1,
     )
     key = (v[:, 0] * _GRID + v[:, 1]) * _GRID + v[:, 2]
     key = jnp.where(mask, key, jnp.iinfo(jnp.int32).max)
@@ -153,6 +159,7 @@ def build_pyramid(
     architecture: Sequence[str],
     neighborhood_limits: Sequence[int],
     subsample_input: bool = True,
+    caps: Optional[Sequence[int]] = None,
 ) -> Pyramid:
     """Walk the architecture string list and build every layer's
     points/neighbors/pools (mirrors classification_inputs,
@@ -168,7 +175,9 @@ def build_pyramid(
     n_layers = len(layer_blocks)
 
     b, n0, _ = xyz.shape
-    caps, ks = pyramid_shapes(n0, n_layers, neighborhood_limits)
+    default_caps, ks = pyramid_shapes(n0, n_layers, neighborhood_limits)
+    if caps is None:
+        caps = default_caps
 
     points, masks = [], []
     if subsample_input:

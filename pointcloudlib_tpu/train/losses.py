@@ -20,6 +20,7 @@ def soft_cross_entropy(
     Note this differs from optax's ``smooth_labels`` convention
     (``1-eps+eps/n`` / ``eps/n``) — we reproduce the reference exactly.
     """
+    logits = logits.astype(jnp.float32)
     if not smoothing:
         return optax.softmax_cross_entropy_with_integer_labels(
             logits, labels
@@ -35,7 +36,8 @@ def cross_entropy_seg(logits: Array, seg: Array) -> Array:
     """Per-point CE over ``[B, N, parts]`` logits (reference
     train_partseg.py:116 flattens to ``[B*N, parts]``)."""
     return optax.softmax_cross_entropy_with_integer_labels(
-        logits.reshape(-1, logits.shape[-1]), seg.reshape(-1)
+        logits.reshape(-1, logits.shape[-1]).astype(jnp.float32),
+        seg.reshape(-1),
     ).mean()
 
 

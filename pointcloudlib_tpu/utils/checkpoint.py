@@ -4,6 +4,11 @@ The reference checkpoints only the KPConv path (train_cls.py:453-470:
 ``current_chkp.tar`` each epoch, ``best_chkp.tar`` on new best,
 ``chkp_{epoch:04d}.tar`` every checkpoint_gap). Here every model gets the
 same policy via orbax.
+
+Storage format is a plain dict {params, batch_stats, opt_state, step} so
+inference can restore just the model variables without knowing the
+optimizer that trained them (the reference's eval has the same property:
+it loads model_state_dict only, train_cls.py:429-431).
 """
 
 from __future__ import annotations
@@ -13,6 +18,15 @@ from typing import Any, Optional
 
 import jax
 import orbax.checkpoint as ocp
+
+
+def _to_tree(state: Any) -> dict:
+    return {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
 
 
 class CheckpointManager:
@@ -26,16 +40,41 @@ class CheckpointManager:
         return self.directory / name
 
     def save(self, state: Any, step: int, best: bool = False) -> None:
-        state = jax.device_get(state)
-        self._ckptr.save(self._path("current"), state, force=True)
+        tree = jax.device_get(_to_tree(state))
+        self._ckptr.save(self._path("current"), tree, force=True)
         if best:
-            self._ckptr.save(self._path("best"), state, force=True)
+            self._ckptr.save(self._path("best"), tree, force=True)
         if self.periodic_gap and step and step % self.periodic_gap == 0:
-            self._ckptr.save(self._path(f"step_{step:04d}"), state, force=True)
+            self._ckptr.save(self._path(f"step_{step:04d}"), tree, force=True)
         self._ckptr.wait_until_finished()
 
     def restore(self, target: Any, name: str = "current") -> Optional[Any]:
+        """Full restore into a TrainState built with the same optimizer."""
         path = self._path(name)
         if not path.exists():
             return None
-        return self._ckptr.restore(path, target=jax.device_get(target))
+        tree = self._ckptr.restore(
+            path, target=jax.device_get(_to_tree(target))
+        )
+        return target.replace(
+            params=tree["params"],
+            batch_stats=tree["batch_stats"],
+            opt_state=tree["opt_state"],
+            step=tree["step"],
+        )
+
+    def restore_variables(
+        self, params: Any, batch_stats: Any, name: str = "best"
+    ) -> Optional[tuple]:
+        """Model-variables-only restore (inference: optimizer unknown)."""
+        path = self._path(name)
+        if not path.exists():
+            return None
+        restorer = ocp.PyTreeCheckpointer()
+        raw = restorer.restore(path)
+        target = jax.device_get({"params": params, "batch_stats": batch_stats})
+        restored = jax.tree_util.tree_map(
+            lambda t, r: r, target,
+            {"params": raw["params"], "batch_stats": raw["batch_stats"]},
+        )
+        return restored["params"], restored["batch_stats"]

@@ -44,9 +44,9 @@ class TestGridSubsample:
             jnp.asarray(xyz), jnp.asarray(mask), dl, 128
         )
         centers, vmask = np.asarray(centers), np.asarray(vmask)
-        # oracle: bin by voxel, average
-        origin = xyz[0].min(0)
-        keys = tuple(map(tuple, np.floor((xyz[0] - origin) / dl).astype(int)))
+        # oracle: bin by voxel (plain floor(p/dl) — the origin-corner
+        # shift is a whole number of cells, so same partition), average
+        keys = tuple(map(tuple, np.floor(xyz[0] / dl).astype(int)))
         vox = {}
         for p, k in zip(xyz[0], keys):
             vox.setdefault(k, []).append(p)

@@ -4,7 +4,8 @@
 Same UX as the reference train_cls.py:367-383 (``--model
 {pointnet,pointnet2,pointnet2_msg,pointcnn,dgcnn,pointconv,kpconv}
 [--eval]``) plus TPU-native flags: ``--synthetic`` (procedural data,
-zero-egress envs), ``--n-devices`` (DP mesh width), ``--bf16``.
+zero-egress envs), ``--n-devices`` (DP mesh width), ``--votes``,
+``--log-dir`` (compute dtype via POINTCLOUDLIB_DTYPE env).
 
 TPU-first differences from the reference loop:
   * one jit-ed, donated train step; metrics fetched off-device once per
@@ -53,6 +54,8 @@ def parse_args(argv=None):
     p.add_argument("--checkpoint-dir", default="checkpoints")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--log-dir", default=None,
+                   help="write JSONL metrics here")
     return p.parse_args(argv)
 
 
@@ -131,6 +134,9 @@ def main(argv=None):
     train_step = make_cls_train_step(model, mesh)
     eval_step = make_cls_eval_step(model, mesh)
     ckpt = CheckpointManager(Path(args.checkpoint_dir) / args.model)
+    from pointcloudlib_tpu.utils.logging import MetricsLogger
+
+    mlog = MetricsLogger(args.log_dir, run_name=f"cls_{args.model}")
 
     def evaluate(state):
         correct = total = 0
@@ -217,6 +223,8 @@ def main(argv=None):
         print(f"epoch {epoch}: loss={float(m['loss']):.4f} "
               f"test OA={oa:.2f}% "
               f"({seen/dt:.1f} samples/s)")
+        mlog.log("epoch", epoch=epoch, loss=float(m["loss"]), test_oa=oa,
+                 samples_per_sec=seen / dt)
         ckpt.save(state, step=epoch, best=oa > best_oa)
         best_oa = max(best_oa, oa)
     print(f"best OA: {best_oa:.2f}%")

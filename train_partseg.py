@@ -36,6 +36,8 @@ def parse_args(argv=None):
     p.add_argument("--checkpoint-dir", default="checkpoints")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--log-dir", default=None,
+                   help="write JSONL metrics here")
     return p.parse_args(argv)
 
 
@@ -122,6 +124,9 @@ def main(argv=None):
     train_step = make_seg_train_step(model, mesh)
     eval_step = make_seg_eval_step(model, mesh)
     ckpt = CheckpointManager(Path(args.checkpoint_dir) / f"{args.model}_partseg")
+    from pointcloudlib_tpu.utils.logging import MetricsLogger
+
+    mlog = MetricsLogger(args.log_dir, run_name=f"partseg_{args.model}")
 
     def evaluate(state):
         correct = total = 0
@@ -170,6 +175,8 @@ def main(argv=None):
         print(f"epoch {epoch}: loss={float(m['loss']):.4f} "
               f"test acc={acc:.2f}% IoU={iou:.2f}% "
               f"({seen/dt:.1f} samples/s)")
+        mlog.log("epoch", epoch=epoch, loss=float(m["loss"]), test_acc=acc,
+                 test_iou=iou, samples_per_sec=seen / dt)
         ckpt.save(state, step=epoch, best=iou > best_iou)
         best_iou = max(best_iou, iou)
     print(f"best IoU: {best_iou:.2f}%")
