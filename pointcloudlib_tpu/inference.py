@@ -77,8 +77,9 @@ class Predictor:
             with_normals = model_name.startswith("pointnet2")
         dummy = jnp.zeros((1, sample_points, 3), jnp.float32)
         feats = dummy if with_normals else None
-        variables = model.init(jax.random.key(0), dummy, feats,
-                               training=False)
+        from pointcloudlib_tpu.train.state import init_variables
+
+        variables = init_variables(model, jax.random.key(0), dummy, feats)
         mgr = CheckpointManager(Path(ckpt_dir))
         restored = mgr.restore_variables(
             variables["params"], variables.get("batch_stats"), name=which

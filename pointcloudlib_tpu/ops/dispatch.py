@@ -37,7 +37,11 @@ def fps(xyz, n_samples: int, skip_near_origin: bool = True):
     if USE_PALLAS:
         from pointcloudlib_tpu.ops.pallas.fps import fps_pallas
 
-        return fps_pallas(xyz, n_samples, skip_near_origin=skip_near_origin)
+        return fps_pallas(
+            jax.lax.stop_gradient(xyz),
+            n_samples,
+            skip_near_origin=skip_near_origin,
+        )
     return geometry.farthest_point_sample(
         xyz, n_samples, skip_near_origin=skip_near_origin
     )

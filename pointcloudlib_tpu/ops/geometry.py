@@ -116,7 +116,13 @@ def knn(query: Array, points: Array, k: int) -> Tuple[Array, Array]:
     if USE_PALLAS and points.dtype == jnp.float32 and k <= n:
         from pointcloudlib_tpu.ops.pallas.neighbors import knn_pallas
 
-        return knn_pallas(query, points, k)
+        # neighbor selection is non-differentiable (indices are discrete;
+        # the kernel has no AD rule) — e.g. DGCNN queries kNN in
+        # param-dependent feature space, where the reference also passes
+        # no gradient through the graph construction
+        return knn_pallas(
+            lax.stop_gradient(query), lax.stop_gradient(points), k
+        )
     d2 = square_distance(query, points)  # [B, M, N]
     neg, idx = lax.top_k(-d2, min(k, n))
     if k > n:  # more neighbors requested than points exist: repeat the last
@@ -153,7 +159,9 @@ def ball_query(
             ball_query_pallas,
         )
 
-        return ball_query_pallas(centers, points, radius, k)
+        return ball_query_pallas(
+            lax.stop_gradient(centers), lax.stop_gradient(points), radius, k
+        )
     d2 = square_distance(centers, points)  # [B, M, N]
     mask = d2 < (radius * radius)
     # Position key: in-radius points keep their index, others get n (larger
@@ -263,15 +271,16 @@ def group_points(
     K, C]`` depending on flags). Feature order is ``[local_xyz, feats]`` —
     matching BallQueryGrouper (reference misc/ops.py:400-405).
     """
-    parts = []
+    if use_xyz and feats is not None:
+        # one fused gather of [xyz ‖ feats]; recenter the xyz slice after
+        both = index_points(jnp.concatenate([points, feats], -1), idx)
+        local = both[..., :3] - centers[:, :, None, :]
+        return jnp.concatenate([local, both[..., 3:]], axis=-1)
     if use_xyz:
-        local = index_points(points, idx) - centers[:, :, None, :]
-        parts.append(local)
+        return index_points(points, idx) - centers[:, :, None, :]
     if feats is not None:
-        parts.append(index_points(feats, idx))
-    if not parts:
-        raise ValueError("need use_xyz=True or feats is not None")
-    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+        return index_points(feats, idx)
+    raise ValueError("need use_xyz=True or feats is not None")
 
 
 def sample_and_group(

@@ -31,13 +31,32 @@ def create_train_state(
     sample_feats,
     tx: optax.GradientTransformation,
 ) -> TrainState:
-    variables = model.init(rng, sample_xyz, sample_feats, training=False)
+    variables = init_variables(model, rng, sample_xyz, sample_feats)
     return TrainState.create(
         apply_fn=model.apply,
         params=variables["params"],
         batch_stats=variables.get("batch_stats"),
         tx=tx,
     )
+
+
+def init_variables(model, rng, sample_xyz, sample_feats=None, **kw):
+    """jit-compiled model.init.
+
+    Eager init dispatches every traced op individually — on a
+    remote-compile TPU backend that is hundreds of tiny compiles and can
+    take minutes for graph-heavy models (DGCNN). One jit makes it a
+    single compile.
+    """
+    if sample_feats is None:
+        fn = jax.jit(
+            lambda r, x: model.init(r, x, None, training=False, **kw)
+        )
+        return fn(rng, sample_xyz)
+    fn = jax.jit(
+        lambda r, x, f: model.init(r, x, f, training=False, **kw)
+    )
+    return fn(rng, sample_xyz, sample_feats)
 
 
 def sgd_momentum(

@@ -98,9 +98,11 @@ def main(argv=None):
     )
 
     def init_state():
-        variables = model.init(
-            rng, sample["xyz"], sample["cls_onehot"],
-            feats=sample.get("feats"), training=False,
+        from pointcloudlib_tpu.train.state import init_variables
+
+        variables = init_variables(
+            model, rng, sample["xyz"], sample["cls_onehot"],
+            feats=sample.get("feats"),
         )
         if args.optimizer == "sgd":
             sched = step_decay(args.lr,
