@@ -144,3 +144,79 @@ class Predictor:
 
     def predict(self, clouds, normals=None) -> np.ndarray:
         return self.predict_proba(clouds, normals).argmax(-1)
+
+
+class SegPredictor:
+    """Part-segmentation serving: per-point part probabilities.
+
+    Same bucketing/batching as Predictor; takes the object category so
+    the one-hot conditioning matches training (train_partseg._prep).
+    """
+
+    def __init__(self, model, variables, with_xyz_feats: bool = False,
+                 batch_size: int = 16):
+        self.model = model
+        self.variables = variables
+        self.with_xyz_feats = with_xyz_feats
+        self.batch_size = batch_size
+
+        def _forward(variables, xyz, onehot, feats):
+            logits = model.apply(variables, xyz, onehot, feats=feats,
+                                 training=False)
+            return jax.nn.softmax(logits, axis=-1)
+
+        self._forward = jax.jit(_forward)
+
+    @classmethod
+    def from_checkpoint(
+        cls,
+        ckpt_dir: str | Path,
+        model_name: str,
+        part_num: int = 50,
+        which: str = "best",
+        sample_points: int = 2048,
+    ) -> "SegPredictor":
+        from pointcloudlib_tpu.train.state import init_variables
+
+        model = get_seg_model(model_name, part_num=part_num)
+        with_xyz = model_name.startswith("pointnet2")
+        dummy = jnp.zeros((1, sample_points, 3), jnp.float32)
+        onehot = jnp.zeros((1, 16), jnp.float32)
+        variables = init_variables(
+            model, jax.random.key(0), dummy, onehot,
+            feats=dummy if with_xyz else None,
+        )
+        mgr = CheckpointManager(Path(ckpt_dir))
+        restored = mgr.restore_variables(
+            variables["params"], variables.get("batch_stats"), name=which
+        ) or mgr.restore_variables(
+            variables["params"], variables.get("batch_stats"), name="current"
+        )
+        if restored is not None:
+            params, batch_stats = restored
+            variables = {"params": params}
+            if batch_stats is not None:
+                variables["batch_stats"] = batch_stats
+        return cls(model, variables, with_xyz_feats=with_xyz)
+
+    def predict(self, clouds: np.ndarray, labels: np.ndarray) -> np.ndarray:
+        """``clouds [B, N, 3]``, ``labels [B]`` category ids →
+        per-point part ids ``[B, N]``."""
+        clouds = np.asarray(clouds, np.float32)
+        b, n, _ = clouds.shape
+        onehot_all = np.eye(16, dtype=np.float32)[np.asarray(labels)]
+        outs = []
+        for s in range(0, b, self.batch_size):
+            chunk = clouds[s : s + self.batch_size]
+            oh = onehot_all[s : s + self.batch_size]
+            real = len(chunk)
+            if real < self.batch_size:
+                reps = self.batch_size - real
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], reps, 0)])
+                oh = np.concatenate([oh, np.repeat(oh[-1:], reps, 0)])
+            feats = jnp.asarray(chunk) if self.with_xyz_feats else None
+            probs = self._forward(
+                self.variables, jnp.asarray(chunk), jnp.asarray(oh), feats
+            )
+            outs.append(np.asarray(probs).argmax(-1)[:real])
+        return np.concatenate(outs)

@@ -1,0 +1,50 @@
+"""Inference API tests (CPU): bucketing, batching, checkpoint restore."""
+
+import numpy as np
+import jax
+
+from pointcloudlib_tpu.inference import Predictor, SegPredictor, _bucket
+from pointcloudlib_tpu.models import get_cls_model
+from pointcloudlib_tpu.train import create_train_state, sgd_momentum, step_decay
+from pointcloudlib_tpu.utils.checkpoint import CheckpointManager
+
+
+def test_bucketing():
+    assert _bucket(100) == 128
+    assert _bucket(128) == 128
+    assert _bucket(129) == 256
+    assert _bucket(5000) == 5000
+
+
+def test_predictor_from_checkpoint_roundtrip(tmp_path):
+    model = get_cls_model("pointnet", n_classes=40)
+    rng = np.random.default_rng(0)
+    xyz = rng.standard_normal((2, 64, 3)).astype(np.float32)
+    tx = sgd_momentum(step_decay(0.1), momentum=0.9)
+    state = create_train_state(model, jax.random.key(0), xyz, None, tx)
+    mgr = CheckpointManager(tmp_path / "m")
+    mgr.save(state, step=0, best=True)
+
+    p = Predictor.from_checkpoint(tmp_path / "m", "pointnet",
+                                  sample_points=64)
+    # restored params must equal the saved ones
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(p.variables["params"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    clouds = rng.standard_normal((3, 50, 3)).astype(np.float32)  # odd B, N
+    probs = p.predict_proba(clouds)
+    assert probs.shape == (3, 40)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-3)
+
+
+def test_seg_predictor_shapes(tmp_path):
+    p = SegPredictor.from_checkpoint(tmp_path / "missing", "pointnet",
+                                     sample_points=64)  # random init
+    rng = np.random.default_rng(1)
+    clouds = rng.standard_normal((2, 64, 3)).astype(np.float32)
+    pred = p.predict(clouds, labels=np.array([0, 5]))
+    assert pred.shape == (2, 64)
+    assert (pred >= 0).all() and (pred < 50).all()
