@@ -1,6 +1,6 @@
 """Data layer: dataset loaders, augments, static-shape batching."""
 
-from pointcloudlib_tpu.data.loader import cls_batches, seg_batches
+from pointcloudlib_tpu.data.loader import cls_batches, prefetch, seg_batches
 from pointcloudlib_tpu.data.modelnet40 import ModelNet40, make_modelnet40
 from pointcloudlib_tpu.data.synthetic import (
     SyntheticModelNet,
@@ -12,6 +12,7 @@ __all__ = [
     "SyntheticModelNet",
     "SyntheticShapeNetPart",
     "cls_batches",
+    "prefetch",
     "make_modelnet40",
     "seg_batches",
 ]

@@ -9,9 +9,40 @@ skews metrics). The reference instead sets ``drop_last=True``
 
 from __future__ import annotations
 
+import queue
+import threading
 from typing import Dict, Iterator, Optional
 
 import numpy as np
+
+
+def prefetch(it: Iterator, size: int = 2) -> Iterator:
+    """Run an iterator in a background thread with a bounded buffer.
+
+    The host-side equivalent of the reference's dataloader workers
+    (num_workers=4, kpconv_loader.py:199-201): batch assembly and numpy
+    augmentation overlap with device steps. Exceptions propagate.
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    _END = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # propagate into the consumer
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 def _pad_to(arrs: list, batch_size: int):

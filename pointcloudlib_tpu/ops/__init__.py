@@ -16,6 +16,7 @@ from pointcloudlib_tpu.ops.geometry import (
     square_distance,
     three_nn,
     three_nn_interpolate,
+    top_k,
 )
 
 __all__ = [
@@ -32,5 +33,6 @@ __all__ = [
     "sample_and_group",
     "square_distance",
     "three_nn",
+    "top_k",
     "three_nn_interpolate",
 ]

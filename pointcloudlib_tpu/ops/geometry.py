@@ -37,6 +37,7 @@ from jax import lax
 Array = jax.Array
 
 __all__ = [
+    "top_k",
     "square_distance",
     "index_points",
     "knn",
@@ -51,6 +52,19 @@ __all__ = [
     "group_all",
     "compute_density",
 ]
+
+
+def top_k(x: Array, k: int, largest: bool = True) -> Tuple[Array, Array]:
+    """(values, indices) of the k largest/smallest along the last axis.
+
+    The reference reimplements this four times via full argsort
+    (misc/ops.py:667, misc/utils.py:104, misc/pointconv_utils.py:17,
+    networks/cls/dgcnn.py:11); on TPU it is one ``lax.top_k``.
+    """
+    if largest:
+        return lax.top_k(x, k)
+    neg_vals, idx = lax.top_k(-x, k)
+    return -neg_vals, idx
 
 
 def square_distance(a: Array, b: Array) -> Array:

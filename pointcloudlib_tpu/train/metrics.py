@@ -32,6 +32,17 @@ def shape_ious(
     return out
 
 
+def balanced_accuracy(
+    true: np.ndarray, pred: np.ndarray, n_classes: int
+) -> float:
+    """Mean per-class recall (reference uses sklearn
+    balanced_accuracy_score, train_partseg.py:142-144)."""
+    cm = fast_confusion(true, pred, n_classes)
+    per_class = np.diag(cm) / np.maximum(cm.sum(axis=1), 1)
+    present = cm.sum(axis=1) > 0
+    return float(per_class[present].mean()) if present.any() else 0.0
+
+
 def fast_confusion(
     true: np.ndarray, pred: np.ndarray, n_classes: int
 ) -> np.ndarray:

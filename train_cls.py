@@ -63,7 +63,7 @@ def main(argv=None):
     args = parse_args(argv)
     import optax
 
-    from pointcloudlib_tpu.data import cls_batches, make_modelnet40
+    from pointcloudlib_tpu.data import cls_batches, make_modelnet40, prefetch
     from pointcloudlib_tpu.models import get_cls_model
     from pointcloudlib_tpu.parallel import make_mesh, replicate, shard_batch
     from pointcloudlib_tpu.train import (
@@ -195,11 +195,11 @@ def main(argv=None):
     for epoch in range(args.epochs):
         t0, seen = time.perf_counter(), 0
         pending = None
-        for i, batch in enumerate(
+        for i, batch in enumerate(prefetch(
             cls_batches(train_ds, args.batch_size, shuffle=True,
                         seed=args.seed + epoch, drop_last=True,
                         with_normals=with_normals)
-        ):
+        )):
             if args.steps_per_epoch and i >= args.steps_per_epoch:
                 break
             batch = shard_batch(mesh, batch)

@@ -59,7 +59,7 @@ def main(argv=None):
     args = parse_args(argv)
     import optax
 
-    from pointcloudlib_tpu.data import seg_batches
+    from pointcloudlib_tpu.data import prefetch, seg_batches
     from pointcloudlib_tpu.data.shapenet import make_shapenet
     from pointcloudlib_tpu.models import get_seg_model
     from pointcloudlib_tpu.parallel import make_mesh, replicate, shard_batch
@@ -131,8 +131,10 @@ def main(argv=None):
     mlog = MetricsLogger(args.log_dir, run_name=f"partseg_{args.model}")
 
     def evaluate(state):
+        from pointcloudlib_tpu.train.metrics import balanced_accuracy
+
         correct = total = 0
-        ious = []
+        ious, trues, preds = [], [], []
         for batch in seg_batches(test_ds, args.batch_size, drop_last=False):
             prepped = _prep(batch, args.model)
             pred = np.asarray(eval_step(state, shard_batch(mesh, prepped)))
@@ -141,22 +143,29 @@ def main(argv=None):
             total += valid.sum() * pred.shape[1]
             ious.append(shape_ious(pred[valid], batch["seg"][valid],
                                    batch["label"][valid]))
+            trues.append(batch["seg"][valid].reshape(-1))
+            preds.append(pred[valid].reshape(-1))
+        bal = 100.0 * balanced_accuracy(
+            np.concatenate(trues), np.concatenate(preds), 50
+        )
         return (100.0 * correct / max(total, 1),
-                100.0 * float(np.mean(np.concatenate(ious))))
+                100.0 * float(np.mean(np.concatenate(ious))),
+                bal)
 
     if args.eval:
         state = ckpt.restore(state) or state
-        acc, iou = evaluate(state)
-        print(f"eval acc: {acc:.2f}%  mean shape IoU: {iou:.2f}%")
+        acc, iou, bal = evaluate(state)
+        print(f"eval acc: {acc:.2f}%  balanced: {bal:.2f}%  "
+              f"mean shape IoU: {iou:.2f}%")
         return
 
     best_iou, pending = 0.0, None
     for epoch in range(args.epochs):
         t0, seen = time.perf_counter(), 0
-        for i, batch in enumerate(
+        for i, batch in enumerate(prefetch(
             seg_batches(train_ds, args.batch_size, shuffle=True,
                         seed=args.seed + epoch, drop_last=True)
-        ):
+        )):
             if args.steps_per_epoch and i >= args.steps_per_epoch:
                 break
             prepped = shard_batch(mesh, _prep(batch, args.model))
@@ -172,13 +181,14 @@ def main(argv=None):
         if pending is not None:
             jax.block_until_ready(pending)
         dt = time.perf_counter() - t0
-        acc, iou = evaluate(state)
+        acc, iou, bal = evaluate(state)
         m = jax.device_get(pending) if pending else {"loss": float("nan")}
         print(f"epoch {epoch}: loss={float(m['loss']):.4f} "
-              f"test acc={acc:.2f}% IoU={iou:.2f}% "
+              f"test acc={acc:.2f}% bal={bal:.2f}% IoU={iou:.2f}% "
               f"({seen/dt:.1f} samples/s)")
         mlog.log("epoch", epoch=epoch, loss=float(m["loss"]), test_acc=acc,
-                 test_iou=iou, samples_per_sec=seen / dt)
+                 test_balanced_acc=bal, test_iou=iou,
+                 samples_per_sec=seen / dt)
         ckpt.save(state, step=epoch, best=iou > best_iou)
         best_iou = max(best_iou, iou)
     print(f"best IoU: {best_iou:.2f}%")
