@@ -10,7 +10,6 @@ contract either way: ``(pts [N,3], normals [N,3], label)``.
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
 from typing import Optional
 

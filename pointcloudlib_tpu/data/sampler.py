@@ -9,8 +9,6 @@ epochs see only a subset (epoch_steps × batch_num items).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 

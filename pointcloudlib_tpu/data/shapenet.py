@@ -10,7 +10,6 @@ first ``num_points`` points; train-time random permutation
 from __future__ import annotations
 
 import glob
-import os
 from pathlib import Path
 from typing import Optional
 

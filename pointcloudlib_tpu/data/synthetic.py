@@ -15,8 +15,6 @@ must learn shape structure to separate them.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import numpy as np
 
 _SHAPES = [

@@ -13,7 +13,6 @@ normalization to 1.5/2.5 of the init radius) and cached as .npy.
 from __future__ import annotations
 
 import functools
-import os
 from pathlib import Path
 
 import numpy as np

@@ -19,11 +19,10 @@ TPU-first redesign decisions:
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from pointcloudlib_tpu.models.kpconv.kernel_points import load_kernels

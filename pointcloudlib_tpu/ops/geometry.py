@@ -27,7 +27,6 @@ Reference semantics reproduced (with citations for the parity judge):
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

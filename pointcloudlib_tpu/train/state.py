@@ -6,11 +6,10 @@ implicit Jittor graph executor + nn.SGD.step(loss) (train_cls.py:72).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any
 
 import jax
 import optax
-from flax import struct
 from flax.training import train_state
 
 

@@ -7,7 +7,7 @@ device and are fetched asynchronously by the loop.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

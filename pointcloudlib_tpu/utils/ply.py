@@ -8,9 +8,8 @@ for xyz / normals / colors / labels round-trips.
 
 from __future__ import annotations
 
-import struct
 from pathlib import Path
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 
