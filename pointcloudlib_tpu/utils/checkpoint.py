@@ -20,12 +20,13 @@ import jax
 import orbax.checkpoint as ocp
 
 
-def _to_tree(state: Any) -> dict:
+def _to_tree(state: Any, save_step: int = 0) -> dict:
     return {
         "params": state.params,
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
         "step": state.step,
+        "save_step": save_step,  # epoch, for --resume
     }
 
 
@@ -40,7 +41,7 @@ class CheckpointManager:
         return self.directory / name
 
     def save(self, state: Any, step: int, best: bool = False) -> None:
-        tree = jax.device_get(_to_tree(state))
+        tree = jax.device_get(_to_tree(state, save_step=step))
         self._ckptr.save(self._path("current"), tree, force=True)
         if best:
             self._ckptr.save(self._path("best"), tree, force=True)
@@ -50,18 +51,28 @@ class CheckpointManager:
 
     def restore(self, target: Any, name: str = "current") -> Optional[Any]:
         """Full restore into a TrainState built with the same optimizer."""
+        out = self.restore_with_step(target, name)
+        return out[0] if out is not None else None
+
+    def restore_with_step(
+        self, target: Any, name: str = "current"
+    ) -> Optional[tuple]:
+        """(state, save_step) — save_step is the epoch passed to save(),
+        enabling mid-training resume (the reference restores weights only,
+        train_cls.py:429-433 with the optimizer restore commented out)."""
         path = self._path(name)
         if not path.exists():
             return None
         tree = self._ckptr.restore(
             path, target=jax.device_get(_to_tree(target))
         )
-        return target.replace(
+        state = target.replace(
             params=tree["params"],
             batch_stats=tree["batch_stats"],
             opt_state=tree["opt_state"],
             step=tree["step"],
         )
+        return state, int(tree.get("save_step", 0))
 
     def restore_variables(
         self, params: Any, batch_stats: Any, name: str = "best"

@@ -39,6 +39,8 @@ def parse_args(argv=None):
     p.add_argument("--momentum", type=float, default=0.9)
     p.add_argument("--optimizer", default="sgd", choices=["sgd", "adam"])
     p.add_argument("--eval", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="restore the latest checkpoint and continue")
     p.add_argument("--votes", type=int, default=1,
                    help="voting eval: average softmax over N re-augmented "
                         "passes (reference classification_test, "
@@ -191,8 +193,14 @@ def main(argv=None):
             print(f"eval OA: {evaluate(state):.2f}%")
         return
 
-    best_oa, step_count = 0.0, 0
-    for epoch in range(args.epochs):
+    best_oa, step_count, start_epoch = 0.0, 0, 0
+    if args.resume:
+        restored = ckpt.restore_with_step(state)
+        if restored is not None:
+            state, start_epoch = restored
+            start_epoch += 1
+            print(f"resumed from epoch {start_epoch - 1}")
+    for epoch in range(start_epoch, args.epochs):
         t0, seen = time.perf_counter(), 0
         pending = None
         for i, batch in enumerate(prefetch(

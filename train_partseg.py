@@ -28,6 +28,8 @@ def parse_args(argv=None):
     p.add_argument("--momentum", type=float, default=0.9)
     p.add_argument("--optimizer", default="sgd", choices=["sgd", "adam"])
     p.add_argument("--eval", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="restore the latest checkpoint and continue")
     p.add_argument("--data-root", default="data/shapenet_part_seg_hdf5_data")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic-size", type=int, default=256)
@@ -159,8 +161,14 @@ def main(argv=None):
               f"mean shape IoU: {iou:.2f}%")
         return
 
-    best_iou, pending = 0.0, None
-    for epoch in range(args.epochs):
+    best_iou, pending, start_epoch = 0.0, None, 0
+    if args.resume:
+        restored = ckpt.restore_with_step(state)
+        if restored is not None:
+            state, start_epoch = restored
+            start_epoch += 1
+            print(f"resumed from epoch {start_epoch - 1}")
+    for epoch in range(start_epoch, args.epochs):
         t0, seen = time.perf_counter(), 0
         for i, batch in enumerate(prefetch(
             seg_batches(train_ds, args.batch_size, shuffle=True,
