@@ -1,0 +1,178 @@
+"""Flagship parity: PointNet++ SSG vs an independent torch build.
+
+The torch side reimplements FPS (seed 0, min-dist cache, near-origin
+skip — reference misc/ops.py:114-286) and ball query
+(first-k-in-index-order with repeat-first padding, misc/ops.py:289-407)
+directly, plus the SA/MLP/head stack from networks/cls/pointnet2.py.
+Same weights on both sides ⇒ logits must agree: any drift in sampling,
+grouping, padding, pooling or head wiring fails the test.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp  # noqa: E402
+
+from pointcloudlib_tpu.models import get_cls_model  # noqa: E402
+
+
+def torch_fps(xyz, m):  # xyz [B, N, 3]
+    b, n, _ = xyz.shape
+    idx = torch.zeros(b, m, dtype=torch.long)
+    mind = torch.full((b, n), 1e10)
+    eligible = (xyz**2).sum(-1) > 1e-3
+    last = torch.zeros(b, dtype=torch.long)
+    for j in range(1, m):
+        lastp = xyz[torch.arange(b), last]  # [B, 3]
+        d = ((xyz - lastp[:, None]) ** 2).sum(-1)
+        mind = torch.minimum(mind, d)
+        score = torch.where(eligible, mind, torch.full_like(mind, -1.0))
+        last = score.argmax(-1)
+        idx[:, j] = last
+    return idx
+
+
+def torch_ball_query(centers, points, radius, k):
+    b, m, _ = centers.shape
+    n = points.shape[1]
+    d2 = torch.cdist(centers, points) ** 2
+    mask = d2 < radius * radius
+    idx = torch.zeros(b, m, k, dtype=torch.long)
+    for bi in range(b):
+        for mi in range(m):
+            inside = torch.nonzero(mask[bi, mi]).flatten()
+            if len(inside) == 0:
+                continue
+            take = inside[:k]
+            row = take[0].repeat(k)
+            row[: len(take)] = take
+            idx[bi, mi] = row
+    return idx
+
+
+class TorchSA(torch.nn.Module):
+    def __init__(self, in_ch, mlp, n_points=None, radius=None, k=None):
+        super().__init__()
+        self.n_points, self.radius, self.k = n_points, radius, k
+        chans = [in_ch + 3] + list(mlp)
+        self.convs = torch.nn.ModuleList(
+            torch.nn.Conv2d(chans[i], chans[i + 1], 1, bias=False)
+            for i in range(len(mlp))
+        )
+        self.bns = torch.nn.ModuleList(
+            torch.nn.BatchNorm2d(c) for c in mlp
+        )
+
+    def forward(self, xyz, feats):  # [B,N,3], [B,N,C]
+        if self.n_points is None:
+            grouped = torch.cat([xyz, feats], -1)[:, None]  # [B,1,N,C+3]
+            new_xyz = torch.zeros(xyz.shape[0], 1, 3)
+        else:
+            fi = torch_fps(xyz, self.n_points)
+            new_xyz = torch.gather(
+                xyz, 1, fi[..., None].expand(-1, -1, 3))
+            ni = torch_ball_query(new_xyz, xyz, self.radius, self.k)
+            flat = ni.reshape(ni.shape[0], -1)
+            gx = torch.gather(
+                xyz, 1, flat[..., None].expand(-1, -1, 3)
+            ).reshape(*ni.shape, 3)
+            gf = torch.gather(
+                feats, 1, flat[..., None].expand(-1, -1, feats.shape[-1])
+            ).reshape(*ni.shape, feats.shape[-1])
+            local = gx - new_xyz[:, :, None]
+            grouped = torch.cat([local, gf], -1)  # [B,M,K,3+C]
+        h = grouped.permute(0, 3, 1, 2)  # [B,C,M,K]
+        for conv, bn in zip(self.convs, self.bns):
+            h = torch.relu(bn(conv(h)))
+        return new_xyz, h.max(dim=-1).values.permute(0, 2, 1)  # [B,M,C']
+
+
+class TorchPointNet2(torch.nn.Module):
+    def __init__(self, n_classes=40):
+        super().__init__()
+        self.sa1 = TorchSA(3, [64, 64, 128], 512, 0.2, 64)
+        self.sa2 = TorchSA(128, [128, 128, 256], 128, 0.4, 64)
+        self.sa3 = TorchSA(256, [256, 512, 1024])
+        self.linear1 = torch.nn.Linear(1024, 512, bias=False)
+        self.bn1 = torch.nn.BatchNorm1d(512)
+        self.linear2 = torch.nn.Linear(512, 256, bias=False)
+        self.bn2 = torch.nn.BatchNorm1d(256)
+        self.linear3 = torch.nn.Linear(256, n_classes)
+
+    def forward(self, xyz, feats):
+        xyz, f = self.sa1(xyz, feats)
+        xyz, f = self.sa2(xyz, f)
+        _, f = self.sa3(xyz, f)
+        g = f[:, 0]
+        g = torch.relu(self.bn1(self.linear1(g)))
+        g = torch.relu(self.bn2(self.linear2(g)))
+        return self.linear3(g)
+
+
+def _variables_from(tnet):
+    sd = {k: v.numpy() for k, v in tnet.state_dict().items()}
+
+    def dense(prefix):
+        w = sd[f"{prefix}.weight"]
+        w = w[..., 0, 0] if w.ndim == 4 else w
+        out = {"kernel": np.ascontiguousarray(w.T.astype(np.float32))}
+        if f"{prefix}.bias" in sd:
+            out["bias"] = sd[f"{prefix}.bias"].astype(np.float32)
+        return out
+
+    def bn(prefix):
+        return (
+            {"scale": sd[f"{prefix}.weight"].astype(np.float32),
+             "bias": sd[f"{prefix}.bias"].astype(np.float32)},
+            {"mean": sd[f"{prefix}.running_mean"].astype(np.float32),
+             "var": sd[f"{prefix}.running_var"].astype(np.float32)},
+        )
+
+    params, stats = {}, {}
+    for si in range(3):
+        mp, ms = {}, {}
+        for li in range(3):
+            bp, bs = bn(f"sa{si+1}.bns.{li}")
+            mp[f"DenseBNAct_{li}"] = {
+                "Dense_0": dense(f"sa{si+1}.convs.{li}"),
+                "BatchNorm_0": bp,
+            }
+            ms[f"DenseBNAct_{li}"] = {"BatchNorm_0": bs}
+        params[f"SetAbstraction_{si}"] = {"PointMLP_0": mp}
+        stats[f"SetAbstraction_{si}"] = {"PointMLP_0": ms}
+    hp, hs = {}, {}
+    for li, (dname, bname) in enumerate([("linear1", "bn1"),
+                                         ("linear2", "bn2")]):
+        bp, bs = bn(bname)
+        hp[f"DenseBNAct_{li}"] = {"Dense_0": dense(dname),
+                                  "BatchNorm_0": bp}
+        hs[f"DenseBNAct_{li}"] = {"BatchNorm_0": bs}
+    hp["Dense_0"] = dense("linear3")
+    params["_ClsHead_0"] = hp
+    stats["_ClsHead_0"] = hs
+    return {"params": params, "batch_stats": stats}
+
+
+def test_pointnet2_logits_match_torch():
+    torch.manual_seed(2)
+    tnet = TorchPointNet2().eval()
+    with torch.no_grad():
+        tnet.train()
+        tnet(torch.randn(4, 700, 3), torch.randn(4, 700, 3))
+        tnet.eval()
+
+    rng = np.random.default_rng(2)
+    pts = rng.standard_normal((2, 700, 3)).astype(np.float32)
+    nrm = rng.standard_normal((2, 700, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tnet(torch.from_numpy(pts), torch.from_numpy(nrm)).numpy()
+
+    model = get_cls_model("pointnet2", n_classes=40)
+    variables = _variables_from(tnet)
+    got = np.asarray(
+        model.apply(variables, jnp.asarray(pts), jnp.asarray(nrm),
+                    training=False)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
