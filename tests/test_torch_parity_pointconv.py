@@ -1,0 +1,213 @@
+"""PointConv parity vs an independent torch implementation.
+
+Covers FPS (no near-origin skip — the reference PointConv uses the
+python FPS, misc/utils.py:74), kNN grouping, the Gaussian-KDE density,
+DensityNet/WeightNet, the density-weighted neighbor-sum einsum, and the
+16·C linear. The neighbor einsum sums over k, so neighbor ORDER is
+irrelevant as long as both sides select the same SET.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp  # noqa: E402
+
+from pointcloudlib_tpu.models import get_cls_model  # noqa: E402
+
+
+def torch_fps_noskip(xyz, m):
+    b, n, _ = xyz.shape
+    idx = torch.zeros(b, m, dtype=torch.long)
+    mind = torch.full((b, n), 1e10)
+    last = torch.zeros(b, dtype=torch.long)
+    for j in range(1, m):
+        lastp = xyz[torch.arange(b), last]
+        mind = torch.minimum(mind, ((xyz - lastp[:, None]) ** 2).sum(-1))
+        last = mind.argmax(-1)
+        idx[:, j] = last
+    return idx
+
+
+def gather_pts(x, idx):
+    return torch.gather(
+        x, 1, idx.reshape(idx.shape[0], -1, 1).expand(-1, -1, x.shape[-1])
+    ).reshape(*idx.shape, x.shape[-1])
+
+
+class TorchMLPStack(torch.nn.Module):
+    """Conv-BN-ReLU stack over the trailing channel axis of [B,...,C]."""
+
+    def __init__(self, chans, bias=False):
+        super().__init__()
+        self.convs = torch.nn.ModuleList(
+            torch.nn.Conv2d(chans[i], chans[i + 1], 1, bias=bias)
+            for i in range(len(chans) - 1)
+        )
+        self.bns = torch.nn.ModuleList(
+            torch.nn.BatchNorm2d(c) for c in chans[1:]
+        )
+
+    def forward(self, x):  # [B, M, K, C] channel-last
+        h = x.permute(0, 3, 1, 2)
+        for conv, bn in zip(self.convs, self.bns):
+            h = torch.relu(bn(conv(h)))
+        return h.permute(0, 2, 3, 1)
+
+
+class TorchPointConvSA(torch.nn.Module):
+    def __init__(self, in_ch, mlp, bw, n_points=None, k=None):
+        super().__init__()
+        self.bw, self.n_points, self.k = bw, n_points, k
+        self.mlp = TorchMLPStack([in_ch + 3] + list(mlp))
+        self.weightnet = TorchMLPStack([3, 8, 8, 16], bias=True)
+        self.densitynet = TorchMLPStack([1, 8, 8, 1], bias=True)
+        self.linear = torch.nn.Linear(16 * mlp[-1], mlp[-1])
+        self.bn_linear = torch.nn.BatchNorm1d(mlp[-1])
+
+    def forward(self, xyz, feats):
+        b, n, _ = xyz.shape
+        d2 = torch.cdist(xyz, xyz) ** 2
+        density = (torch.exp(-d2 / (2 * self.bw**2)) / (2.5 * self.bw)).mean(-1)
+        scale = self.densitynet(density[:, None, :, None])[:, 0]  # [B,N,1]
+        if self.n_points is None:
+            new_xyz = torch.zeros(b, 1, 3)
+            grouped_xyz = xyz[:, None]
+            grouped = (
+                torch.cat([xyz, feats], -1)[:, None]
+                if feats is not None else grouped_xyz
+            )
+            gd = scale[:, None]
+            s = 1
+        else:
+            fi = torch_fps_noskip(xyz, self.n_points)
+            new_xyz = gather_pts(xyz, fi)
+            nd = torch.cdist(new_xyz, xyz) ** 2
+            ni = nd.topk(self.k, dim=-1, largest=False).indices
+            grouped_xyz = gather_pts(xyz, ni) - new_xyz[:, :, None]
+            grouped = grouped_xyz
+            if feats is not None:
+                grouped = torch.cat([grouped_xyz, gather_pts(feats, ni)], -1)
+            gd = gather_pts(scale, ni)
+            s = self.n_points
+        h = self.mlp(grouped) * gd                       # [B,S,K,C]
+        w = self.weightnet(grouped_xyz)                  # [B,S,K,16]
+        agg = torch.einsum("bskc,bskw->bscw", h, w).reshape(b, s, -1)
+        out = torch.relu(
+            self.bn_linear(self.linear(agg).permute(0, 2, 1)).permute(0, 2, 1)
+        )
+        return new_xyz, out
+
+
+class TorchPointConv(torch.nn.Module):
+    def __init__(self, n_classes=40):
+        super().__init__()
+        self.sa1 = TorchPointConvSA(0, [64, 64, 128], 0.1, 64, 16)
+        self.sa2 = TorchPointConvSA(128, [128, 128, 256], 0.2, 16, 16)
+        self.sa3 = TorchPointConvSA(256, [256, 512, 1024], 0.4)
+        self.fc1 = torch.nn.Linear(1024, 512)
+        self.bn1 = torch.nn.BatchNorm1d(512)
+        self.fc2 = torch.nn.Linear(512, 256)
+        self.bn2 = torch.nn.BatchNorm1d(256)
+        self.fc3 = torch.nn.Linear(256, n_classes)
+
+    def forward(self, xyz):
+        x1, f1 = self.sa1(xyz, None)
+        x2, f2 = self.sa2(x1, f1)
+        _, f3 = self.sa3(x2, f2)
+        g = f3[:, 0]
+        g = torch.relu(self.bn1(self.fc1(g)))
+        g = torch.relu(self.bn2(self.fc2(g)))
+        return self.fc3(g)
+
+
+def _convert(tnet):
+    sd = {k: v.numpy() for k, v in tnet.state_dict().items()}
+
+    def dense(prefix):
+        w = sd[f"{prefix}.weight"]
+        w = w[..., 0, 0] if w.ndim == 4 else w
+        out = {"kernel": np.ascontiguousarray(w.T.astype(np.float32))}
+        if f"{prefix}.bias" in sd:
+            out["bias"] = sd[f"{prefix}.bias"].astype(np.float32)
+        return out
+
+    def bn(prefix):
+        return (
+            {"scale": sd[f"{prefix}.weight"].astype(np.float32),
+             "bias": sd[f"{prefix}.bias"].astype(np.float32)},
+            {"mean": sd[f"{prefix}.running_mean"].astype(np.float32),
+             "var": sd[f"{prefix}.running_var"].astype(np.float32)},
+        )
+
+    def stack(prefix, n):
+        p, s = {}, {}
+        for i in range(n):
+            bp, bs = bn(f"{prefix}.bns.{i}")
+            p[f"DenseBNAct_{i}"] = {"Dense_0": dense(f"{prefix}.convs.{i}"),
+                                    "BatchNorm_0": bp}
+            s[f"DenseBNAct_{i}"] = {"BatchNorm_0": bs}
+        return p, s
+
+    params, stats = {}, {}
+    for i in range(3):
+        sp, ss = {}, {}
+        for sub, tname, n in [("PointMLP_0", "mlp", 3),
+                              ("WeightNet_0", "weightnet", 3),
+                              ("DensityNet_0", "densitynet", 3)]:
+            p, s = stack(f"sa{i+1}.{tname}", n)
+            sp[sub] = p
+            ss[sub] = s
+        sp["Dense_0"] = dense(f"sa{i+1}.linear")
+        bp, bs = bn(f"sa{i+1}.bn_linear")
+        sp["BatchNorm_0"] = bp
+        ss["BatchNorm_0"] = bs
+        params[f"PointConvSA_{i}"] = sp
+        stats[f"PointConvSA_{i}"] = ss
+    for li, (dname, bname) in enumerate([("fc1", "bn1"), ("fc2", "bn2")]):
+        bp, bs = bn(bname)
+        params[f"DenseBNAct_{li}"] = {"Dense_0": dense(dname),
+                                      "BatchNorm_0": bp}
+        stats[f"DenseBNAct_{li}"] = {"BatchNorm_0": bs}
+    params["Dense_0"] = dense("fc3")
+    return {"params": params, "batch_stats": stats}
+
+
+def test_pointconv_logits_match_torch():
+    torch.manual_seed(3)
+    tnet = TorchPointConv().eval()
+    with torch.no_grad():
+        tnet.train()
+        tnet(torch.randn(4, 128, 3))
+        tnet.eval()
+
+    rng = np.random.default_rng(3)
+    pts = rng.standard_normal((2, 128, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tnet(torch.from_numpy(pts)).numpy()
+
+    # our PointConvDensityCls with matching tiny sizes
+    from pointcloudlib_tpu.models.pointconv import PointConvSA, DenseBNAct
+    import flax.linen as nn
+
+    class SmallPointConv(nn.Module):
+        @nn.compact
+        def __call__(self, xyz, feats=None, training=False):
+            x1, f1 = PointConvSA(mlp=[64, 64, 128], bandwidth=0.1,
+                                 n_points=64, k=16)(xyz, None, training)
+            x2, f2 = PointConvSA(mlp=[128, 128, 256], bandwidth=0.2,
+                                 n_points=16, k=16)(x1, f1, training)
+            _, f3 = PointConvSA(mlp=[256, 512, 1024],
+                                bandwidth=0.4)(x2, f2, training)
+            g = f3[:, 0]
+            g = DenseBNAct(512, use_bias=True)(g, training)
+            g = DenseBNAct(256, use_bias=True)(g, training)
+            return nn.Dense(40)(g)
+
+    model = SmallPointConv()
+    variables = _convert(tnet)
+    got = np.asarray(
+        model.apply(variables, jnp.asarray(pts), training=False)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
