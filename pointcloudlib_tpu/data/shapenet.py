@@ -82,6 +82,7 @@ def make_shapenet(
     synthetic: bool = False,
     synthetic_size: int = 256,
     seed: int = 0,
+    class_choice: Optional[str] = None,
 ):
     if synthetic:
         return SyntheticShapeNetPart(
@@ -91,4 +92,4 @@ def make_shapenet(
             seed=seed,
         )
     return ShapeNetPart(split=split, n_points=n_points, data_root=data_root,
-                        seed=seed)
+                        seed=seed, class_choice=class_choice)

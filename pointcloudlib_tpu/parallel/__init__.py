@@ -5,6 +5,11 @@ kind). Here data parallelism over ICI is first-class: a 1-D ``data`` mesh,
 batch sharded, params replicated, XLA inserting the gradient psum.
 """
 
+from pointcloudlib_tpu.parallel.multihost import (
+    global_mesh,
+    host_local_batch_to_global,
+    initialize_multihost,
+)
 from pointcloudlib_tpu.parallel.mesh import (
     get_mesh,
     make_mesh,
@@ -15,6 +20,9 @@ from pointcloudlib_tpu.parallel.mesh import (
 
 __all__ = [
     "get_mesh",
+    "global_mesh",
+    "host_local_batch_to_global",
+    "initialize_multihost",
     "make_mesh",
     "replicate",
     "shard_batch",

@@ -32,6 +32,8 @@ def parse_args(argv=None):
                    help="restore the latest checkpoint and continue")
     p.add_argument("--data-root", default="data/shapenet_part_seg_hdf5_data")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--class-choice", default=None,
+                   help="restrict to one category (reference shapenet_loader.py:68-75)")
     p.add_argument("--synthetic-size", type=int, default=256)
     p.add_argument("--steps-per-epoch", type=int, default=None)
     p.add_argument("--n-devices", type=int, default=None)
@@ -85,12 +87,13 @@ def main(argv=None):
     train_ds = make_shapenet(
         "trainval", args.num_points, data_root=args.data_root,
         synthetic=args.synthetic, synthetic_size=args.synthetic_size,
-        seed=args.seed,
+        seed=args.seed, class_choice=args.class_choice,
     )
     test_ds = make_shapenet(
         "test", args.num_points, data_root=args.data_root,
         synthetic=args.synthetic,
         synthetic_size=max(64, args.synthetic_size // 4), seed=args.seed,
+        class_choice=args.class_choice,
     )
 
     model = get_seg_model(args.model, part_num=50)
