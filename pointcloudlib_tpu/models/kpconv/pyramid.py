@@ -100,8 +100,12 @@ def radius_neighbors(
     n = support.shape[1]
     q2 = jnp.sum(query * query, axis=-1, keepdims=True)
     s2 = jnp.sum(support * support, axis=-1, keepdims=True)
+    # exact f32: TPU's default bf16 cross term can flip borderline
+    # in-radius membership relative to the host/native builder
     inner = jnp.einsum(
-        "bmc,bnc->bmn", query, support, preferred_element_type=jnp.float32
+        "bmc,bnc->bmn", query, support,
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
     )
     d2 = jnp.maximum(q2 - 2 * inner + jnp.swapaxes(s2, -1, -2), 0.0)
     valid = smask[:, None, :] & (d2 < radius * radius)
