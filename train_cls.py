@@ -41,6 +41,9 @@ def parse_args(argv=None):
     p.add_argument("--eval", action="store_true")
     p.add_argument("--resume", action="store_true",
                    help="restore the latest checkpoint and continue")
+    p.add_argument("--confusion", action="store_true",
+                   help="print per-class accuracy at eval (fast_confusion, "
+                        "reference train_cls.py:143-227)")
     p.add_argument("--votes", type=int, default=1,
                    help="voting eval: average softmax over N re-augmented "
                         "passes (reference classification_test, "
@@ -140,13 +143,35 @@ def main(argv=None):
 
     mlog = MetricsLogger(args.log_dir, run_name=f"cls_{args.model}")
 
-    def evaluate(state):
+    def evaluate(state, confusion=False):
         correct = total = 0
+        trues, preds = [], []
+        prob_step = None
+        if confusion:
+            import jax.numpy as jnp
+
+            prob_step = jax.jit(
+                lambda st, b: jnp.argmax(
+                    model.apply(st.variables(), b["xyz"], b.get("feats"),
+                                training=False), -1))
         for batch in cls_batches(test_ds, args.batch_size,
                                  with_normals=with_normals):
-            batch = shard_batch(mesh, batch)
-            c, t = eval_step(state, batch)
+            sb = shard_batch(mesh, batch)
+            c, t = eval_step(state, sb)
             correct += int(c); total += int(t)
+            if confusion:
+                pred = np.asarray(prob_step(state, sb))
+                trues.append(batch["label"][batch["valid"]])
+                preds.append(pred[batch["valid"]])
+        if confusion and trues:
+            from pointcloudlib_tpu.train.metrics import fast_confusion
+
+            cm = fast_confusion(np.concatenate(trues),
+                                np.concatenate(preds), 40)
+            per_class = np.diag(cm) / np.maximum(cm.sum(1), 1)
+            for c_id in np.nonzero(cm.sum(1))[0]:
+                print(f"  class {c_id:2d}: acc {per_class[c_id]*100:5.1f}% "
+                      f"({cm[c_id].sum()} samples)")
         return 100.0 * correct / max(total, 1)
 
     def evaluate_voting(state, n_votes):
@@ -190,7 +215,7 @@ def main(argv=None):
             print(f"eval OA ({args.votes} votes): "
                   f"{evaluate_voting(state, args.votes):.2f}%")
         else:
-            print(f"eval OA: {evaluate(state):.2f}%")
+            print(f"eval OA: {evaluate(state, confusion=args.confusion):.2f}%")
         return
 
     best_oa, step_count, start_epoch = 0.0, 0, 0
