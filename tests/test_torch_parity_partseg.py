@@ -1,0 +1,169 @@
+"""Part-segmentation parity: PointNet partseg vs independent torch.
+
+Pure dense ops (both STNs, five shared-MLP stages, the 4944-channel
+concat head — reference networks/seg/pointnet_partseg.py:14-67), so
+identical weights must give identical per-point logits.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp  # noqa: E402
+
+from pointcloudlib_tpu.models import get_seg_model  # noqa: E402
+
+
+class TorchSTN(torch.nn.Module):
+    def __init__(self, k):
+        super().__init__()
+        self.k = k
+        dims = [k, 64, 128, 1024]
+        self.convs = torch.nn.ModuleList(
+            torch.nn.Conv1d(dims[i], dims[i + 1], 1, bias=False)
+            for i in range(3))
+        self.cbns = torch.nn.ModuleList(
+            torch.nn.BatchNorm1d(d) for d in dims[1:])
+        self.fc1 = torch.nn.Linear(1024, 512, bias=False)
+        self.fbn1 = torch.nn.BatchNorm1d(512)
+        self.fc2 = torch.nn.Linear(512, 256, bias=False)
+        self.fbn2 = torch.nn.BatchNorm1d(256)
+        self.fc3 = torch.nn.Linear(256, k * k)
+        torch.nn.init.zeros_(self.fc3.weight)
+        torch.nn.init.zeros_(self.fc3.bias)
+
+    def forward(self, x):  # [B, C, N]
+        for conv, bn in zip(self.convs, self.cbns):
+            x = torch.relu(bn(conv(x)))
+        x = x.max(dim=2).values
+        x = torch.relu(self.fbn1(self.fc1(x)))
+        x = torch.relu(self.fbn2(self.fc2(x)))
+        m = self.fc3(x) + torch.eye(self.k).reshape(-1)
+        return m.reshape(-1, self.k, self.k)
+
+
+class TorchPointNetSeg(torch.nn.Module):
+    """Reference PointNet_partseg (pointnet_partseg.py:14-67)."""
+
+    def __init__(self, part_num=50):
+        super().__init__()
+        self.stn = TorchSTN(3)
+        self.fstn = TorchSTN(128)
+        dims = [3, 64, 128, 128, 512, 2048]
+        self.convs = torch.nn.ModuleList(
+            torch.nn.Conv1d(dims[i], dims[i + 1], 1, bias=False)
+            for i in range(5))
+        self.bns = torch.nn.ModuleList(
+            torch.nn.BatchNorm1d(d) for d in dims[1:])
+        hd = [4944, 256, 256, 128]
+        self.hconvs = torch.nn.ModuleList(
+            torch.nn.Conv1d(hd[i], hd[i + 1], 1, bias=False)
+            for i in range(3))
+        self.hbns = torch.nn.ModuleList(
+            torch.nn.BatchNorm1d(d) for d in hd[1:])
+        self.final = torch.nn.Conv1d(128, part_num, 1)
+
+    def forward(self, x, label):  # x [B, 3, N], label [B, 16]
+        n = x.shape[2]
+        t = self.stn(x)
+        x = torch.bmm(x.transpose(1, 2), t).transpose(1, 2)
+        outs = []
+        h = x
+        for i in range(3):
+            h = torch.relu(self.bns[i](self.convs[i](h)))
+            outs.append(h)
+        ft = self.fstn(h)
+        h = torch.bmm(h.transpose(1, 2), ft).transpose(1, 2)
+        h4 = torch.relu(self.bns[3](self.convs[3](h)))
+        h5 = self.bns[4](self.convs[4](h4))  # no relu (ref line 57)
+        outs += [h4, h5]
+        g = torch.cat([h5.max(dim=2).values, label], dim=1)  # [B, 2064]
+        gexp = g[:, :, None].expand(-1, -1, n)
+        cat = torch.cat([gexp] + outs, dim=1)  # [B, 4944, N]
+        for conv, bn in zip(self.hconvs, self.hbns):
+            cat = torch.relu(bn(conv(cat)))
+        return self.final(cat).transpose(1, 2)  # [B, N, parts]
+
+
+def _convert(tnet):
+    sd = {k: v.numpy() for k, v in tnet.state_dict().items()}
+
+    def dense(prefix):
+        w = sd[f"{prefix}.weight"]
+        w = w[..., 0] if w.ndim == 3 else w
+        out = {"kernel": np.ascontiguousarray(w.T.astype(np.float32))}
+        if f"{prefix}.bias" in sd:
+            out["bias"] = sd[f"{prefix}.bias"].astype(np.float32)
+        return out
+
+    def bn(prefix):
+        return (
+            {"scale": sd[f"{prefix}.weight"].astype(np.float32),
+             "bias": sd[f"{prefix}.bias"].astype(np.float32)},
+            {"mean": sd[f"{prefix}.running_mean"].astype(np.float32),
+             "var": sd[f"{prefix}.running_var"].astype(np.float32)},
+        )
+
+    def stack(pairs):
+        p, s = {}, {}
+        for i, (dpref, bpref) in enumerate(pairs):
+            bp, bs = bn(bpref)
+            p[f"DenseBNAct_{i}"] = {"Dense_0": dense(dpref),
+                                    "BatchNorm_0": bp}
+            s[f"DenseBNAct_{i}"] = {"BatchNorm_0": bs}
+        return p, s
+
+    def stn(tp):
+        p, s = {}, {}
+        cp, cs = stack([(f"{tp}.convs.{i}", f"{tp}.cbns.{i}")
+                        for i in range(3)])
+        p["PointMLP_0"], s["PointMLP_0"] = cp, cs
+        fp, fs = stack([(f"{tp}.fc1", f"{tp}.fbn1"),
+                        (f"{tp}.fc2", f"{tp}.fbn2")])
+        p["PointMLP_1"], s["PointMLP_1"] = fp, fs
+        p["Dense_0"] = dense(f"{tp}.fc3")
+        return p, s
+
+    params, stats = {}, {}
+    params["STN_0"], stats["STN_0"] = stn("stn")
+    params["STN_1"], stats["STN_1"] = stn("fstn")
+    for i in range(4):  # PointMLP_0..3 ← conv1..4 (relu blocks)
+        p, s = stack([(f"convs.{i}", f"bns.{i}")])
+        params[f"PointMLP_{i}"] = p
+        stats[f"PointMLP_{i}"] = s
+    # conv5+bn5 without relu → DenseBNAct_0 (act=None)
+    bp, bs = bn("bns.4")
+    params["DenseBNAct_0"] = {"Dense_0": dense("convs.4"),
+                              "BatchNorm_0": bp}
+    stats["DenseBNAct_0"] = {"BatchNorm_0": bs}
+    # head PointMLP_4 (256,256,128) + final Dense_0
+    p, s = stack([(f"hconvs.{i}", f"hbns.{i}") for i in range(3)])
+    params["PointMLP_4"] = p
+    stats["PointMLP_4"] = s
+    params["Dense_0"] = dense("final")
+    return {"params": params, "batch_stats": stats}
+
+
+def test_pointnet_partseg_logits_match_torch():
+    torch.manual_seed(4)
+    tnet = TorchPointNetSeg().eval()
+    with torch.no_grad():
+        tnet.train()
+        tnet(torch.randn(4, 3, 64), torch.eye(16)[torch.arange(4)])
+        tnet.eval()
+
+    rng = np.random.default_rng(4)
+    pts = rng.standard_normal((2, 96, 3)).astype(np.float32)
+    onehot = np.eye(16, dtype=np.float32)[[3, 7]]
+    with torch.no_grad():
+        want = tnet(torch.from_numpy(pts.transpose(0, 2, 1)),
+                    torch.from_numpy(onehot)).numpy()
+
+    model = get_seg_model("pointnet", part_num=50)
+    variables = _convert(tnet)
+    got = np.asarray(
+        model.apply(variables, jnp.asarray(pts), jnp.asarray(onehot),
+                    training=False)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
