@@ -88,6 +88,51 @@ def cls_batches(
         yield batch
 
 
+def kpconv_cls_batches(
+    dataset,
+    batch_size: int,
+    sampler,
+    rng: np.random.Generator,
+    epoch_n: int | None = None,
+    augment: bool = True,
+    rotation: str = "none",
+    drop_last: bool = True,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """KPConv epoch iterator: potential-sampled indices + per-cloud
+    KPConv augmentation.
+
+    Mirrors the reference KPConv pipeline — prepare_batch_indices picks
+    the epoch's lowest-potential items (kpconv_loader.py:709-794,
+    epoch_n = epoch_steps × batch_num items) and augmentation_transform
+    applies rotation/aniso-scale/symmetry/noise per cloud
+    (kpconv_loader.py:415-491; Modelnet40Config defaults: no rotation,
+    scale 0.8–1.2, all symmetries, noise 0.001). ``sampler`` is a
+    :class:`pointcloudlib_tpu.data.sampler.PotentialSampler`.
+    """
+    from pointcloudlib_tpu.data.sampler import kpconv_augment
+
+    n = epoch_n if epoch_n is not None else len(dataset)
+    order = sampler.sample(n)
+    for start in range(0, len(order), batch_size):
+        chunk = order[start : start + batch_size]
+        if len(chunk) < batch_size and drop_last:
+            return
+        pts, lab = [], []
+        for i in chunk:
+            p, _nrm, l = dataset[int(i)]
+            if augment:
+                p = kpconv_augment(p, rng, rotation=rotation)
+            pts.append(p.astype(np.float32))
+            lab.append(l)
+        xyz, valid = _pad_to(pts, batch_size)
+        labels, _ = _pad_to(lab, batch_size)
+        yield {
+            "xyz": xyz.astype(np.float32),
+            "label": labels.astype(np.int32),
+            "valid": valid,
+        }
+
+
 def seg_batches(
     dataset,
     batch_size: int,

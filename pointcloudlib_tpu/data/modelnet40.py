@@ -34,12 +34,18 @@ class ModelNet40:
         data_root: Optional[str] = None,
         seed: int = 0,
         augment: Optional[bool] = None,
+        permute: Optional[bool] = None,
     ):
         self.n_points = n_points
         self.train = train
         # voting eval re-augments the test split (reference
         # classification_test, train_cls.py:230-328)
         self.augment = train if augment is None else augment
+        # point selection (random permutation) decoupled from the
+        # scale/translate augment: the KPConv path wants fresh point
+        # subsets per epoch but applies its own augmentation_transform
+        # (kpconv_augment) instead of the ModelNet one
+        self.permute = self.augment if permute is None else permute
         self._rng = np.random.default_rng(seed)
         self._data = None  # (points [M, 10000, 6], labels [M])
         root = Path(data_root) if data_root else None
@@ -81,7 +87,7 @@ class ModelNet40:
 
     def __getitem__(self, i: int):
         raw, label = self._data[0][i], int(self._data[1][i])
-        if self.augment:
+        if self.permute:
             sel = self._rng.permutation(raw.shape[0])[: self.n_points]
         else:
             sel = np.arange(self.n_points)
@@ -101,6 +107,7 @@ def make_modelnet40(
     synthetic_size: int = 512,
     seed: int = 0,
     augment: Optional[bool] = None,
+    permute: Optional[bool] = None,
 ):
     if synthetic:
         return SyntheticModelNet(
@@ -108,4 +115,4 @@ def make_modelnet40(
             augment=augment,
         )
     return ModelNet40(n_points=n_points, train=train, data_root=data_root,
-                      seed=seed, augment=augment)
+                      seed=seed, augment=augment, permute=permute)

@@ -100,21 +100,22 @@ class Predictor:
     ) -> np.ndarray:
         """``clouds [B, N, 3]`` → class probabilities ``[B, C]``.
 
-        Pads N up to the shape bucket (appending near-origin points,
-        which FPS skips and ball query treats as any other point near
-        the centroid of a unit-sphere cloud — negligible for the global
-        pooled prediction) and B up to the serving batch size.
+        Pads N up to the shape bucket by **repeating real points**
+        (cyclic resample, the standard undersized-cloud treatment) and B
+        up to the serving batch size. Repetition keeps the geometry
+        real: duplicated points add no new max-pool values (PointNet is
+        exactly invariant) and never create phantom origin points in
+        kNN graphs (DGCNN/PointCNN), which zero padding would.
         """
         clouds = np.asarray(clouds, np.float32)
         b, n, _ = clouds.shape
         nb = _bucket(n)
         if nb != n:
-            pad = np.zeros((b, nb - n, 3), np.float32)
-            clouds = np.concatenate([clouds, pad], axis=1)
+            sel = np.arange(nb - n) % n  # cyclic repeat of real points
+            clouds = np.concatenate([clouds, clouds[:, sel]], axis=1)
             if normals is not None:
-                normals = np.concatenate(
-                    [np.asarray(normals, np.float32), pad], axis=1
-                )
+                normals = np.asarray(normals, np.float32)
+                normals = np.concatenate([normals, normals[:, sel]], axis=1)
         outs = []
         for s in range(0, b, self.batch_size):
             chunk = clouds[s : s + self.batch_size]
@@ -204,6 +205,12 @@ class SegPredictor:
         per-point part ids ``[B, N]``."""
         clouds = np.asarray(clouds, np.float32)
         b, n, _ = clouds.shape
+        nb = _bucket(n)
+        if nb != n:
+            # cyclic repeat of real points (same rationale as Predictor);
+            # predictions for the padded tail are dropped below
+            sel = np.arange(nb - n) % n
+            clouds = np.concatenate([clouds, clouds[:, sel]], axis=1)
         onehot_all = np.eye(16, dtype=np.float32)[np.asarray(labels)]
         outs = []
         for s in range(0, b, self.batch_size):
@@ -218,5 +225,5 @@ class SegPredictor:
             probs = self._forward(
                 self.variables, jnp.asarray(chunk), jnp.asarray(oh), feats
             )
-            outs.append(np.asarray(probs).argmax(-1)[:real])
+            outs.append(np.asarray(probs).argmax(-1)[:real, :n])
         return np.concatenate(outs)

@@ -9,7 +9,7 @@ other model.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 from flax import linen as nn
@@ -25,6 +25,10 @@ class KPConvCls(nn.Module):
     # them at dl=0.02 on load (kpconv_loader.py:614-694) — with N≈1024
     # inputs a 0.05 grid gives comparable pyramid occupancy.
     first_subsampling_dl: float = 0.05
+    # static pyramid shapes; the CLI passes data-calibrated values
+    # (calibrate.calibrate_pyramid), None → uncalibrated defaults
+    caps: Optional[Tuple[int, ...]] = None
+    neighborhood_limits: Tuple[int, ...] = (22, 35, 41, 42, 37)
 
     @nn.compact
     def __call__(
@@ -37,6 +41,8 @@ class KPConvCls(nn.Module):
         cfg = KPConvConfig(
             num_classes=self.n_classes,
             first_subsampling_dl=self.first_subsampling_dl,
+            caps=self.caps,
+            neighborhood_limits=self.neighborhood_limits,
         )
         return KPCNN(cfg)(xyz, training=training)
 
@@ -49,6 +55,8 @@ class KPConvDeformCls(nn.Module):
 
     n_classes: int = 40
     first_subsampling_dl: float = 0.05
+    caps: Optional[Tuple[int, ...]] = None
+    neighborhood_limits: Tuple[int, ...] = (22, 35, 41, 42, 37)
 
     @nn.compact
     def __call__(
@@ -69,5 +77,7 @@ class KPConvDeformCls(nn.Module):
             num_classes=self.n_classes,
             first_subsampling_dl=self.first_subsampling_dl,
             architecture=tuple(arch),
+            caps=self.caps,
+            neighborhood_limits=self.neighborhood_limits,
         )
         return KPCNN(cfg)(xyz, training=training)

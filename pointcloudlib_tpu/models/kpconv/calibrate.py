@@ -1,0 +1,124 @@
+"""Pyramid calibration from data: per-layer point caps + neighbor widths.
+
+The original KPConv calibrates its ``neighborhood_limits`` so that ~90%
+of neighborhoods remain untouched and its batch budget from observed
+cloud sizes; the reference snapshot freezes both as constants and
+hard-exits when its calibration pickles are missing
+(data_utils/kpconv_loader.py:696-706, datasets/ModelNet40.py:726-830).
+Here calibration is an actual computation: walk the pyramid over a data
+sample, measure per-layer voxel occupancy and uncapped in-radius
+neighbor counts, and derive
+
+* ``caps[l]``   — static voxel budget per layer: the max observed
+  occupancy with a safety margin, rounded up to a multiple of 8 (TPU
+  sublane). With the margin, ``grid_subsample`` never truncates on data
+  like the sample; ``occupancy()`` lets callers verify (overflow is
+  logged, not silent).
+* ``limits[l]`` — neighbor width: the ``untouched_ratio`` quantile of
+  in-radius counts (reference semantics: 90% of neighborhoods keep all
+  their neighbors).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from pointcloudlib_tpu.models.kpconv.pyramid import (
+    grid_subsample,
+    layer_blocks,
+    neighbor_counts,
+    occupancy,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class PyramidCalibration:
+    caps: Tuple[int, ...]                 # per-layer static point budget
+    neighborhood_limits: Tuple[int, ...]  # per-layer neighbor width
+    max_occupancy: Tuple[int, ...]        # observed max voxels per layer
+    mean_neighbors: Tuple[float, ...]     # observed mean in-radius count
+
+    def describe(self) -> str:
+        return (
+            f"caps={list(self.caps)} "
+            f"neighborhood_limits={list(self.neighborhood_limits)} "
+            f"(max occupancy {list(self.max_occupancy)}, "
+            f"mean neighbors {[round(m, 1) for m in self.mean_neighbors]})"
+        )
+
+
+def _round8(n: int) -> int:
+    return max(8, (n + 7) // 8 * 8)
+
+
+def calibrate_pyramid(
+    clouds: np.ndarray,
+    first_dl: float,
+    conv_radius: float,
+    deform_radius: float,
+    architecture: Sequence[str],
+    untouched_ratio: float = 0.9,
+    margin: float = 1.15,
+    subsample_input: bool = True,
+) -> PyramidCalibration:
+    """Measure a sample of clouds ``[S, N, 3]`` and derive static pyramid
+    shapes. Mirrors the classification_inputs walk
+    (kpconv_loader.py:493-603) with the original KPConv's calibration
+    semantics instead of its frozen constants."""
+    clouds = np.asarray(clouds, np.float32)
+    s, n, _ = clouds.shape
+    mask = np.ones((s, n), bool)
+    groups = layer_blocks(architecture)
+    n_layers = len(groups)
+
+    sub = jax.jit(grid_subsample, static_argnames=("dl", "n_max"))
+    occ = jax.jit(occupancy, static_argnames=("dl",))
+    cnt = jax.jit(neighbor_counts, static_argnames=("radius",))
+
+    caps: List[int] = []
+    limits: List[int] = []
+    max_occ: List[int] = []
+    mean_nb: List[float] = []
+
+    pts, msk = clouds, mask
+    r = first_dl * conv_radius
+    dl = first_dl
+    for l, blocks in enumerate(groups):
+        if l == 0:
+            if subsample_input:
+                o = np.asarray(occ(pts, msk, dl=dl))
+                cap = _round8(int(np.ceil(o.max() * margin)))
+                cap = min(cap, n)
+                pts, msk = sub(pts, msk, dl=dl, n_max=cap)
+            else:
+                o = np.full((s,), n)
+                cap = n
+        else:
+            o = np.asarray(occ(pts, msk, dl=2 * dl))
+            cap = _round8(int(np.ceil(o.max() * margin)))
+            cap = min(cap, pts.shape[1])
+            pts, msk = sub(pts, msk, dl=2 * dl, n_max=cap)
+            dl *= 2
+            r *= 2
+        caps.append(cap)
+        max_occ.append(int(o.max()))
+
+        deform = any("deformable" in bl for bl in blocks)
+        r_l = r * (deform_radius / conv_radius) if deform else r
+        counts = np.asarray(cnt(pts, msk, pts, msk, radius=r_l))
+        valid = counts[np.asarray(msk)]
+        limits.append(
+            max(1, int(np.ceil(np.quantile(valid, untouched_ratio))))
+        )
+        mean_nb.append(float(valid.mean()))
+
+    return PyramidCalibration(
+        caps=tuple(caps),
+        neighborhood_limits=tuple(limits),
+        max_occupancy=tuple(max_occ),
+        mean_neighbors=tuple(mean_nb),
+    )

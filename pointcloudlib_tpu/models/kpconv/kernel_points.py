@@ -5,9 +5,13 @@ gradient descent and caches them as .ply files
 (networks/cls/kernel_points.py:551-744). This is a fresh numpy
 implementation of the same idea: K points in the unit ball, mutual
 inverse-square repulsion plus a spring toward the origin, first point
-pinned at the center; the result is normalized so the mean point radius
-is ~0.66 (points spread through the ball, matching the reference's
-normalization to 1.5/2.5 of the init radius) and cached as .npy.
+pinned at the center; the result is normalized so the mean non-center
+radius is 0.66 — the reference's ``ratio=0.66``
+(kernel_points.py:552,697-698) — and cached as .ply via utils/ply like
+the reference's dispositions cache (kernel_points.py:712-742).
+Statistical parity with the shipped ``k_015_center_3D.ply`` (radial
+distribution, min spacing) is asserted in
+tests/test_kernel_dispositions.py.
 """
 
 from __future__ import annotations
@@ -16,6 +20,8 @@ import functools
 from pathlib import Path
 
 import numpy as np
+
+from pointcloudlib_tpu.utils.ply import read_ply, write_ply
 
 _CACHE_DIR = Path(__file__).parent / "dispositions"
 
@@ -44,8 +50,8 @@ def _optimize_dispositions(
         r = np.linalg.norm(pts, axis=1, keepdims=True)
         pts = np.where(r > 1.0, pts / np.maximum(r, 1e-9), pts)
 
-    # normalize spread: non-center points' mean radius → 0.66 (points
-    # occupy the ball interior like the reference's 1.5/2.5 scaling)
+    # normalize spread: non-center points' mean radius → 0.66, the
+    # reference's ratio (kernel_points.py:697-698)
     r = np.linalg.norm(pts[1:], axis=1).mean()
     pts = pts * (0.66 / max(r, 1e-9))
     pts[0] = 0.0
@@ -53,13 +59,17 @@ def _optimize_dispositions(
 
 
 def kernel_dispositions(k: int, dim: int = 3) -> np.ndarray:
-    """Unit-scale kernel point layout ``[k, dim]``, cached on disk."""
+    """Unit-scale kernel point layout ``[k, dim]``, cached on disk as
+    .ply (same cache format as the reference's kernels/dispositions)."""
     _CACHE_DIR.mkdir(exist_ok=True)
-    cache = _CACHE_DIR / f"k_{k:03d}_{dim}D.npy"
+    cache = _CACHE_DIR / f"k_{k:03d}_center_{dim}D.ply"
     if cache.exists():
-        return np.load(cache)
+        d = read_ply(cache)
+        return np.vstack([d[c] for c in ("x", "y", "z")[:dim]]).T.astype(
+            np.float32
+        )
     pts = _optimize_dispositions(k, dim)
-    np.save(cache, pts)
+    write_ply(cache, {"xyz": pts})
     return pts
 
 
@@ -72,17 +82,16 @@ def load_kernels(
     seed: int = 0,
 ) -> np.ndarray:
     """Kernel points scaled to ``radius`` with a random rotation and
-    small noise (reference kernel_points.py:746-782 applies rotation +
-    0.01·radius noise + radius scale on load)."""
+    small noise (reference kernel_points.py:746-782: for
+    ``fixed != 'vertical'`` the rotation is about the z axis only,
+    plus 0.01 gaussian noise, then the radius scale)."""
     pts = kernel_dispositions(num_kpoints, dimension).copy()
     rng = np.random.default_rng(seed)
     if dimension == 3:
-        # random rotation (Gram-Schmidt on gaussian vectors)
-        m = rng.standard_normal((3, 3))
-        q, r = np.linalg.qr(m)
-        q *= np.sign(np.diag(r))
-        if np.linalg.det(q) < 0:
-            q[:, 0] *= -1
+        # z-axis rotation (reference kernel_points.py:754-757)
+        theta = rng.uniform(0, 2 * np.pi)
+        c, s = np.cos(theta), np.sin(theta)
+        q = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
         pts = pts @ q.T
     noise = rng.standard_normal(pts.shape).astype(np.float32) * 0.01
     pts = pts + noise

@@ -66,8 +66,13 @@ class KPConvConfig:
     use_batch_norm: bool = True
     batch_norm_momentum: float = 0.95     # flax convention of torch 0.05
     # neighborhood widths per layer (reference neighborhood_limits,
-    # kpconv_loader.py:705)
+    # kpconv_loader.py:705; recompute for your data with
+    # calibrate.calibrate_pyramid — the CLI does)
     neighborhood_limits: Tuple[int, ...] = (22, 35, 41, 42, 37)
+    # static per-layer point caps; None → the n/4^l heuristic
+    # (pyramid.pyramid_shapes). calibrate_pyramid derives these from
+    # observed voxel occupancy so grid_subsample never truncates.
+    caps: Optional[Tuple[int, ...]] = None
     deform_fitting_power: float = 1.0
     repulse_extent: float = 1.2
 
@@ -414,7 +419,7 @@ class KPCNN(nn.Module):
         pyr = build_pyramid(
             xyz, mask, cfg.first_subsampling_dl, cfg.conv_radius,
             cfg.deform_radius, cfg.architecture, cfg.neighborhood_limits,
-            subsample_input=subsample_input,
+            subsample_input=subsample_input, caps=cfg.caps,
         )
 
         x = jnp.ones(

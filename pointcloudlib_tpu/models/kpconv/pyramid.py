@@ -84,6 +84,51 @@ def grid_subsample(
     )(xyz, mask)
 
 
+def occupancy(xyz: Array, mask: Array, dl: float) -> Array:
+    """Occupied-voxel count per cloud ``[B]`` — calibration input and
+    overflow detector: ``occupancy(...) > n_max`` means ``grid_subsample``
+    with that cap would silently drop voxels (the truncation at
+    ``rank < n_max`` above)."""
+
+    def one(x, m):
+        origin = jnp.min(jnp.where(m[:, None], x, jnp.inf), axis=0)
+        origin_cell = jnp.floor(origin / dl)
+        v = jnp.clip(
+            (jnp.floor(x / dl) - origin_cell).astype(jnp.int32), 0, _GRID - 1
+        )
+        key = (v[:, 0] * _GRID + v[:, 1]) * _GRID + v[:, 2]
+        key = jnp.where(m, key, jnp.iinfo(jnp.int32).max)
+        sk = jnp.sort(key)
+        sm = jnp.sort(m)[::-1]  # mask count aligned with sorted keys
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), sk[1:] != sk[:-1]]
+        ) & sm
+        return jnp.sum(first.astype(jnp.int32))
+
+    return jax.vmap(one)(xyz, mask)
+
+
+def neighbor_counts(
+    query: Array, qmask: Array, support: Array, smask: Array, radius: float
+) -> Array:
+    """Uncapped in-radius neighbor count per query ``[B, M]`` (invalid
+    queries report 0). Calibration measures these to set the per-layer
+    ``neighborhood_limits`` so ~90% of neighborhoods are untouched —
+    real computation of what the reference freezes as constants
+    (kpconv_loader.py:696-706 returns hardcoded values; the original
+    KPConv computes exactly this percentile)."""
+    q2 = jnp.sum(query * query, axis=-1, keepdims=True)
+    s2 = jnp.sum(support * support, axis=-1, keepdims=True)
+    inner = jnp.einsum(
+        "bmc,bnc->bmn", query, support,
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )
+    d2 = jnp.maximum(q2 - 2 * inner + jnp.swapaxes(s2, -1, -2), 0.0)
+    valid = smask[:, None, :] & (d2 < radius * radius)
+    return jnp.sum(valid, axis=-1) * qmask.astype(jnp.int32)
+
+
 def radius_neighbors(
     query: Array,
     qmask: Array,
@@ -144,6 +189,19 @@ class Pyramid(NamedTuple):
     pool_masks: List[Array]
 
 
+def layer_blocks(architecture: Sequence[str]) -> List[List[str]]:
+    """Split an architecture string list into per-layer block groups the
+    same way the reference loader walks it (kpconv_loader.py:507-529)."""
+    groups: List[List[str]] = [[]]
+    for block in architecture:
+        if "global" in block or "upsample" in block:
+            break
+        groups[-1].append(block)
+        if "pool" in block or "strided" in block:
+            groups.append([])
+    return groups
+
+
 def pyramid_shapes(
     n_points: int, n_layers: int, neighborhood_limits: Sequence[int]
 ) -> Tuple[List[int], List[int]]:
@@ -168,15 +226,8 @@ def build_pyramid(
     """Walk the architecture string list and build every layer's
     points/neighbors/pools (mirrors classification_inputs,
     kpconv_loader.py:493-603, but batched, dense and on device)."""
-    # split architecture into layers exactly like the reference walk
-    layer_blocks: List[List[str]] = [[]]
-    for block in architecture:
-        if "global" in block or "upsample" in block:
-            break
-        layer_blocks[-1].append(block)
-        if "pool" in block or "strided" in block:
-            layer_blocks.append([])
-    n_layers = len(layer_blocks)
+    groups = layer_blocks(architecture)
+    n_layers = len(groups)
 
     b, n0, _ = xyz.shape
     default_caps, ks = pyramid_shapes(n0, n_layers, neighborhood_limits)
@@ -194,7 +245,7 @@ def build_pyramid(
     neighbors, nmasks, pools, pmasks = [], [], [], []
     r = first_dl * conv_radius
     dl = first_dl
-    for l, blocks in enumerate(layer_blocks):
+    for l, blocks in enumerate(groups):
         deform = any("deformable" in bl for bl in blocks)
         r_l = r * (deform_radius / conv_radius) if deform else r
         idx, nm = radius_neighbors(

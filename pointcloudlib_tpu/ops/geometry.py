@@ -249,11 +249,12 @@ def three_nn(query: Array, points: Array) -> Tuple[Array, Array]:
     """3 nearest neighbors and inverse-distance weights for interpolation.
 
     Returns ``(idx [B, M, 3], weight [B, M, 3])`` with weights normalised
-    ``(1/(d2+1e-8)) / sum`` — reference misc/ops.py:86-93 semantics
-    (note: the reference weights by inverse *squared* distance).
+    ``(1/(d2+1e-10)) / sum`` — reference misc/ops.py:86-93 semantics
+    (note: the reference weights by inverse *squared* distance; the
+    epsilon matches its ``1e-10``).
     """
     d2, idx = knn(query, points, 3)
-    inv = 1.0 / (d2 + 1e-8)
+    inv = 1.0 / (d2 + 1e-10)
     weight = inv / jnp.sum(inv, axis=-1, keepdims=True)
     return idx, weight
 

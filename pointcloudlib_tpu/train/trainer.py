@@ -113,7 +113,18 @@ def make_seg_train_step(model, mesh: Optional[Mesh] = None):
         )
         logits, mut = out if mutable else (out, {})
         loss = cross_entropy_seg(logits, batch["seg"])
-        acc = (jnp.argmax(logits, -1) == batch["seg"]).mean()
+        # mask padded samples out of the accuracy (train currently uses
+        # drop_last=True so every row is valid, but the metric must stay
+        # correct if that ever changes)
+        correct = (jnp.argmax(logits, -1) == batch["seg"]).astype(jnp.float32)
+        valid = batch.get("valid")
+        if valid is not None:
+            w = valid.astype(jnp.float32)[:, None]
+            acc = jnp.sum(correct * w) / jnp.maximum(
+                jnp.sum(w) * correct.shape[1], 1.0
+            )
+        else:
+            acc = correct.mean()
         return loss, (mut.get("batch_stats"), acc)
 
     def step(state: TrainState, batch, rng):

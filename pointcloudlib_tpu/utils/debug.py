@@ -2,8 +2,10 @@
 
 The reference's only sanitizing is commented-out checkCudaErrors
 (misc/ops.py:602-623; SURVEY.md §5.2). On TPU the equivalents are
-``jax.checkify`` for in-graph assertions and ``jax.debug_nans``; this
-module packages both behind one switch used by the CLIs' ``--debug``.
+``jax.checkify`` for in-graph assertions and ``jax.debug_nans``. The
+CLIs' ``--debug`` flag calls :func:`enable` (process-wide NaN faulting)
+and runs the first eval batch through :func:`checked` (OOB + NaN
+checkify assertions).
 """
 
 from __future__ import annotations
@@ -14,6 +16,13 @@ from typing import Iterator
 import jax
 import jax.numpy as jnp
 from jax.experimental import checkify
+
+
+def enable() -> None:
+    """Process-wide debug switch (the CLIs' ``--debug``): NaNs fault at
+    the op that produced them — jit'ed code is re-run op-by-op to
+    localize the source."""
+    jax.config.update("jax_debug_nans", True)
 
 
 @contextlib.contextmanager

@@ -56,6 +56,13 @@ def parse_args(argv=None):
                    help="cap steps per epoch (smoke tests)")
     p.add_argument("--n-devices", type=int, default=None,
                    help="devices in the data mesh (default: all)")
+    p.add_argument("--debug", action="store_true",
+                   help="NaN faulting (jax_debug_nans) + checkify "
+                        "OOB/NaN checks on the first eval batch "
+                        "(utils/debug.py)")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed (multi-host DCN) "
+                        "from the standard env before building the mesh")
     p.add_argument("--checkpoint-dir", default="checkpoints")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-every", type=int, default=50)
@@ -80,6 +87,17 @@ def main(argv=None):
     )
     from pointcloudlib_tpu.utils.checkpoint import CheckpointManager
 
+    if args.debug:
+        from pointcloudlib_tpu.utils import debug as dbg
+
+        dbg.enable()
+    if args.multihost:
+        from pointcloudlib_tpu.parallel import initialize_multihost
+
+        active = initialize_multihost()
+        print(f"multihost: {'active' if active else 'single-process'} "
+              f"({jax.process_count()} processes)")
+
     mesh = make_mesh(args.n_devices)
     n_dev = mesh.devices.size
     if args.batch_size % n_dev:
@@ -92,10 +110,16 @@ def main(argv=None):
     # only PointNet++ consumes normals as features (reference
     # train_cls.py:63-69 passes bare pts to every other model)
     with_normals = args.model.startswith("pointnet2")
+    is_kpconv = args.model.startswith("kpconv")
     train_ds = make_modelnet40(
         args.num_points, train=True, data_root=args.data_root,
         synthetic=args.synthetic, synthetic_size=args.synthetic_size,
         seed=args.seed,
+        # KPConv replaces the ModelNet scale/translate augment with its
+        # own augmentation_transform (kpconv_augment), applied by the
+        # epoch iterator below; keep the per-epoch point permutation
+        augment=False if is_kpconv else None,
+        permute=True if is_kpconv else None,
     )
     test_ds = make_modelnet40(
         args.num_points, train=False, data_root=args.data_root,
@@ -104,7 +128,47 @@ def main(argv=None):
         seed=args.seed,
     )
 
-    model = get_cls_model(args.model, n_classes=40)
+    model_kw = {}
+    kp_sampler = kp_rng = None
+    if is_kpconv:
+        # reference KPConv pipeline: potential-based epoch sampling +
+        # per-cloud augmentation (kpconv_loader.py:709-794, 415-491) and
+        # pyramid shapes calibrated from data instead of the frozen
+        # constants the reference ships (kpconv_loader.py:696-706)
+        from pointcloudlib_tpu.data import PotentialSampler, kpconv_augment
+        from pointcloudlib_tpu.models.kpconv.adapter import KPConvCls
+        from pointcloudlib_tpu.models.kpconv.calibrate import (
+            calibrate_pyramid,
+        )
+        from pointcloudlib_tpu.models.kpconv.model import KPConvConfig
+
+        base = KPConvConfig()
+        arch = base.architecture
+        if args.model == "kpconv_deform":
+            arch = tuple(
+                b.replace("resnetb", "resnetb_deformable")
+                if i >= 9 and b.startswith("resnetb") else b
+                for i, b in enumerate(arch)
+            )
+        kp_rng = np.random.default_rng(args.seed + 1)
+        n_cal = min(len(train_ds), 64)
+        # calibrate on *augmented* clouds so the occupancy/neighbor
+        # distributions match what training will see
+        cal_clouds = np.stack([
+            kpconv_augment(train_ds[i][0], kp_rng) for i in range(n_cal)
+        ])
+        calib = calibrate_pyramid(
+            cal_clouds, KPConvCls.first_subsampling_dl,
+            base.conv_radius, base.deform_radius, arch,
+        )
+        print(f"kpconv calibration ({n_cal} clouds): {calib.describe()}")
+        model_kw = dict(
+            caps=calib.caps,
+            neighborhood_limits=calib.neighborhood_limits,
+        )
+        kp_sampler = PotentialSampler(len(train_ds), seed=args.seed)
+
+    model = get_cls_model(args.model, n_classes=40, **model_kw)
     rng = jax.random.key(args.seed)
     sample = next(cls_batches(train_ds, args.batch_size,
                               with_normals=with_normals))
@@ -147,6 +211,7 @@ def main(argv=None):
         correct = total = 0
         trues, preds = [], []
         prob_step = None
+        needs_check = args.debug
         if confusion:
             import jax.numpy as jnp
 
@@ -157,6 +222,15 @@ def main(argv=None):
         for batch in cls_batches(test_ds, args.batch_size,
                                  with_normals=with_normals):
             sb = shard_batch(mesh, batch)
+            if needs_check:
+                # --debug: run one batch through checkify (index OOB +
+                # NaN assertions materialize as exceptions here)
+                from pointcloudlib_tpu.utils.debug import checked
+
+                checked(
+                    lambda v, x, f: model.apply(v, x, f, training=False)
+                )(state.variables(), batch["xyz"], batch.get("feats"))
+                needs_check = False
             c, t = eval_step(state, sb)
             correct += int(c); total += int(t)
             if confusion:
@@ -209,11 +283,62 @@ def main(argv=None):
         pred = probs.argmax(-1)
         return 100.0 * ((pred == labels) & valid).sum() / valid.sum()
 
+    def evaluate_voting_kpconv(state, n_votes):
+        """KPConv voting test: each pass re-samples the test set with
+        fresh potentials and re-augments with kpconv_augment, probs
+        accumulated per item as an incremental average — the reference
+        classification_test loop (train_cls.py:252-313, potentials
+        refreshed at :263, averaging at :309-313)."""
+        from pointcloudlib_tpu.data import PotentialSampler, kpconv_augment
+
+        prob_step = jax.jit(
+            lambda st, b: jax.nn.softmax(
+                model.apply(st.variables(), b["xyz"], None, training=False),
+                axis=-1,
+            )
+        )
+        vote_ds = make_modelnet40(
+            args.num_points, train=False, data_root=args.data_root,
+            synthetic=args.synthetic,
+            synthetic_size=max(64, args.synthetic_size // 4),
+            seed=args.seed, augment=False, permute=True,
+        )
+        n = len(vote_ds)
+        labels = np.array([vote_ds[i][2] for i in range(n)], np.int32)
+        sampler = PotentialSampler(n, seed=args.seed + 7)
+        rng = np.random.default_rng(args.seed + 8)
+        probs = np.zeros((n, 40), np.float32)
+        counts = np.zeros((n,), np.int32)
+        for _v in range(n_votes):
+            order = sampler.sample(n)  # fresh potentials per vote
+            for start in range(0, n, args.batch_size):
+                chunk = order[start : start + args.batch_size]
+                clouds = [
+                    kpconv_augment(vote_ds[int(i)][0], rng) for i in chunk
+                ]
+                while len(clouds) < args.batch_size:
+                    clouds.append(clouds[-1])
+                batch = {
+                    "xyz": np.stack(clouds).astype(np.float32),
+                    "label": np.zeros(args.batch_size, np.int32),
+                    "valid": np.ones(args.batch_size, bool),
+                }
+                p = np.asarray(
+                    prob_step(state, shard_batch(mesh, batch))
+                )[: len(chunk)]
+                probs[chunk] += (p - probs[chunk]) / (
+                    counts[chunk, None] + 1
+                )
+                counts[chunk] += 1
+        return 100.0 * (probs.argmax(-1) == labels).mean()
+
     if args.eval:
         state = ckpt.restore(state) or state
         if args.votes > 1:
+            vote_fn = (evaluate_voting_kpconv if is_kpconv
+                       else evaluate_voting)
             print(f"eval OA ({args.votes} votes): "
-                  f"{evaluate_voting(state, args.votes):.2f}%")
+                  f"{vote_fn(state, args.votes):.2f}%")
         else:
             print(f"eval OA: {evaluate(state, confusion=args.confusion):.2f}%")
         return
@@ -228,11 +353,23 @@ def main(argv=None):
     for epoch in range(start_epoch, args.epochs):
         t0, seen = time.perf_counter(), 0
         pending = None
-        for i, batch in enumerate(prefetch(
-            cls_batches(train_ds, args.batch_size, shuffle=True,
-                        seed=args.seed + epoch, drop_last=True,
-                        with_normals=with_normals)
-        )):
+        if kp_sampler is not None:
+            # reference epoch_n = epoch_steps × batch_num
+            # (Modelnet40Config epoch_steps=300, ModelNet40.py:1402)
+            from pointcloudlib_tpu.data import kpconv_cls_batches
+
+            epoch_n = (args.steps_per_epoch or 300) * args.batch_size
+            batches = kpconv_cls_batches(
+                train_ds, args.batch_size, kp_sampler, kp_rng,
+                epoch_n=min(epoch_n, len(train_ds)),
+            )
+        else:
+            batches = cls_batches(
+                train_ds, args.batch_size, shuffle=True,
+                seed=args.seed + epoch, drop_last=True,
+                with_normals=with_normals,
+            )
+        for i, batch in enumerate(prefetch(batches)):
             if args.steps_per_epoch and i >= args.steps_per_epoch:
                 break
             batch = shard_batch(mesh, batch)
@@ -253,9 +390,14 @@ def main(argv=None):
         dt = time.perf_counter() - t0
         oa = evaluate(state)
         m = jax.device_get(pending) if pending else {"loss": float("nan")}
+        extra = ""
+        if kp_sampler is not None:
+            pot = kp_sampler.potentials
+            extra = (f" potentials=[{pot.min():.2f},{pot.max():.2f}]"
+                     f" (kpconv_augment active)")
         print(f"epoch {epoch}: loss={float(m['loss']):.4f} "
               f"test OA={oa:.2f}% "
-              f"({seen/dt:.1f} samples/s)")
+              f"({seen/dt:.1f} samples/s){extra}")
         mlog.log("epoch", epoch=epoch, loss=float(m["loss"]), test_oa=oa,
                  samples_per_sec=seen / dt)
         ckpt.save(state, step=epoch, best=oa > best_oa)

@@ -37,6 +37,13 @@ def parse_args(argv=None):
     p.add_argument("--synthetic-size", type=int, default=256)
     p.add_argument("--steps-per-epoch", type=int, default=None)
     p.add_argument("--n-devices", type=int, default=None)
+    p.add_argument("--debug", action="store_true",
+                   help="NaN faulting (jax_debug_nans) + checkify "
+                        "OOB/NaN checks on the first eval batch "
+                        "(utils/debug.py)")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed (multi-host DCN) "
+                        "from the standard env before building the mesh")
     p.add_argument("--checkpoint-dir", default="checkpoints")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-every", type=int, default=50)
@@ -54,6 +61,8 @@ def _prep(batch, model_name):
         "seg": batch["seg"],
         "cls_onehot": np.eye(16, dtype=np.float32)[batch["label"]],
     }
+    if "valid" in batch:
+        out["valid"] = batch["valid"]
     if model_name.startswith("pointnet2"):
         out["feats"] = batch["xyz"]
     return out
@@ -74,6 +83,17 @@ def main(argv=None):
         make_seg_train_step,
     )
     from pointcloudlib_tpu.utils.checkpoint import CheckpointManager
+
+    if args.debug:
+        from pointcloudlib_tpu.utils import debug as dbg
+
+        dbg.enable()
+    if args.multihost:
+        from pointcloudlib_tpu.parallel import initialize_multihost
+
+        active = initialize_multihost()
+        print(f"multihost: {'active' if active else 'single-process'} "
+              f"({jax.process_count()} processes)")
 
     mesh = make_mesh(args.n_devices)
     n_dev = mesh.devices.size
@@ -140,8 +160,18 @@ def main(argv=None):
 
         correct = total = 0
         ious, trues, preds = [], [], []
+        needs_check = args.debug
         for batch in seg_batches(test_ds, args.batch_size, drop_last=False):
             prepped = _prep(batch, args.model)
+            if needs_check:
+                from pointcloudlib_tpu.utils.debug import checked
+
+                checked(
+                    lambda v, x, oh, f: model.apply(
+                        v, x, oh, feats=f, training=False)
+                )(state.variables(), prepped["xyz"], prepped["cls_onehot"],
+                  prepped.get("feats"))
+                needs_check = False
             pred = np.asarray(eval_step(state, shard_batch(mesh, prepped)))
             valid = batch["valid"]
             correct += ((pred == batch["seg"]) & valid[:, None]).sum()
