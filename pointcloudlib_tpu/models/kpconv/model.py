@@ -243,9 +243,12 @@ class KPConvOp(nn.Module):
             )
             off_diag = 1.0 - jnp.eye(p)
             rep = (
-                jnp.clip(pd - 1.2, a_max=0.0) ** 2 * off_diag
+                jnp.clip(pd - 1.2, max=0.0) ** 2 * off_diag
             )  # repulse_extent 1.2
-            repulsive = jnp.mean(jnp.sum(rep, axis=-1)) / p
+            # reference: sum over kernel points i of mean-over-points of
+            # Σ_j≠i, divided by K (kpconv.py:36-43) — the kernel-point
+            # axis is SUMMED, not averaged
+            repulsive = jnp.mean(jnp.sum(rep, axis=(-2, -1))) / p
             self.sow(
                 "intermediates", "reg_loss", 2.0 * fitting + repulsive
             )

@@ -101,6 +101,22 @@ class PointMLP(nn.Module):
         return x
 
 
+def _fused_sa_enabled() -> bool:
+    """The fused SA Pallas path runs by default on TPU (the compiled
+    kernels); ``POINTCLOUDLIB_FUSED_SA=1|0`` forces it on/off (on CPU it
+    runs in interpret mode — correct but slow, tests only)."""
+    import os
+
+    forced = os.environ.get("POINTCLOUDLIB_FUSED_SA")
+    if forced == "1":
+        return True
+    if forced == "0":
+        return False
+    from pointcloudlib_tpu.ops.dispatch import USE_PALLAS
+
+    return USE_PALLAS
+
+
 class SetAbstraction(nn.Module):
     """PointNet++ single-scale set-abstraction layer.
 
@@ -108,6 +124,11 @@ class SetAbstraction(nn.Module):
     max-pool over the neighbor axis. ``n_points=None`` is the group-all
     final layer. Mirrors PointnetModule (networks/cls/pointnet2.py:65-80)
     with the per-group max of pointnet2.py:57.
+
+    On TPU, grouped 3-layer instances dispatch to the fully-fused Pallas
+    path (FusedSetAbstraction) — NOTE the two paths declare different
+    parameter trees, so checkpoints are specific to the backend they
+    were trained on.
     """
 
     mlp: Sequence[int]
@@ -120,6 +141,18 @@ class SetAbstraction(nn.Module):
     def __call__(
         self, xyz: Array, feats: Optional[Array], training: bool = False
     ) -> Tuple[Array, Array]:
+        if (
+            self.n_points is not None
+            and len(self.mlp) == 3
+            and self.n_samples is not None
+            and self.n_samples % 8 == 0
+            and _fused_sa_enabled()
+        ):
+            return FusedSetAbstraction(
+                mlp=tuple(self.mlp), n_points=self.n_points,
+                radius=self.radius, n_samples=self.n_samples,
+                use_xyz=self.use_xyz,
+            )(xyz, feats, training)
         if self.n_points is None:
             grouped = group_all(xyz, feats, use_xyz=self.use_xyz)  # [B,1,N,C]
             new_xyz = jnp.zeros((xyz.shape[0], 1, 3), xyz.dtype)
@@ -130,6 +163,109 @@ class SetAbstraction(nn.Module):
             grouped = group_points(xyz, feats, new_xyz, nidx, self.use_xyz)
         h = PointMLP(self.mlp)(grouped, training)
         return new_xyz, jnp.max(h, axis=2)
+
+
+class FusedSetAbstraction(nn.Module):
+    """Fully-fused SA layer: the gather→Dense→BN→ReLU×3→max chain runs
+    in VMEM (ops/pallas/fused_sa.py). Numerically matches the unfused
+    path to bf16-checkpoint precision (~1e-2 relative); BN semantics
+    (batch statistics over every grouped row, running-average update)
+    are identical.
+    """
+
+    mlp: Sequence[int]                  # exactly 3 widths
+    n_points: int = 512
+    radius: float = 0.2
+    n_samples: int = 64
+    use_xyz: bool = True
+    bn_momentum: float = 0.9
+
+    @nn.compact
+    def __call__(
+        self, xyz: Array, feats: Optional[Array], training: bool = False
+    ) -> Tuple[Array, Array]:
+        from pointcloudlib_tpu.ops.pallas.fused_sa import (
+            SAParams,
+            SAStats,
+            fused_sa_eval,
+            fused_sa_train,
+        )
+
+        c1, c2, c3 = self.mlp
+        interpret = jax.default_backend() != "tpu"
+
+        idx = fps(xyz, self.n_points)
+        new_xyz = index_points(xyz, idx)
+        nidx, _ = ball_query(new_xyz, xyz, self.radius, self.n_samples)
+        nidx = jax.lax.stop_gradient(nidx)
+
+        if feats is None:
+            p, recenter = xyz, 3
+        elif self.use_xyz:
+            p, recenter = jnp.concatenate([xyz, feats], axis=-1), 3
+        else:
+            p, recenter = feats, 0
+        c0 = p.shape[-1]
+        w1 = self.param(
+            "w1", nn.initializers.lecun_normal(), (c0, c1), jnp.float32
+        )
+        # match nn.Dense(dtype=bf16): bf16 operands, f32 accumulation
+        q = jnp.dot(
+            p.astype(jnp.bfloat16), w1.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        if recenter:
+            off = jnp.dot(
+                new_xyz.astype(jnp.bfloat16),
+                w1[:recenter].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            off = jnp.zeros((*new_xyz.shape[:2], c1), jnp.float32)
+
+        def bn_param(name, c, init):
+            return self.param(name, init, (c,), jnp.float32)
+
+        params = SAParams(
+            w2=self.param("w2", nn.initializers.lecun_normal(), (c1, c2),
+                          jnp.float32),
+            w3=self.param("w3", nn.initializers.lecun_normal(), (c2, c3),
+                          jnp.float32),
+            g1=bn_param("bn1_scale", c1, nn.initializers.ones),
+            b1=bn_param("bn1_bias", c1, nn.initializers.zeros),
+            g2=bn_param("bn2_scale", c2, nn.initializers.ones),
+            b2=bn_param("bn2_bias", c2, nn.initializers.zeros),
+            g3=bn_param("bn3_scale", c3, nn.initializers.ones),
+            b3=bn_param("bn3_bias", c3, nn.initializers.zeros),
+        )
+        ra = [
+            (
+                self.variable("batch_stats", f"mean{l}",
+                              lambda c=c: jnp.zeros((c,), jnp.float32)),
+                self.variable("batch_stats", f"var{l}",
+                              lambda c=c: jnp.ones((c,), jnp.float32)),
+            )
+            for l, c in ((1, c1), (2, c2), (3, c3))
+        ]
+
+        if training:
+            out, stats = fused_sa_train(q, off, nidx, params, interpret)
+            if not self.is_initializing():
+                mom = self.bn_momentum
+                batch = [(stats.m1, stats.v1), (stats.m2, stats.v2),
+                         (stats.m3, stats.v3)]
+                for (rm, rv), (bm, bv) in zip(ra, batch):
+                    rm.value = mom * rm.value + (1 - mom) * bm
+                    rv.value = mom * rv.value + (1 - mom) * bv
+        else:
+            running = SAStats(
+                m1=ra[0][0].value, v1=ra[0][1].value,
+                m2=ra[1][0].value, v2=ra[1][1].value,
+                m3=ra[2][0].value, v3=ra[2][1].value,
+            )
+            out = fused_sa_eval(q, off, nidx, params, running,
+                                interpret=interpret)
+        return new_xyz, out
 
 
 class SetAbstractionMSG(nn.Module):

@@ -1,0 +1,835 @@
+"""Fully-fused PointNet++ set-abstraction MLP (Pallas TPU).
+
+The SA layer's hot chain is ``gather → Dense → BN → ReLU ×3 → max`` over
+``rows = B·M·K`` grouped points (reference networks/cls/pointnet2.py:45-57,
+misc/ops.py:289-407 grouping). The unfused XLA path materializes every
+``[rows, C]`` activation in f32 HBM, forward and backward — measured
+~30 ms of the ~51 ms SA1 fwd+bwd at B=64/N=1024
+(scripts/profile_sa.py). Design here:
+
+* the **gather rides the first matmul**: with ``Q = [xyz‖feats]·W1``
+  precomputed in XLA (cheap, [N,C0]×[C0,C1]), the grouped first-layer
+  pre-activation is ``h1 = Q[idx] − newxyz·W1[:3]`` — the gather is the
+  one-hot MXU matmul of ops/pallas/gather.py but *width C1*, which
+  costs the same as width 3 (MXU lanes are 128 wide either way);
+* **only h1 is checkpointed** (bf16, 268 MB ≈ 0.35 ms at SA1). The
+  rest of the chain is so MXU-cheap (tens of GFLOP) that every later
+  pass recomputes it in VMEM from h1 instead of touching HBM — the
+  first version checkpointed h2/h3/dz too and was DMA-bound;
+* train-mode BatchNorm couples all tiles through its batch statistics,
+  so the forward is ``F1`` (gather + Σ/Σ² of h1) then one
+  stats-recompute pass per remaining BN, then the output pass;
+* the backward is the mirrored chain: one reduction pass per BN level
+  (the dstat sums ARE dβ/dγ), ``dW`` as in-kernel row-contraction
+  matmuls, and the input gradient as the transposed one-hot matmul
+  (scatter-as-matmul, hi/lo split for f32 accuracy);
+* kernels take whole per-batch(-tile) blocks and loop over row chunks
+  internally — few large DMAs instead of thousands of small grid
+  blocks;
+* eval mode needs no statistics: one kernel runs the whole chain.
+
+Numerics: matmul inputs are bf16 (exactly the ``nn.Dense(dtype=bf16)``
+policy of the unfused path), accumulation and BN math f32; the h1
+checkpoint is bf16 (the only extra rounding vs the XLA path — ~1e-2
+relative, see tests/test_fused_sa.py and the executable spec
+``fused_sa_reference``). Max-pool backward splits the gradient evenly
+among ties, matching ``jnp.max``; ReLU gradient at 0 is 0, matching
+``jax.nn.relu``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+
+Array = jax.Array
+
+_EPS = 1e-5  # BatchNorm epsilon (nn/layers.py DenseBNAct)
+
+
+class SAParams(NamedTuple):
+    """Learned parameters of the fused 3-layer SA MLP (no Dense biases —
+    bias iff no BN, like DenseBNAct; W1 lives outside, folded into Q)."""
+
+    w2: Array            # [C1, C2]
+    w3: Array            # [C2, C3]
+    g1: Array            # BN scale / offset per layer
+    b1: Array
+    g2: Array
+    b2: Array
+    g3: Array
+    b3: Array
+
+
+class SAStats(NamedTuple):
+    """Per-layer batch statistics (biased variance, flax convention)."""
+
+    m1: Array
+    v1: Array
+    m2: Array
+    v2: Array
+    m3: Array
+    v3: Array
+
+
+def _rsig(v):
+    return lax.rsqrt(v + _EPS)
+
+
+# ---------------------------------------------------------------- tiling
+
+
+def _divisor_tile(m: int, cap: int) -> int:
+    mt = max(1, min(m, cap))
+    while m % mt:
+        mt -= 1
+    return mt
+
+
+def _m_tile(m: int, k: int, bf16_widths: int, f32_widths: int = 0) -> int:
+    """Rows tile from a VMEM budget: double-buffered block bytes per
+    m-row = k·(2·bf16_widths + 4·f32_widths)·2, ~6 MB budget (leaves
+    room for the in-kernel chunk temporaries)."""
+    per_row = 2 * k * (2 * bf16_widths + 4 * f32_widths)
+    return _divisor_tile(m, (6 << 20) // max(1, per_row))
+
+
+def _chunk(mt: int, k: int) -> int:
+    """m-rows per in-kernel chunk (~1024 flat rows)."""
+    return _divisor_tile(mt, max(1, 1024 // k))
+
+
+def _gchunk(mt: int, k: int, n: int) -> int:
+    """Chunk for gather/scatter kernels: the one-hot block
+    [cm·K, N] bf16 (plus its int32 iota) must stay ~2 MB."""
+    return _divisor_tile(mt, max(1, (1 << 21) // (2 * k * n)))
+
+
+# --------------------------------------------------------- kernel helpers
+
+
+def _bn_relu2(h2d, st_ref, with_z=False):
+    """relu(BN(h)) from a folded [1, 4, C] stats block whose rows are
+    (sc, bi, rs, mrs): sc = γ/σ, bi = β − μ·sc, rs = 1/σ, mrs = μ/σ —
+    folding the 5-op BN into a 2-op affine (the passes are VPU-bound)."""
+    sc = st_ref[0, 0:1, :]
+    bi = st_ref[0, 1:2, :]
+    z = h2d * sc + bi
+    y = jnp.maximum(z, 0.0)
+    return (y, z) if with_z else y
+
+
+def _xhat(h2d, st_ref):
+    return h2d * st_ref[0, 2:3, :] - st_ref[0, 3:4, :]
+
+
+def _fwd_to(h1c, st1_ref, st2_ref=None, w2_ref=None):
+    """Recompute the chain from an h1 chunk: returns (y1[, h2, y2])."""
+    y1 = _bn_relu2(h1c, st1_ref)
+    if w2_ref is None:
+        return (y1,)
+    h2 = jnp.dot(y1.astype(jnp.bfloat16), w2_ref[:, :],
+                 preferred_element_type=jnp.float32)
+    y2 = _bn_relu2(h2, st2_ref)
+    return y1, h2, y2
+
+
+def _bn_bwd_row(dz2d, xhat2d, st_ref, s_ref, r: float):
+    """Per-row dh of train-mode BN given the global sums s = [Σdz,
+    Σdz·x̂]: dh = (γ/σ)(dz − Σdz/R − x̂·Σdzx̂/R), with γ/σ read from the
+    folded stats (sc row)."""
+    sc = st_ref[0, 0:1, :]
+    u1 = s_ref[0, 0:1, :] * (1.0 / r)
+    u2 = s_ref[0, 1:2, :] * (1.0 / r)
+    return sc * (dz2d - u1 - xhat2d * u2)
+
+
+def _maxpool_dz(h3_2d, dout2d, st_ref, cm: int, k: int):
+    """Per-row gradient at z3 = BN(h3): max-pool (even tie split,
+    matching jnp.max) then relu mask. h3_2d is a [cm·k, C] chunk,
+    dout2d the matching [cm, C] rows."""
+    c = h3_2d.shape[-1]
+    y, z = _bn_relu2(h3_2d, st_ref, with_z=True)
+    a = y.reshape(cm, k, c)
+    amax = jnp.max(a, axis=1, keepdims=True)
+    ties = (a == amax).astype(jnp.float32)
+    da = dout2d[:, None, :] * ties / jnp.sum(ties, axis=1, keepdims=True)
+    return jnp.where(z > 0, da.reshape(cm * k, c), 0.0)
+
+
+def _bwd_to_dz3(h1c, dout_c, st1, st2, st3, w2, w3, cm, k):
+    """Recompute forward from an h1 chunk, then dz3 per row.
+    Returns (y1, h2, y2, h3, dz3)."""
+    y1, h2, y2 = _fwd_to(h1c, st1, st2, w2)
+    h3 = jnp.dot(y2.astype(jnp.bfloat16), w3[:, :],
+                 preferred_element_type=jnp.float32)
+    dz3 = _maxpool_dz(h3, dout_c, st3, cm, k)
+    return y1, h2, y2, h3, dz3
+
+
+def _psum_init(psum_ref):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        psum_ref[0] = jnp.zeros_like(psum_ref[0])
+
+
+def _acc2(acc, x2d):
+    return (acc[0] + jnp.sum(x2d, axis=0, keepdims=True),
+            acc[1] + jnp.sum(x2d * x2d, axis=0, keepdims=True))
+
+
+def _zeros2(c):
+    return (jnp.zeros((1, c), jnp.float32), jnp.zeros((1, c), jnp.float32))
+
+
+def _row_slice(i, cm):
+    return (0, pl.ds(i * cm, cm), slice(None), slice(None))
+
+
+# ------------------------------------------------------------ fwd kernels
+
+
+def _k_f1(q_ref, idx_ref, off_ref, h1_ref, psum_ref, *, cm: int):
+    """Gather pass: h1 = Q[idx] − off (bf16 checkpoint), Σ/Σ² of h1."""
+    n, c = q_ref.shape[1], q_ref.shape[2]
+    mt, k = idx_ref.shape[1], idx_ref.shape[2]
+    _psum_init(psum_ref)
+
+    lane = lax.broadcasted_iota(jnp.int32, (cm, k, n), 2)
+
+    def body(i, acc):
+        idx = idx_ref[0, pl.ds(i * cm, cm), :]
+        off = off_ref[0, pl.ds(i * cm, cm), :]
+        onehot = (lane == idx[:, :, None]).astype(jnp.bfloat16)
+        g = jnp.dot(onehot.reshape(cm * k, n), q_ref[0],
+                    preferred_element_type=jnp.float32)
+        h1 = g.reshape(cm, k, c) - off[:, None, :]
+        h1_ref[0, pl.ds(i * cm, cm), :, :] = h1.astype(jnp.bfloat16)
+        return _acc2(acc, h1.reshape(cm * k, c))
+
+    s, ss = lax.fori_loop(0, mt // cm, body, _zeros2(c))
+    psum_ref[0] += jnp.concatenate([s, ss], axis=0)
+
+
+def _k_stats2(h1_ref, st1_ref, w2_ref, psum_ref, *, cm: int):
+    """Σ/Σ² of h2 = relu(BN1(h1))·W2 (nothing written but the sums)."""
+    mt, k, c1 = h1_ref.shape[1], h1_ref.shape[2], h1_ref.shape[3]
+    c2 = w2_ref.shape[1]
+    _psum_init(psum_ref)
+
+    def body(i, acc):
+        h1 = h1_ref[0, pl.ds(i * cm, cm), :, :]
+        h1 = h1.astype(jnp.float32).reshape(cm * k, c1)
+        y1 = _bn_relu2(h1, st1_ref)
+        h2 = jnp.dot(y1.astype(jnp.bfloat16), w2_ref[:, :],
+                     preferred_element_type=jnp.float32)
+        return _acc2(acc, h2)
+
+    s, ss = lax.fori_loop(0, mt // cm, body, _zeros2(c2))
+    psum_ref[0] += jnp.concatenate([s, ss], axis=0)
+
+
+def _k_stats3(h1_ref, st1_ref, st2_ref, w2_ref, w3_ref, psum_ref,
+              *, cm: int):
+    """Σ/Σ² of h3, recomputed from h1."""
+    mt, k, c1 = h1_ref.shape[1], h1_ref.shape[2], h1_ref.shape[3]
+    c3 = w3_ref.shape[1]
+    _psum_init(psum_ref)
+
+    def body(i, acc):
+        h1 = h1_ref[0, pl.ds(i * cm, cm), :, :]
+        h1 = h1.astype(jnp.float32).reshape(cm * k, c1)
+        _, _, y2 = _fwd_to(h1, st1_ref, st2_ref, w2_ref)
+        h3 = jnp.dot(y2.astype(jnp.bfloat16), w3_ref[:, :],
+                     preferred_element_type=jnp.float32)
+        return _acc2(acc, h3)
+
+    s, ss = lax.fori_loop(0, mt // cm, body, _zeros2(c3))
+    psum_ref[0] += jnp.concatenate([s, ss], axis=0)
+
+
+def _k_out(h1_ref, st1_ref, st2_ref, st3_ref, w2_ref, w3_ref, out_ref,
+           *, cm: int):
+    """out = max_k relu(BN3(h3)), recomputed from h1."""
+    mt, k, c1 = h1_ref.shape[1], h1_ref.shape[2], h1_ref.shape[3]
+    c3 = w3_ref.shape[1]
+
+    def body(i, _):
+        h1 = h1_ref[0, pl.ds(i * cm, cm), :, :]
+        h1 = h1.astype(jnp.float32).reshape(cm * k, c1)
+        _, _, y2 = _fwd_to(h1, st1_ref, st2_ref, w2_ref)
+        h3 = jnp.dot(y2.astype(jnp.bfloat16), w3_ref[:, :],
+                     preferred_element_type=jnp.float32)
+        y3 = _bn_relu2(h3, st3_ref)
+        out_ref[0, pl.ds(i * cm, cm), :] = jnp.max(
+            y3.reshape(cm, k, c3), axis=1)
+        return 0
+
+    lax.fori_loop(0, mt // cm, body, 0)
+
+
+def _k_eval(q_ref, idx_ref, off_ref, st1_ref, st2_ref, st3_ref,
+            w2_ref, w3_ref, out_ref, *, cm: int):
+    """Eval: gather → chain → max in one kernel (running stats given)."""
+    n, c1 = q_ref.shape[1], q_ref.shape[2]
+    mt, k = idx_ref.shape[1], idx_ref.shape[2]
+    c3 = w3_ref.shape[1]
+
+    lane = lax.broadcasted_iota(jnp.int32, (cm, k, n), 2)
+
+    def body(i, _):
+        idx = idx_ref[0, pl.ds(i * cm, cm), :]
+        off = off_ref[0, pl.ds(i * cm, cm), :]
+        onehot = (lane == idx[:, :, None]).astype(jnp.bfloat16)
+        g = jnp.dot(onehot.reshape(cm * k, n), q_ref[0],
+                    preferred_element_type=jnp.float32)
+        h1 = (g.reshape(cm, k, c1) - off[:, None, :]).reshape(cm * k, c1)
+        _, _, y2 = _fwd_to(h1, st1_ref, st2_ref, w2_ref)
+        h3 = jnp.dot(y2.astype(jnp.bfloat16), w3_ref[:, :],
+                     preferred_element_type=jnp.float32)
+        y3 = _bn_relu2(h3, st3_ref)
+        out_ref[0, pl.ds(i * cm, cm), :] = jnp.max(
+            y3.reshape(cm, k, c3), axis=1)
+        return 0
+
+    lax.fori_loop(0, mt // cm, body, 0)
+
+
+# ------------------------------------------------------------ bwd kernels
+
+
+def _k_bs3(h1_ref, dout_ref, st1_ref, st2_ref, st3_ref, w2_ref, w3_ref,
+           psum_ref, *, cm: int):
+    """BN3 reduction: Σdz3 (=dβ3), Σdz3·x̂3 (=dγ3)."""
+    mt, k, c1 = h1_ref.shape[1], h1_ref.shape[2], h1_ref.shape[3]
+    c3 = w3_ref.shape[1]
+    _psum_init(psum_ref)
+
+    def body(i, acc):
+        h1 = h1_ref[0, pl.ds(i * cm, cm), :, :]
+        h1 = h1.astype(jnp.float32).reshape(cm * k, c1)
+        dout = dout_ref[0, pl.ds(i * cm, cm), :]
+        _, _, _, h3, dz3 = _bwd_to_dz3(h1, dout, st1_ref, st2_ref,
+                                       st3_ref, w2_ref, w3_ref, cm, k)
+        xh3 = _xhat(h3, st3_ref)
+        return (acc[0] + jnp.sum(dz3, axis=0, keepdims=True),
+                acc[1] + jnp.sum(dz3 * xh3, axis=0, keepdims=True))
+
+    s, ss = lax.fori_loop(0, mt // cm, body, _zeros2(c3))
+    psum_ref[0] += jnp.concatenate([s, ss], axis=0)
+
+
+def _k_bw3(h1_ref, dout_ref, st1_ref, st2_ref, st3_ref, w2_ref, w3_ref,
+           wt3_ref, s3_ref, dw3_ref, psum_ref, *, cm: int, r: float):
+    """dW3 = Σ y2ᵀ·dh3 and the BN2 sums (Σdz2, Σdz2·x̂2)."""
+    mt, k, c1 = h1_ref.shape[1], h1_ref.shape[2], h1_ref.shape[3]
+    c2 = w2_ref.shape[1]
+    _psum_init(psum_ref)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dw3_ref[0] = jnp.zeros_like(dw3_ref[0])
+
+    contract = (((0,), (0,)), ((), ()))
+
+    def body(i, acc):
+        dw3, s, ss = acc
+        h1 = h1_ref[0, pl.ds(i * cm, cm), :, :]
+        h1 = h1.astype(jnp.float32).reshape(cm * k, c1)
+        dout = dout_ref[0, pl.ds(i * cm, cm), :]
+        y1 = _bn_relu2(h1, st1_ref)
+        h2 = jnp.dot(y1.astype(jnp.bfloat16), w2_ref[:, :],
+                     preferred_element_type=jnp.float32)
+        y2, z2 = _bn_relu2(h2, st2_ref, with_z=True)
+        h3 = jnp.dot(y2.astype(jnp.bfloat16), w3_ref[:, :],
+                     preferred_element_type=jnp.float32)
+        dz3 = _maxpool_dz(h3, dout, st3_ref, cm, k)
+        dh3 = _bn_bwd_row(dz3, _xhat(h3, st3_ref), st3_ref, s3_ref, r)
+        dw3 = dw3 + lax.dot_general(
+            y2.astype(jnp.bfloat16), dh3.astype(jnp.bfloat16), contract,
+            preferred_element_type=jnp.float32)
+        dy2 = jnp.dot(dh3.astype(jnp.bfloat16), wt3_ref[:, :],
+                      preferred_element_type=jnp.float32)
+        dz2 = jnp.where(z2 > 0, dy2, 0.0)
+        xh2 = _xhat(h2, st2_ref)
+        return (dw3,
+                s + jnp.sum(dz2, axis=0, keepdims=True),
+                ss + jnp.sum(dz2 * xh2, axis=0, keepdims=True))
+
+    c3 = w3_ref.shape[1]
+    dw3, s, ss = lax.fori_loop(
+        0, mt // cm, body,
+        (jnp.zeros((c2, c3), jnp.float32),) + _zeros2(c2))
+    dw3_ref[0] += dw3
+    psum_ref[0] += jnp.concatenate([s, ss], axis=0)
+
+
+def _k_bw2(h1_ref, dout_ref, st1_ref, st2_ref, st3_ref, w2_ref, w3_ref,
+           wt3_ref, wt2_ref, s3_ref, s2_ref, dw2_ref, psum_ref,
+           *, cm: int, r: float):
+    """dW2 = Σ y1ᵀ·dh2 and the BN1 sums (Σdz1, Σdz1·x̂1)."""
+    mt, k, c1 = h1_ref.shape[1], h1_ref.shape[2], h1_ref.shape[3]
+    c2 = w2_ref.shape[1]
+    _psum_init(psum_ref)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dw2_ref[0] = jnp.zeros_like(dw2_ref[0])
+
+    contract = (((0,), (0,)), ((), ()))
+
+    def body(i, acc):
+        dw2, s, ss = acc
+        h1 = h1_ref[0, pl.ds(i * cm, cm), :, :]
+        h1 = h1.astype(jnp.float32).reshape(cm * k, c1)
+        dout = dout_ref[0, pl.ds(i * cm, cm), :]
+        y1, z1 = _bn_relu2(h1, st1_ref, with_z=True)
+        h2 = jnp.dot(y1.astype(jnp.bfloat16), w2_ref[:, :],
+                     preferred_element_type=jnp.float32)
+        y2, z2 = _bn_relu2(h2, st2_ref, with_z=True)
+        h3 = jnp.dot(y2.astype(jnp.bfloat16), w3_ref[:, :],
+                     preferred_element_type=jnp.float32)
+        dz3 = _maxpool_dz(h3, dout, st3_ref, cm, k)
+        dh3 = _bn_bwd_row(dz3, _xhat(h3, st3_ref), st3_ref, s3_ref, r)
+        dy2 = jnp.dot(dh3.astype(jnp.bfloat16), wt3_ref[:, :],
+                      preferred_element_type=jnp.float32)
+        dz2 = jnp.where(z2 > 0, dy2, 0.0)
+        dh2 = _bn_bwd_row(dz2, _xhat(h2, st2_ref), st2_ref, s2_ref, r)
+        dw2 = dw2 + lax.dot_general(
+            y1.astype(jnp.bfloat16), dh2.astype(jnp.bfloat16), contract,
+            preferred_element_type=jnp.float32)
+        dy1 = jnp.dot(dh2.astype(jnp.bfloat16), wt2_ref[:, :],
+                      preferred_element_type=jnp.float32)
+        dz1 = jnp.where(z1 > 0, dy1, 0.0)
+        xh1 = _xhat(h1, st1_ref)
+        return (dw2,
+                s + jnp.sum(dz1, axis=0, keepdims=True),
+                ss + jnp.sum(dz1 * xh1, axis=0, keepdims=True))
+
+    dw2, s, ss = lax.fori_loop(
+        0, mt // cm, body,
+        (jnp.zeros((c1, c2), jnp.float32),) + _zeros2(c1))
+    dw2_ref[0] += dw2
+    psum_ref[0] += jnp.concatenate([s, ss], axis=0)
+
+
+def _k_b4(h1_ref, dout_ref, idx_ref, st1_ref, st2_ref, st3_ref,
+          w2_ref, w3_ref, wt3_ref, wt2_ref, s3_ref, s2_ref, s1_ref,
+          dq_ref, doff_ref, *, cm: int, r: float):
+    """dh1 per row → dQ = onehotᵀ·dh1 (hi/lo scatter-as-matmul) and
+    dOff = −Σₖ dh1."""
+    mt, k, c1 = h1_ref.shape[1], h1_ref.shape[2], h1_ref.shape[3]
+    n = dq_ref.shape[1]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dq_ref[0] = jnp.zeros_like(dq_ref[0])
+
+    contract = (((0,), (0,)), ((), ()))
+    lane = lax.broadcasted_iota(jnp.int32, (cm, k, n), 2)
+
+    def body(i, dq):
+        h1 = h1_ref[0, pl.ds(i * cm, cm), :, :]
+        h1 = h1.astype(jnp.float32).reshape(cm * k, c1)
+        dout = dout_ref[0, pl.ds(i * cm, cm), :]
+        idx = idx_ref[0, pl.ds(i * cm, cm), :]
+        y1, z1 = _bn_relu2(h1, st1_ref, with_z=True)
+        h2 = jnp.dot(y1.astype(jnp.bfloat16), w2_ref[:, :],
+                     preferred_element_type=jnp.float32)
+        y2, z2 = _bn_relu2(h2, st2_ref, with_z=True)
+        h3 = jnp.dot(y2.astype(jnp.bfloat16), w3_ref[:, :],
+                     preferred_element_type=jnp.float32)
+        dz3 = _maxpool_dz(h3, dout, st3_ref, cm, k)
+        dh3 = _bn_bwd_row(dz3, _xhat(h3, st3_ref), st3_ref, s3_ref, r)
+        dy2 = jnp.dot(dh3.astype(jnp.bfloat16), wt3_ref[:, :],
+                      preferred_element_type=jnp.float32)
+        dz2 = jnp.where(z2 > 0, dy2, 0.0)
+        dh2 = _bn_bwd_row(dz2, _xhat(h2, st2_ref), st2_ref, s2_ref, r)
+        dy1 = jnp.dot(dh2.astype(jnp.bfloat16), wt2_ref[:, :],
+                      preferred_element_type=jnp.float32)
+        dz1 = jnp.where(z1 > 0, dy1, 0.0)
+        dh1 = _bn_bwd_row(dz1, _xhat(h1, st1_ref), st1_ref, s1_ref, r)
+
+        doff_ref[0, pl.ds(i * cm, cm), :] = -jnp.sum(
+            dh1.reshape(cm, k, c1), axis=1)
+        onehot = (lane == idx[:, :, None]).astype(jnp.bfloat16)
+        onehot = onehot.reshape(cm * k, n)
+        hi = dh1.astype(jnp.bfloat16)
+        lo = (dh1 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = lax.dot_general(onehot, hi, contract,
+                              preferred_element_type=jnp.float32)
+        acc += lax.dot_general(onehot, lo, contract,
+                               preferred_element_type=jnp.float32)
+        return dq + acc
+
+    dq = lax.fori_loop(0, mt // cm, body,
+                       jnp.zeros((n, c1), jnp.float32))
+    dq_ref[0] += dq
+
+
+# ---------------------------------------------------------- orchestration
+
+
+def _stack_stats(mu, var, gam, bet):
+    """Fold BN parameters+statistics into the kernel-side affine
+    constants (sc, bi, rs, mrs) — see _bn_relu2."""
+    rs = _rsig(var)
+    sc = gam * rs
+    bi = bet - mu * sc
+    return jnp.stack([sc, bi, rs, mu * rs]).astype(jnp.float32)[None]
+
+
+def _moments(psum, r):
+    mean = psum[0] / r
+    var = jnp.maximum(psum[1] / r - mean * mean, 0.0)
+    return mean, var
+
+
+def _st_spec(c):
+    return pl.BlockSpec((1, 4, c), lambda *a: (0, 0, 0))
+
+
+def _ps_spec(c):
+    return pl.BlockSpec((1, 2, c), lambda *a: (0, 0, 0))
+
+
+def _w_spec(w):
+    return pl.BlockSpec(w.shape, lambda *a: (0, 0))
+
+
+def _flat(m, mt, tail):
+    nmt = m // mt
+    return pl.BlockSpec(
+        (1, mt) + tail, lambda i: (i // nmt, i % nmt) + (0,) * len(tail))
+
+
+def _call_f1(q, idx, off, interpret):
+    b, n, c1 = q.shape
+    _, m, k = idx.shape
+    mt = _m_tile(m, k, bf16_widths=c1)
+    cm = _gchunk(mt, k, n)
+    h1, psum = pl.pallas_call(
+        functools.partial(_k_f1, cm=cm),
+        grid=(b * (m // mt),),
+        in_specs=[
+            pl.BlockSpec((1, n, c1), lambda i, _m=m, _mt=mt:
+                         (i // (_m // _mt), 0, 0)),
+            _flat(m, mt, (k,)),
+            _flat(m, mt, (c1,)),
+        ],
+        out_specs=[_flat(m, mt, (k, c1)), _ps_spec(c1)],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, m, k, c1), jnp.bfloat16),
+            jax.ShapeDtypeStruct((1, 2, c1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q.astype(jnp.bfloat16), idx.astype(jnp.int32),
+      off.astype(jnp.float32))
+    return h1, psum
+
+
+def _call_stats2(h1, st1, w2, interpret):
+    b, m, k, c1 = h1.shape
+    c2 = w2.shape[1]
+    mt = _m_tile(m, k, bf16_widths=c1)
+    psum = pl.pallas_call(
+        functools.partial(_k_stats2, cm=_chunk(mt, k)),
+        grid=(b * (m // mt),),
+        in_specs=[_flat(m, mt, (k, c1)), _st_spec(c1), _w_spec(w2)],
+        out_specs=_ps_spec(c2),
+        out_shape=jax.ShapeDtypeStruct((1, 2, c2), jnp.float32),
+        interpret=interpret,
+    )(h1, st1, w2.astype(jnp.bfloat16))
+    return psum
+
+
+def _call_stats3(h1, st1, st2, w2, w3, interpret):
+    b, m, k, c1 = h1.shape
+    c3 = w3.shape[1]
+    mt = _m_tile(m, k, bf16_widths=c1)
+    psum = pl.pallas_call(
+        functools.partial(_k_stats3, cm=_chunk(mt, k)),
+        grid=(b * (m // mt),),
+        in_specs=[_flat(m, mt, (k, c1)), _st_spec(c1), _st_spec(w2.shape[1]),
+                  _w_spec(w2), _w_spec(w3)],
+        out_specs=_ps_spec(c3),
+        out_shape=jax.ShapeDtypeStruct((1, 2, c3), jnp.float32),
+        interpret=interpret,
+    )(h1, st1, st2, w2.astype(jnp.bfloat16), w3.astype(jnp.bfloat16))
+    return psum
+
+
+def _call_out(h1, st1, st2, st3, w2, w3, interpret):
+    b, m, k, c1 = h1.shape
+    c3 = w3.shape[1]
+    mt = _m_tile(m, k, bf16_widths=c1)
+    return pl.pallas_call(
+        functools.partial(_k_out, cm=_chunk(mt, k)),
+        grid=(b * (m // mt),),
+        in_specs=[_flat(m, mt, (k, c1)), _st_spec(c1),
+                  _st_spec(w2.shape[1]), _st_spec(c3),
+                  _w_spec(w2), _w_spec(w3)],
+        out_specs=_flat(m, mt, (c3,)),
+        out_shape=jax.ShapeDtypeStruct((b, m, c3), jnp.float32),
+        interpret=interpret,
+    )(h1, st1, st2, st3, w2.astype(jnp.bfloat16), w3.astype(jnp.bfloat16))
+
+
+def _fused_fwd_impl(q, off, idx, params: SAParams, interpret):
+    b = q.shape[0]
+    _, m, k = idx.shape
+    r = float(b * m * k)
+
+    h1, p1 = _call_f1(q, idx, off, interpret)
+    m1, v1 = _moments(p1[0], r)
+    st1 = _stack_stats(m1, v1, params.g1, params.b1)
+
+    p2 = _call_stats2(h1, st1, params.w2, interpret)
+    m2, v2 = _moments(p2[0], r)
+    st2 = _stack_stats(m2, v2, params.g2, params.b2)
+
+    p3 = _call_stats3(h1, st1, st2, params.w2, params.w3, interpret)
+    m3, v3 = _moments(p3[0], r)
+    st3 = _stack_stats(m3, v3, params.g3, params.b3)
+
+    out = _call_out(h1, st1, st2, st3, params.w2, params.w3, interpret)
+    stats = SAStats(m1, v1, m2, v2, m3, v3)
+    return out, stats, (h1, st1, st2, st3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def fused_sa_train(q, off, idx, params: SAParams, interpret=False):
+    """Train-mode fused SA MLP.
+
+    ``q [B,N,C1]`` = points ⋅ W1 (the first Dense pre-applied in XLA so
+    the gather is MXU-lane wide), ``off [B,M,C1]`` = the recentering
+    offset ``new_xyz ⋅ W1[:3]``, ``idx [B,M,K]`` neighbor indices (all
+    valid — ball query pads by repetition, and those repeats are part
+    of the BN statistics exactly as in the reference). Returns
+    ``(out [B,M,C3], SAStats)``; the stats outputs feed the running BN
+    update and are not differentiated.
+    """
+    out, stats, _ = _fused_fwd_impl(q, off, idx, params, interpret)
+    return out, stats
+
+
+def _fused_train_fwd(q, off, idx, params, interpret):
+    out, stats, (h1, st1, st2, st3) = _fused_fwd_impl(
+        q, off, idx, params, interpret)
+    res = (idx, h1, st1, st2, st3, params, q.shape[1])
+    return (out, stats), res
+
+
+def _call_bs3(h1, dout, st1, st2, st3, w2, w3, interpret):
+    b, m, k, c1 = h1.shape
+    c3 = w3.shape[1]
+    mt = _m_tile(m, k, bf16_widths=c1, f32_widths=c3 // k + 1)
+    return pl.pallas_call(
+        functools.partial(_k_bs3, cm=_chunk(mt, k)),
+        grid=(b * (m // mt),),
+        in_specs=[_flat(m, mt, (k, c1)), _flat(m, mt, (c3,)),
+                  _st_spec(c1), _st_spec(w2.shape[1]), _st_spec(c3),
+                  _w_spec(w2), _w_spec(w3)],
+        out_specs=_ps_spec(c3),
+        out_shape=jax.ShapeDtypeStruct((1, 2, c3), jnp.float32),
+        interpret=interpret,
+    )(h1, dout, st1, st2, st3,
+      w2.astype(jnp.bfloat16), w3.astype(jnp.bfloat16))
+
+
+def _call_bw3(h1, dout, st1, st2, st3, w2, w3, s3, r, interpret):
+    b, m, k, c1 = h1.shape
+    c2, c3 = w2.shape[1], w3.shape[1]
+    mt = _m_tile(m, k, bf16_widths=c1, f32_widths=c3 // k + 1)
+    dw3, psum = pl.pallas_call(
+        functools.partial(_k_bw3, cm=_chunk(mt, k), r=r),
+        grid=(b * (m // mt),),
+        in_specs=[_flat(m, mt, (k, c1)), _flat(m, mt, (c3,)),
+                  _st_spec(c1), _st_spec(c2), _st_spec(c3),
+                  _w_spec(w2), _w_spec(w3),
+                  pl.BlockSpec((c3, c2), lambda *a: (0, 0)),
+                  _ps_spec(c3)],
+        out_specs=[pl.BlockSpec((1, c2, c3), lambda *a: (0, 0, 0)),
+                   _ps_spec(c2)],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, c2, c3), jnp.float32),
+            jax.ShapeDtypeStruct((1, 2, c2), jnp.float32),
+        ],
+        interpret=interpret,
+    )(h1, dout, st1, st2, st3,
+      w2.astype(jnp.bfloat16), w3.astype(jnp.bfloat16),
+      jnp.swapaxes(w3, 0, 1).astype(jnp.bfloat16), s3)
+    return dw3[0], psum
+
+
+def _call_bw2(h1, dout, st1, st2, st3, w2, w3, s3, s2, r, interpret):
+    b, m, k, c1 = h1.shape
+    c2, c3 = w2.shape[1], w3.shape[1]
+    mt = _m_tile(m, k, bf16_widths=c1, f32_widths=c3 // k + 1)
+    dw2, psum = pl.pallas_call(
+        functools.partial(_k_bw2, cm=_chunk(mt, k), r=r),
+        grid=(b * (m // mt),),
+        in_specs=[_flat(m, mt, (k, c1)), _flat(m, mt, (c3,)),
+                  _st_spec(c1), _st_spec(c2), _st_spec(c3),
+                  _w_spec(w2), _w_spec(w3),
+                  pl.BlockSpec((c3, c2), lambda *a: (0, 0)),
+                  pl.BlockSpec((c2, c1), lambda *a: (0, 0)),
+                  _ps_spec(c3), _ps_spec(c2)],
+        out_specs=[pl.BlockSpec((1, c1, c2), lambda *a: (0, 0, 0)),
+                   _ps_spec(c1)],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, c1, c2), jnp.float32),
+            jax.ShapeDtypeStruct((1, 2, c1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(h1, dout, st1, st2, st3,
+      w2.astype(jnp.bfloat16), w3.astype(jnp.bfloat16),
+      jnp.swapaxes(w3, 0, 1).astype(jnp.bfloat16),
+      jnp.swapaxes(w2, 0, 1).astype(jnp.bfloat16), s3, s2)
+    return dw2[0], psum
+
+
+def _call_b4(h1, dout, idx, st1, st2, st3, w2, w3, s3, s2, s1, r, n,
+             interpret):
+    b, m, k, c1 = h1.shape
+    c2, c3 = w2.shape[1], w3.shape[1]
+    mt = _m_tile(m, k, bf16_widths=c1, f32_widths=c3 // k + 1)
+    dq, doff = pl.pallas_call(
+        functools.partial(_k_b4, cm=_gchunk(mt, k, n), r=r),
+        grid=(b, m // mt),
+        in_specs=[
+            pl.BlockSpec((1, mt, k, c1), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, mt, c3), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, mt, k), lambda i, j: (i, j, 0)),
+            _st_spec(c1), _st_spec(c2), _st_spec(c3),
+            _w_spec(w2), _w_spec(w3),
+            pl.BlockSpec((c3, c2), lambda i, j: (0, 0)),
+            pl.BlockSpec((c2, c1), lambda i, j: (0, 0)),
+            _ps_spec(c3), _ps_spec(c2), _ps_spec(c1),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n, c1), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, mt, c1), lambda i, j: (i, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, c1), jnp.float32),
+            jax.ShapeDtypeStruct((b, m, c1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(h1, dout, idx.astype(jnp.int32), st1, st2, st3,
+      w2.astype(jnp.bfloat16), w3.astype(jnp.bfloat16),
+      jnp.swapaxes(w3, 0, 1).astype(jnp.bfloat16),
+      jnp.swapaxes(w2, 0, 1).astype(jnp.bfloat16), s3, s2, s1)
+    return dq, doff
+
+
+def _fused_train_bwd(interpret, res, cts):
+    (dout, _dstats) = cts  # stats feed running updates only
+    idx, h1, st1, st2, st3, params, n = res
+    b, m, k, _ = h1.shape
+    r = float(b * m * k)
+    w2, w3 = params.w2, params.w3
+
+    s3 = _call_bs3(h1, dout, st1, st2, st3, w2, w3, interpret)
+    dw3, s2 = _call_bw3(h1, dout, st1, st2, st3, w2, w3, s3, r,
+                        interpret)
+    dw2, s1 = _call_bw2(h1, dout, st1, st2, st3, w2, w3, s3, s2, r,
+                        interpret)
+    dq, doff = _call_b4(h1, dout, idx, st1, st2, st3, w2, w3,
+                        s3, s2, s1, r, n, interpret)
+
+    dparams = SAParams(
+        w2=dw2, w3=dw3,
+        g1=s1[0, 1], b1=s1[0, 0],
+        g2=s2[0, 1], b2=s2[0, 0],
+        g3=s3[0, 1], b3=s3[0, 0],
+    )
+    return dq, doff, None, dparams
+
+
+fused_sa_train.defvjp(_fused_train_fwd, _fused_train_bwd)
+
+
+def fused_sa_reference(q, off, idx, params: SAParams):
+    """Pure-jnp replica of the fused train-mode math, including every
+    rounding the kernels perform (bf16 gather operand, bf16 h1
+    checkpoint, bf16 matmul inputs; h2/h3 recomputed in f32).
+    Differentiable by jax AD — the test oracle for the hand-written
+    VJP, and executable documentation of the kernel semantics."""
+    b, n, c1 = q.shape
+    _, m, k = idx.shape
+
+    def bf(x):
+        return x.astype(jnp.bfloat16).astype(jnp.float32)
+
+    g = jnp.take_along_axis(
+        bf(q), idx.reshape(b, m * k)[..., None], axis=1
+    ).reshape(b, m, k, c1)
+    h1 = g - off[:, :, None, :]
+
+    def moments(h):
+        flat = h.reshape(-1, h.shape[-1])
+        mean = jnp.mean(flat, axis=0)
+        var = jnp.maximum(jnp.mean(flat * flat, axis=0) - mean ** 2, 0.0)
+        return mean, var
+
+    def bn_relu(h, stats, gam, bet):
+        mean, var = stats
+        z = gam * (h - mean) * _rsig(var) + bet
+        return jnp.maximum(z, 0.0)
+
+    # stats of h1 are accumulated BEFORE the bf16 checkpoint rounding;
+    # every recompute pass then reads the rounded h1
+    s1 = moments(h1)
+    y1 = bn_relu(bf(h1), s1, params.g1, params.b1)
+    h2 = jnp.einsum(
+        "bmkc,cd->bmkd", y1.astype(jnp.bfloat16),
+        params.w2.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32)
+    s2 = moments(h2)
+    y2 = bn_relu(h2, s2, params.g2, params.b2)
+    h3 = jnp.einsum(
+        "bmkc,cd->bmkd", y2.astype(jnp.bfloat16),
+        params.w3.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32)
+    s3 = moments(h3)
+    y3 = bn_relu(h3, s3, params.g3, params.b3)
+    out = jnp.max(y3, axis=2)
+    return out, SAStats(s1[0], s1[1], s2[0], s2[1], s3[0], s3[1])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_sa_eval(q, off, idx, params: SAParams, stats: SAStats,
+                  interpret=False):
+    """Eval-mode fused SA MLP: one kernel, given (running) stats."""
+    b, n, c1 = q.shape
+    _, m, k = idx.shape
+    c2 = params.w2.shape[1]
+    c3 = params.w3.shape[1]
+    st1 = _stack_stats(stats.m1, stats.v1, params.g1, params.b1)
+    st2 = _stack_stats(stats.m2, stats.v2, params.g2, params.b2)
+    st3 = _stack_stats(stats.m3, stats.v3, params.g3, params.b3)
+    mt = _m_tile(m, k, bf16_widths=c1)
+    cm = _gchunk(mt, k, n)
+    return pl.pallas_call(
+        functools.partial(_k_eval, cm=cm),
+        grid=(b * (m // mt),),
+        in_specs=[
+            pl.BlockSpec((1, n, c1), lambda i, _m=m, _mt=mt:
+                         (i // (_m // _mt), 0, 0)),
+            _flat(m, mt, (k,)),
+            _flat(m, mt, (c1,)),
+            _st_spec(c1), _st_spec(c2), _st_spec(c3),
+            _w_spec(params.w2), _w_spec(params.w3),
+        ],
+        out_specs=_flat(m, mt, (c3,)),
+        out_shape=jax.ShapeDtypeStruct((b, m, c3), jnp.float32),
+        interpret=interpret,
+    )(q.astype(jnp.bfloat16), idx.astype(jnp.int32),
+      off.astype(jnp.float32), st1, st2, st3,
+      params.w2.astype(jnp.bfloat16), params.w3.astype(jnp.bfloat16))

@@ -48,3 +48,46 @@ def test_seg_predictor_shapes(tmp_path):
     pred = p.predict(clouds, labels=np.array([0, 5]))
     assert pred.shape == (2, 64)
     assert (pred >= 0).all() and (pred < 50).all()
+
+
+def test_padding_exact_for_pointnet():
+    """Repetition padding is exactly invariant for max-pooled pointwise
+    models: predict_proba at a non-bucket N equals running the model at
+    the exact shape."""
+    from pointcloudlib_tpu.train.state import init_variables
+    import jax.numpy as jnp
+
+    model = get_cls_model("pointnet", n_classes=40)
+    rng = np.random.default_rng(1)
+    clouds = rng.standard_normal((3, 200, 3)).astype(np.float32)
+    variables = init_variables(model, jax.random.key(0),
+                               jnp.asarray(clouds[:1]), None)
+    p = Predictor(model, variables, with_normals=False, batch_size=4)
+    got = p.predict_proba(clouds)  # pads 200 -> 256 by repetition
+    exact = np.asarray(jax.nn.softmax(
+        model.apply(variables, jnp.asarray(clouds), None, training=False),
+        axis=-1))
+    np.testing.assert_allclose(got, exact, rtol=1e-5, atol=1e-6)
+
+
+def test_padding_harmless_for_dgcnn():
+    """Graph models see only real geometry: repetition padding changes
+    the kNN graph only by duplicate edges near the padded points, so
+    predictions match the exact-shape run (zero padding would inject
+    phantom origin points and break this)."""
+    from pointcloudlib_tpu.train.state import init_variables
+    import jax.numpy as jnp
+
+    model = get_cls_model("dgcnn", n_classes=40)
+    rng = np.random.default_rng(2)
+    clouds = rng.standard_normal((2, 250, 3)).astype(np.float32)
+    clouds /= np.linalg.norm(clouds, axis=-1, keepdims=True)
+    variables = init_variables(model, jax.random.key(0),
+                               jnp.asarray(clouds[:1]), None)
+    p = Predictor(model, variables, with_normals=False, batch_size=2)
+    got = p.predict_proba(clouds)  # pads 250 -> 256 by repetition
+    exact = np.asarray(jax.nn.softmax(
+        model.apply(variables, jnp.asarray(clouds), None, training=False),
+        axis=-1))
+    assert (got.argmax(-1) == exact.argmax(-1)).all()
+    np.testing.assert_allclose(got, exact, rtol=0.05, atol=0.02)
