@@ -100,8 +100,9 @@ def _m_tile(m: int, k: int, bf16_widths: int, f32_widths: int = 0) -> int:
 
 
 def _chunk(mt: int, k: int) -> int:
-    """m-rows per in-kernel chunk (~1024 flat rows)."""
-    return _divisor_tile(mt, max(1, 1024 // k))
+    """m-rows per in-kernel chunk (~2048 flat rows — bigger vector ops
+    beat smaller temporaries while VMEM still fits)."""
+    return _divisor_tile(mt, max(1, 2048 // k))
 
 
 def _gchunk(mt: int, k: int, n: int) -> int:
@@ -301,44 +302,41 @@ def _k_eval(q_ref, idx_ref, off_ref, st1_ref, st2_ref, st3_ref,
 
 
 # ------------------------------------------------------------ bwd kernels
+#
+# Two passes instead of one per BN level: the BN backward needs global
+# sums before any per-row gradient exists, which naively chains four
+# passes (S3 → dW3/S2 → dW2/S1 → dQ). But dh = (γ/σ)(dz − Σdz/R −
+# x̂·Σdzx̂/R) is AFFINE in the unknown sums, so every quantity built
+# from dh3 factors into row-contractions that can be accumulated
+# BEFORE S3 is known and combined in XLA afterwards:
+#
+#   P1 accumulates, per chunk, one [3·C2, 2·C3] matmul
+#   ([y2 ‖ m2 ‖ m2·x̂2]ᵀ · [dz3 ‖ x̂3]) plus row sums — enough to derive
+#   S3 (=dβ3/dγ3), dW3, and the BN2 sums S2 in XLA;
+#   P2 (with S3, S2 now known) computes per-row dh2/dz1 directly,
+#   accumulates dW2, S1, and the scatter pieces
+#   onehotᵀ·[dz1 ‖ x̂1 ‖ 1] plus the per-center sums Σₖdz1 / Σₖx̂1 —
+#   dQ and dOff are affine in the still-unknown S1 and assembled in
+#   XLA: dQ = sc1·(Σo·dz1 − cnt·u1 − Σo·x̂1·u2).
 
 
-def _k_bs3(h1_ref, dout_ref, st1_ref, st2_ref, st3_ref, w2_ref, w3_ref,
-           psum_ref, *, cm: int):
-    """BN3 reduction: Σdz3 (=dβ3), Σdz3·x̂3 (=dγ3)."""
-    mt, k, c1 = h1_ref.shape[1], h1_ref.shape[2], h1_ref.shape[3]
-    c3 = w3_ref.shape[1]
-    _psum_init(psum_ref)
-
-    def body(i, acc):
-        h1 = h1_ref[0, pl.ds(i * cm, cm), :, :]
-        h1 = h1.astype(jnp.float32).reshape(cm * k, c1)
-        dout = dout_ref[0, pl.ds(i * cm, cm), :]
-        _, _, _, h3, dz3 = _bwd_to_dz3(h1, dout, st1_ref, st2_ref,
-                                       st3_ref, w2_ref, w3_ref, cm, k)
-        xh3 = _xhat(h3, st3_ref)
-        return (acc[0] + jnp.sum(dz3, axis=0, keepdims=True),
-                acc[1] + jnp.sum(dz3 * xh3, axis=0, keepdims=True))
-
-    s, ss = lax.fori_loop(0, mt // cm, body, _zeros2(c3))
-    psum_ref[0] += jnp.concatenate([s, ss], axis=0)
-
-
-def _k_bw3(h1_ref, dout_ref, st1_ref, st2_ref, st3_ref, w2_ref, w3_ref,
-           wt3_ref, s3_ref, dw3_ref, psum_ref, *, cm: int, r: float):
-    """dW3 = Σ y2ᵀ·dh3 and the BN2 sums (Σdz2, Σdz2·x̂2)."""
+def _k_p1(h1_ref, dout_ref, st1_ref, st2_ref, st3_ref, w2_ref, w3_ref,
+          ps3_ref, ps2_ref, mats_ref, *, cm: int):
+    """Backward pass 1: S3 sums + the 6 row-contraction accumulators."""
     mt, k, c1 = h1_ref.shape[1], h1_ref.shape[2], h1_ref.shape[3]
     c2 = w2_ref.shape[1]
-    _psum_init(psum_ref)
+    c3 = w3_ref.shape[1]
+    _psum_init(ps3_ref)
 
     @pl.when(pl.program_id(0) == 0)
     def _():
-        dw3_ref[0] = jnp.zeros_like(dw3_ref[0])
+        ps2_ref[0] = jnp.zeros_like(ps2_ref[0])
+        mats_ref[0] = jnp.zeros_like(mats_ref[0])
 
     contract = (((0,), (0,)), ((), ()))
 
     def body(i, acc):
-        dw3, s, ss = acc
+        s, ss, vecs, mats = acc
         h1 = h1_ref[0, pl.ds(i * cm, cm), :, :]
         h1 = h1.astype(jnp.float32).reshape(cm * k, c1)
         dout = dout_ref[0, pl.ds(i * cm, cm), :]
@@ -349,91 +347,52 @@ def _k_bw3(h1_ref, dout_ref, st1_ref, st2_ref, st3_ref, w2_ref, w3_ref,
         h3 = jnp.dot(y2.astype(jnp.bfloat16), w3_ref[:, :],
                      preferred_element_type=jnp.float32)
         dz3 = _maxpool_dz(h3, dout, st3_ref, cm, k)
-        dh3 = _bn_bwd_row(dz3, _xhat(h3, st3_ref), st3_ref, s3_ref, r)
-        dw3 = dw3 + lax.dot_general(
-            y2.astype(jnp.bfloat16), dh3.astype(jnp.bfloat16), contract,
-            preferred_element_type=jnp.float32)
-        dy2 = jnp.dot(dh3.astype(jnp.bfloat16), wt3_ref[:, :],
-                      preferred_element_type=jnp.float32)
-        dz2 = jnp.where(z2 > 0, dy2, 0.0)
+        xh3 = _xhat(h3, st3_ref)
+        m2 = (z2 > 0).astype(jnp.float32)
         xh2 = _xhat(h2, st2_ref)
-        return (dw3,
-                s + jnp.sum(dz2, axis=0, keepdims=True),
-                ss + jnp.sum(dz2 * xh2, axis=0, keepdims=True))
+        left = jnp.concatenate([y2, m2, m2 * xh2], axis=1)   # [rows, 3C2]
+        right = jnp.concatenate([dz3, xh3], axis=1)          # [rows, 2C3]
+        mats = mats + lax.dot_general(
+            left.astype(jnp.bfloat16), right.astype(jnp.bfloat16),
+            contract, preferred_element_type=jnp.float32)
+        return (s + jnp.sum(dz3, axis=0, keepdims=True),
+                ss + jnp.sum(dz3 * xh3, axis=0, keepdims=True),
+                vecs + jnp.sum(left, axis=0, keepdims=True),
+                mats)
 
-    c3 = w3_ref.shape[1]
-    dw3, s, ss = lax.fori_loop(
+    s, ss, vecs, mats = lax.fori_loop(
         0, mt // cm, body,
-        (jnp.zeros((c2, c3), jnp.float32),) + _zeros2(c2))
-    dw3_ref[0] += dw3
-    psum_ref[0] += jnp.concatenate([s, ss], axis=0)
+        _zeros2(c3) + (jnp.zeros((1, 3 * c2), jnp.float32),
+                       jnp.zeros((3 * c2, 2 * c3), jnp.float32)))
+    ps3_ref[0] += jnp.concatenate([s, ss], axis=0)
+    ps2_ref[0] += vecs
+    mats_ref[0] += mats
 
 
-def _k_bw2(h1_ref, dout_ref, st1_ref, st2_ref, st3_ref, w2_ref, w3_ref,
-           wt3_ref, wt2_ref, s3_ref, s2_ref, dw2_ref, psum_ref,
-           *, cm: int, r: float):
-    """dW2 = Σ y1ᵀ·dh2 and the BN1 sums (Σdz1, Σdz1·x̂1)."""
+def _k_p2(h1_ref, dout_ref, idx_ref, st1_ref, st2_ref, st3_ref,
+          w2_ref, w3_ref, wt3_ref, wt2_ref, us3_ref, us2_ref,
+          dw2_ref, ps1_ref, scat_ref, d1_ref, d2_ref, *, cm: int):
+    """Backward pass 2: dW2, S1 sums, and the dQ/dOff scatter pieces.
+    us3/us2 are the pre-divided BN sums (Σ/R)."""
     mt, k, c1 = h1_ref.shape[1], h1_ref.shape[2], h1_ref.shape[3]
     c2 = w2_ref.shape[1]
-    _psum_init(psum_ref)
+    n = scat_ref.shape[1]
 
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
     def _():
+        ps1_ref[0] = jnp.zeros_like(ps1_ref[0])
         dw2_ref[0] = jnp.zeros_like(dw2_ref[0])
-
-    contract = (((0,), (0,)), ((), ()))
-
-    def body(i, acc):
-        dw2, s, ss = acc
-        h1 = h1_ref[0, pl.ds(i * cm, cm), :, :]
-        h1 = h1.astype(jnp.float32).reshape(cm * k, c1)
-        dout = dout_ref[0, pl.ds(i * cm, cm), :]
-        y1, z1 = _bn_relu2(h1, st1_ref, with_z=True)
-        h2 = jnp.dot(y1.astype(jnp.bfloat16), w2_ref[:, :],
-                     preferred_element_type=jnp.float32)
-        y2, z2 = _bn_relu2(h2, st2_ref, with_z=True)
-        h3 = jnp.dot(y2.astype(jnp.bfloat16), w3_ref[:, :],
-                     preferred_element_type=jnp.float32)
-        dz3 = _maxpool_dz(h3, dout, st3_ref, cm, k)
-        dh3 = _bn_bwd_row(dz3, _xhat(h3, st3_ref), st3_ref, s3_ref, r)
-        dy2 = jnp.dot(dh3.astype(jnp.bfloat16), wt3_ref[:, :],
-                      preferred_element_type=jnp.float32)
-        dz2 = jnp.where(z2 > 0, dy2, 0.0)
-        dh2 = _bn_bwd_row(dz2, _xhat(h2, st2_ref), st2_ref, s2_ref, r)
-        dw2 = dw2 + lax.dot_general(
-            y1.astype(jnp.bfloat16), dh2.astype(jnp.bfloat16), contract,
-            preferred_element_type=jnp.float32)
-        dy1 = jnp.dot(dh2.astype(jnp.bfloat16), wt2_ref[:, :],
-                      preferred_element_type=jnp.float32)
-        dz1 = jnp.where(z1 > 0, dy1, 0.0)
-        xh1 = _xhat(h1, st1_ref)
-        return (dw2,
-                s + jnp.sum(dz1, axis=0, keepdims=True),
-                ss + jnp.sum(dz1 * xh1, axis=0, keepdims=True))
-
-    dw2, s, ss = lax.fori_loop(
-        0, mt // cm, body,
-        (jnp.zeros((c1, c2), jnp.float32),) + _zeros2(c1))
-    dw2_ref[0] += dw2
-    psum_ref[0] += jnp.concatenate([s, ss], axis=0)
-
-
-def _k_b4(h1_ref, dout_ref, idx_ref, st1_ref, st2_ref, st3_ref,
-          w2_ref, w3_ref, wt3_ref, wt2_ref, s3_ref, s2_ref, s1_ref,
-          dq_ref, doff_ref, *, cm: int, r: float):
-    """dh1 per row → dQ = onehotᵀ·dh1 (hi/lo scatter-as-matmul) and
-    dOff = −Σₖ dh1."""
-    mt, k, c1 = h1_ref.shape[1], h1_ref.shape[2], h1_ref.shape[3]
-    n = dq_ref.shape[1]
 
     @pl.when(pl.program_id(1) == 0)
     def _():
-        dq_ref[0] = jnp.zeros_like(dq_ref[0])
+        scat_ref[0] = jnp.zeros_like(scat_ref[0])
 
     contract = (((0,), (0,)), ((), ()))
     lane = lax.broadcasted_iota(jnp.int32, (cm, k, n), 2)
+    ones8 = jnp.ones((cm * k, 8), jnp.bfloat16)
 
-    def body(i, dq):
+    def body(i, acc):
+        dw2, s, ss, scat = acc
         h1 = h1_ref[0, pl.ds(i * cm, cm), :, :]
         h1 = h1.astype(jnp.float32).reshape(cm * k, c1)
         dout = dout_ref[0, pl.ds(i * cm, cm), :]
@@ -445,31 +404,43 @@ def _k_b4(h1_ref, dout_ref, idx_ref, st1_ref, st2_ref, st3_ref,
         h3 = jnp.dot(y2.astype(jnp.bfloat16), w3_ref[:, :],
                      preferred_element_type=jnp.float32)
         dz3 = _maxpool_dz(h3, dout, st3_ref, cm, k)
-        dh3 = _bn_bwd_row(dz3, _xhat(h3, st3_ref), st3_ref, s3_ref, r)
+        dh3 = _bn_bwd_row(dz3, _xhat(h3, st3_ref), st3_ref, us3_ref, 1.0)
         dy2 = jnp.dot(dh3.astype(jnp.bfloat16), wt3_ref[:, :],
                       preferred_element_type=jnp.float32)
         dz2 = jnp.where(z2 > 0, dy2, 0.0)
-        dh2 = _bn_bwd_row(dz2, _xhat(h2, st2_ref), st2_ref, s2_ref, r)
+        dh2 = _bn_bwd_row(dz2, _xhat(h2, st2_ref), st2_ref, us2_ref, 1.0)
+        dw2 = dw2 + lax.dot_general(
+            y1.astype(jnp.bfloat16), dh2.astype(jnp.bfloat16), contract,
+            preferred_element_type=jnp.float32)
         dy1 = jnp.dot(dh2.astype(jnp.bfloat16), wt2_ref[:, :],
                       preferred_element_type=jnp.float32)
         dz1 = jnp.where(z1 > 0, dy1, 0.0)
-        dh1 = _bn_bwd_row(dz1, _xhat(h1, st1_ref), st1_ref, s1_ref, r)
+        xh1 = _xhat(h1, st1_ref)
 
-        doff_ref[0, pl.ds(i * cm, cm), :] = -jnp.sum(
-            dh1.reshape(cm, k, c1), axis=1)
+        d1_ref[0, pl.ds(i * cm, cm), :] = jnp.sum(
+            dz1.reshape(cm, k, c1), axis=1)
+        d2_ref[0, pl.ds(i * cm, cm), :] = jnp.sum(
+            xh1.reshape(cm, k, c1), axis=1)
         onehot = (lane == idx[:, :, None]).astype(jnp.bfloat16)
         onehot = onehot.reshape(cm * k, n)
-        hi = dh1.astype(jnp.bfloat16)
-        lo = (dh1 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        acc = lax.dot_general(onehot, hi, contract,
-                              preferred_element_type=jnp.float32)
-        acc += lax.dot_general(onehot, lo, contract,
-                               preferred_element_type=jnp.float32)
-        return dq + acc
+        right = jnp.concatenate(
+            [dz1.astype(jnp.bfloat16), xh1.astype(jnp.bfloat16), ones8],
+            axis=1)
+        scat = scat + lax.dot_general(
+            onehot, right, contract, preferred_element_type=jnp.float32)
+        return (dw2,
+                s + jnp.sum(dz1, axis=0, keepdims=True),
+                ss + jnp.sum(dz1 * xh1, axis=0, keepdims=True),
+                scat)
 
-    dq = lax.fori_loop(0, mt // cm, body,
-                       jnp.zeros((n, c1), jnp.float32))
-    dq_ref[0] += dq
+    c2_ = w2_ref.shape[1]
+    dw2, s, ss, scat = lax.fori_loop(
+        0, mt // cm, body,
+        (jnp.zeros((c1, c2_), jnp.float32),) + _zeros2(c1)
+        + (jnp.zeros((n, 2 * c1 + 8), jnp.float32),))
+    dw2_ref[0] += dw2
+    ps1_ref[0] += jnp.concatenate([s, ss], axis=0)
+    scat_ref[0] += scat
 
 
 # ---------------------------------------------------------- orchestration
@@ -625,82 +596,59 @@ def _fused_train_fwd(q, off, idx, params, interpret):
     return (out, stats), res
 
 
-def _call_bs3(h1, dout, st1, st2, st3, w2, w3, interpret):
+def _call_p1(h1, dout, st1, st2, st3, w2, w3, interpret):
     b, m, k, c1 = h1.shape
-    c3 = w3.shape[1]
+    c2, c3 = w2.shape[1], w3.shape[1]
     mt = _m_tile(m, k, bf16_widths=c1, f32_widths=c3 // k + 1)
     return pl.pallas_call(
-        functools.partial(_k_bs3, cm=_chunk(mt, k)),
+        functools.partial(_k_p1, cm=_chunk(mt, k)),
         grid=(b * (m // mt),),
         in_specs=[_flat(m, mt, (k, c1)), _flat(m, mt, (c3,)),
-                  _st_spec(c1), _st_spec(w2.shape[1]), _st_spec(c3),
+                  _st_spec(c1), _st_spec(c2), _st_spec(c3),
                   _w_spec(w2), _w_spec(w3)],
-        out_specs=_ps_spec(c3),
-        out_shape=jax.ShapeDtypeStruct((1, 2, c3), jnp.float32),
+        out_specs=[_ps_spec(c3),
+                   pl.BlockSpec((1, 1, 3 * c2), lambda *a: (0, 0, 0)),
+                   pl.BlockSpec((1, 3 * c2, 2 * c3),
+                                lambda *a: (0, 0, 0))],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, 2, c3), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1, 3 * c2), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * c2, 2 * c3), jnp.float32),
+        ],
         interpret=interpret,
     )(h1, dout, st1, st2, st3,
       w2.astype(jnp.bfloat16), w3.astype(jnp.bfloat16))
 
 
-def _call_bw3(h1, dout, st1, st2, st3, w2, w3, s3, r, interpret):
-    b, m, k, c1 = h1.shape
-    c2, c3 = w2.shape[1], w3.shape[1]
-    mt = _m_tile(m, k, bf16_widths=c1, f32_widths=c3 // k + 1)
-    dw3, psum = pl.pallas_call(
-        functools.partial(_k_bw3, cm=_chunk(mt, k), r=r),
-        grid=(b * (m // mt),),
-        in_specs=[_flat(m, mt, (k, c1)), _flat(m, mt, (c3,)),
-                  _st_spec(c1), _st_spec(c2), _st_spec(c3),
-                  _w_spec(w2), _w_spec(w3),
-                  pl.BlockSpec((c3, c2), lambda *a: (0, 0)),
-                  _ps_spec(c3)],
-        out_specs=[pl.BlockSpec((1, c2, c3), lambda *a: (0, 0, 0)),
-                   _ps_spec(c2)],
-        out_shape=[
-            jax.ShapeDtypeStruct((1, c2, c3), jnp.float32),
-            jax.ShapeDtypeStruct((1, 2, c2), jnp.float32),
-        ],
-        interpret=interpret,
-    )(h1, dout, st1, st2, st3,
-      w2.astype(jnp.bfloat16), w3.astype(jnp.bfloat16),
-      jnp.swapaxes(w3, 0, 1).astype(jnp.bfloat16), s3)
-    return dw3[0], psum
+def _combine_p1(ps3, vecs, mats, st3_folded, w3, r):
+    """XLA combine: dW3 and the BN2 sums from P1's accumulators."""
+    c2 = w3.shape[0]
+    sc3 = st3_folded[0, 0]                      # γ3/σ3
+    u1 = ps3[0, 0] / r
+    u2 = ps3[0, 1] / r
+    vy2, vm2, vmx = (vecs[0, 0, :c2], vecs[0, 0, c2:2 * c2],
+                     vecs[0, 0, 2 * c2:])
+    c3 = w3.shape[1]
+    A3, C3 = mats[0, :c2, :c3], mats[0, :c2, c3:]
+    E, G = mats[0, c2:2 * c2, :c3], mats[0, c2:2 * c2, c3:]
+    Ep, Gp = mats[0, 2 * c2:, :c3], mats[0, 2 * c2:, c3:]
+
+    dw3 = sc3[None, :] * (A3 - vy2[:, None] * u1[None, :]
+                          - C3 * u2[None, :])
+    w3s = w3 * sc3[None, :]
+    s2_1 = jnp.sum((E - G * u2[None, :]) * w3s, axis=1) - vm2 * (w3s @ u1)
+    s2_2 = jnp.sum((Ep - Gp * u2[None, :]) * w3s, axis=1) - vmx * (w3s @ u1)
+    s2 = jnp.stack([s2_1, s2_2])[None]
+    return dw3, s2
 
 
-def _call_bw2(h1, dout, st1, st2, st3, w2, w3, s3, s2, r, interpret):
-    b, m, k, c1 = h1.shape
-    c2, c3 = w2.shape[1], w3.shape[1]
-    mt = _m_tile(m, k, bf16_widths=c1, f32_widths=c3 // k + 1)
-    dw2, psum = pl.pallas_call(
-        functools.partial(_k_bw2, cm=_chunk(mt, k), r=r),
-        grid=(b * (m // mt),),
-        in_specs=[_flat(m, mt, (k, c1)), _flat(m, mt, (c3,)),
-                  _st_spec(c1), _st_spec(c2), _st_spec(c3),
-                  _w_spec(w2), _w_spec(w3),
-                  pl.BlockSpec((c3, c2), lambda *a: (0, 0)),
-                  pl.BlockSpec((c2, c1), lambda *a: (0, 0)),
-                  _ps_spec(c3), _ps_spec(c2)],
-        out_specs=[pl.BlockSpec((1, c1, c2), lambda *a: (0, 0, 0)),
-                   _ps_spec(c1)],
-        out_shape=[
-            jax.ShapeDtypeStruct((1, c1, c2), jnp.float32),
-            jax.ShapeDtypeStruct((1, 2, c1), jnp.float32),
-        ],
-        interpret=interpret,
-    )(h1, dout, st1, st2, st3,
-      w2.astype(jnp.bfloat16), w3.astype(jnp.bfloat16),
-      jnp.swapaxes(w3, 0, 1).astype(jnp.bfloat16),
-      jnp.swapaxes(w2, 0, 1).astype(jnp.bfloat16), s3, s2)
-    return dw2[0], psum
-
-
-def _call_b4(h1, dout, idx, st1, st2, st3, w2, w3, s3, s2, s1, r, n,
+def _call_p2(h1, dout, idx, st1, st2, st3, w2, w3, us3, us2, n,
              interpret):
     b, m, k, c1 = h1.shape
     c2, c3 = w2.shape[1], w3.shape[1]
     mt = _m_tile(m, k, bf16_widths=c1, f32_widths=c3 // k + 1)
-    dq, doff = pl.pallas_call(
-        functools.partial(_k_b4, cm=_gchunk(mt, k, n), r=r),
+    dw2, ps1, scat, d1, d2 = pl.pallas_call(
+        functools.partial(_k_p2, cm=_gchunk(mt, k, n)),
         grid=(b, m // mt),
         in_specs=[
             pl.BlockSpec((1, mt, k, c1), lambda i, j: (i, j, 0, 0)),
@@ -710,44 +658,62 @@ def _call_b4(h1, dout, idx, st1, st2, st3, w2, w3, s3, s2, s1, r, n,
             _w_spec(w2), _w_spec(w3),
             pl.BlockSpec((c3, c2), lambda i, j: (0, 0)),
             pl.BlockSpec((c2, c1), lambda i, j: (0, 0)),
-            _ps_spec(c3), _ps_spec(c2), _ps_spec(c1),
+            _ps_spec(c3), _ps_spec(c2),
         ],
         out_specs=[
-            pl.BlockSpec((1, n, c1), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, c1, c2), lambda i, j: (0, 0, 0)),
+            _ps_spec(c1),
+            pl.BlockSpec((1, n, 2 * c1 + 8), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, mt, c1), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, mt, c1), lambda i, j: (i, j, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, n, c1), jnp.float32),
+            jax.ShapeDtypeStruct((1, c1, c2), jnp.float32),
+            jax.ShapeDtypeStruct((1, 2, c1), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, 2 * c1 + 8), jnp.float32),
+            jax.ShapeDtypeStruct((b, m, c1), jnp.float32),
             jax.ShapeDtypeStruct((b, m, c1), jnp.float32),
         ],
         interpret=interpret,
     )(h1, dout, idx.astype(jnp.int32), st1, st2, st3,
       w2.astype(jnp.bfloat16), w3.astype(jnp.bfloat16),
       jnp.swapaxes(w3, 0, 1).astype(jnp.bfloat16),
-      jnp.swapaxes(w2, 0, 1).astype(jnp.bfloat16), s3, s2, s1)
-    return dq, doff
+      jnp.swapaxes(w2, 0, 1).astype(jnp.bfloat16), us3, us2)
+    return dw2[0], ps1, scat, d1, d2
 
 
 def _fused_train_bwd(interpret, res, cts):
     (dout, _dstats) = cts  # stats feed running updates only
     idx, h1, st1, st2, st3, params, n = res
-    b, m, k, _ = h1.shape
+    b, m, k, c1 = h1.shape
     r = float(b * m * k)
     w2, w3 = params.w2, params.w3
 
-    s3 = _call_bs3(h1, dout, st1, st2, st3, w2, w3, interpret)
-    dw3, s2 = _call_bw3(h1, dout, st1, st2, st3, w2, w3, s3, r,
-                        interpret)
-    dw2, s1 = _call_bw2(h1, dout, st1, st2, st3, w2, w3, s3, s2, r,
-                        interpret)
-    dq, doff = _call_b4(h1, dout, idx, st1, st2, st3, w2, w3,
-                        s3, s2, s1, r, n, interpret)
+    ps3, vecs, mats = _call_p1(h1, dout, st1, st2, st3, w2, w3,
+                               interpret)
+    dw3, s2 = _combine_p1(ps3, vecs, mats, st3, w3, r)
+
+    us3 = ps3 / r
+    us2 = s2 / r
+    dw2, ps1, scat, d1, d2 = _call_p2(
+        h1, dout, idx, st1, st2, st3, w2, w3, us3, us2, n, interpret)
+
+    # dQ / dOff are affine in the (now known) BN1 sums
+    sc1 = st1[0, 0]
+    u1 = ps1[0, 0] / r
+    u2 = ps1[0, 1] / r
+    scdz = scat[:, :, :c1]
+    scxh = scat[:, :, c1:2 * c1]
+    cnt = scat[:, :, 2 * c1:2 * c1 + 1]
+    dq = sc1 * (scdz - cnt * u1[None, None, :] - scxh * u2[None, None, :])
+    doff = -sc1 * (d1 - float(k) * u1[None, None, :]
+                   - d2 * u2[None, None, :])
 
     dparams = SAParams(
         w2=dw2, w3=dw3,
-        g1=s1[0, 1], b1=s1[0, 0],
+        g1=ps1[0, 1], b1=ps1[0, 0],
         g2=s2[0, 1], b2=s2[0, 0],
-        g3=s3[0, 1], b3=s3[0, 0],
+        g3=ps3[0, 1], b3=ps3[0, 0],
     )
     return dq, doff, None, dparams
 
