@@ -36,16 +36,86 @@ def _lrelu(x: Array) -> Array:
 
 class EdgeConv(nn.Module):
     """One EdgeConv: pointwise Dense+BN+LeakyReLU on the edge features,
-    max over the neighbor axis."""
+    max over the neighbor axis.
+
+    On TPU dispatches to the fused Pallas path (FusedEdgeConv) — the
+    edge tensor never materializes. NOTE the two paths declare
+    different parameter trees (same caveat as SetAbstraction)."""
 
     features: int
     k: int
 
     @nn.compact
     def __call__(self, x: Array, training: bool = False) -> Array:
+        from pointcloudlib_tpu.nn.layers import _fused_sa_enabled
+
+        if _fused_sa_enabled():
+            return FusedEdgeConv(self.features, self.k)(x, training)
         e = edge_features(x, self.k)
         h = DenseBNAct(self.features, act=_lrelu)(e, training)
         return jnp.max(h, axis=2)
+
+
+class FusedEdgeConv(nn.Module):
+    """EdgeConv via ops/pallas/fused_edge.py: the kNN gather rides the
+    MXU matmul (h = Q[idx] − Off with Q = X·Wa, Off = X·(Wa−Wb)), BN +
+    LeakyReLU + max stay in VMEM. Matches the unfused path to bf16
+    rounding; BN semantics identical (stats over every edge row)."""
+
+    features: int
+    k: int
+    slope: float = 0.2
+    bn_momentum: float = 0.9
+    axis_name: Optional[str] = None   # shard_map DP: sync-BN psums
+    world: int = 1
+
+    @nn.compact
+    def __call__(self, x: Array, training: bool = False) -> Array:
+        from pointcloudlib_tpu.ops.pallas.fused_edge import (
+            EdgeStats,
+            fused_edge_conv,
+            fused_edge_eval,
+        )
+
+        interpret = jax.default_backend() != "tpu"
+        c = x.shape[-1]
+        _, idx = knn(x, x, self.k)
+        idx = jax.lax.stop_gradient(idx)
+
+        w = self.param("w", nn.initializers.lecun_normal(),
+                       (2 * c, self.features), jnp.float32)
+        wa, wb = w[:c], w[c:]
+        # match nn.Dense(dtype=bf16): bf16 operands, f32 accumulation
+        q = jnp.dot(x.astype(jnp.bfloat16), wa.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        off = jnp.dot(x.astype(jnp.bfloat16),
+                      (wa - wb).astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+        gamma = self.param("bn_scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        beta = self.param("bn_bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.features,), jnp.float32))
+        ra_var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.features,), jnp.float32))
+
+        if training:
+            out, stats = fused_edge_conv(
+                q, off, idx, gamma, beta, self.slope, interpret,
+                self.axis_name, self.world)
+            if not self.is_initializing():
+                mom = self.bn_momentum
+                ra_mean.value = mom * ra_mean.value + (1 - mom) * stats.mean
+                ra_var.value = mom * ra_var.value + (1 - mom) * stats.var
+        else:
+            out = fused_edge_eval(
+                q, off, idx, gamma, beta,
+                EdgeStats(ra_mean.value, ra_var.value),
+                self.slope, interpret)
+        return out
 
 
 class DGCNN(nn.Module):

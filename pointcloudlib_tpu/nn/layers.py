@@ -179,6 +179,10 @@ class FusedSetAbstraction(nn.Module):
     n_samples: int = 64
     use_xyz: bool = True
     bn_momentum: float = 0.9
+    # set when running inside shard_map data parallelism: BN statistics
+    # are psum'd over the axis (sync-BN, tests/test_fused_sa_dp.py)
+    axis_name: Optional[str] = None
+    world: int = 1
 
     @nn.compact
     def __call__(
@@ -249,7 +253,8 @@ class FusedSetAbstraction(nn.Module):
         ]
 
         if training:
-            out, stats = fused_sa_train(q, off, nidx, params, interpret)
+            out, stats = fused_sa_train(q, off, nidx, params, interpret,
+                                        self.axis_name, self.world)
             if not self.is_initializing():
                 mom = self.bn_momentum
                 batch = [(stats.m1, stats.v1), (stats.m2, stats.v2),

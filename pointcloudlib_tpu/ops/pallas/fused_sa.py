@@ -93,10 +93,10 @@ def _divisor_tile(m: int, cap: int) -> int:
 
 def _m_tile(m: int, k: int, bf16_widths: int, f32_widths: int = 0) -> int:
     """Rows tile from a VMEM budget: double-buffered block bytes per
-    m-row = k·(2·bf16_widths + 4·f32_widths)·2, ~6 MB budget (leaves
+    m-row = k·(2·bf16_widths + 4·f32_widths)·2, ~5 MB budget (leaves
     room for the in-kernel chunk temporaries)."""
     per_row = 2 * k * (2 * bf16_widths + 4 * f32_widths)
-    return _divisor_tile(m, (6 << 20) // max(1, per_row))
+    return _divisor_tile(m, (5 << 20) // max(1, per_row))
 
 
 def _chunk(mt: int, k: int) -> int:
@@ -551,21 +551,26 @@ def _call_out(h1, st1, st2, st3, w2, w3, interpret):
     )(h1, st1, st2, st3, w2.astype(jnp.bfloat16), w3.astype(jnp.bfloat16))
 
 
-def _fused_fwd_impl(q, off, idx, params: SAParams, interpret):
+def _psum(x, axis_name):
+    return lax.psum(x, axis_name) if axis_name else x
+
+
+def _fused_fwd_impl(q, off, idx, params: SAParams, interpret,
+                    axis_name=None, world=1):
     b = q.shape[0]
     _, m, k = idx.shape
-    r = float(b * m * k)
+    r = float(b * m * k * world)
 
     h1, p1 = _call_f1(q, idx, off, interpret)
-    m1, v1 = _moments(p1[0], r)
+    m1, v1 = _moments(_psum(p1[0], axis_name), r)
     st1 = _stack_stats(m1, v1, params.g1, params.b1)
 
     p2 = _call_stats2(h1, st1, params.w2, interpret)
-    m2, v2 = _moments(p2[0], r)
+    m2, v2 = _moments(_psum(p2[0], axis_name), r)
     st2 = _stack_stats(m2, v2, params.g2, params.b2)
 
     p3 = _call_stats3(h1, st1, st2, params.w2, params.w3, interpret)
-    m3, v3 = _moments(p3[0], r)
+    m3, v3 = _moments(_psum(p3[0], axis_name), r)
     st3 = _stack_stats(m3, v3, params.g3, params.b3)
 
     out = _call_out(h1, st1, st2, st3, params.w2, params.w3, interpret)
@@ -573,8 +578,9 @@ def _fused_fwd_impl(q, off, idx, params: SAParams, interpret):
     return out, stats, (h1, st1, st2, st3)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def fused_sa_train(q, off, idx, params: SAParams, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def fused_sa_train(q, off, idx, params: SAParams, interpret=False,
+                   axis_name=None, world=1):
     """Train-mode fused SA MLP.
 
     ``q [B,N,C1]`` = points ⋅ W1 (the first Dense pre-applied in XLA so
@@ -584,14 +590,22 @@ def fused_sa_train(q, off, idx, params: SAParams, interpret=False):
     of the BN statistics exactly as in the reference). Returns
     ``(out [B,M,C3], SAStats)``; the stats outputs feed the running BN
     update and are not differentiated.
+
+    Data parallelism: call inside ``shard_map`` with the batch sharded
+    and ``axis_name``/``world`` set. BN statistics (forward moments and
+    the backward dstat sums) are psum'd across the axis — sync-BN, the
+    exact semantics jit-SPMD gives the unfused path. Param gradients
+    are returned as this shard's partials; shard_map's transpose psums
+    them at the replicated-input boundary.
     """
-    out, stats, _ = _fused_fwd_impl(q, off, idx, params, interpret)
+    out, stats, _ = _fused_fwd_impl(q, off, idx, params, interpret,
+                                    axis_name, world)
     return out, stats
 
 
-def _fused_train_fwd(q, off, idx, params, interpret):
+def _fused_train_fwd(q, off, idx, params, interpret, axis_name, world):
     out, stats, (h1, st1, st2, st3) = _fused_fwd_impl(
-        q, off, idx, params, interpret)
+        q, off, idx, params, interpret, axis_name, world)
     res = (idx, h1, st1, st2, st3, params, q.shape[1])
     return (out, stats), res
 
@@ -620,26 +634,36 @@ def _call_p1(h1, dout, st1, st2, st3, w2, w3, interpret):
       w2.astype(jnp.bfloat16), w3.astype(jnp.bfloat16))
 
 
-def _combine_p1(ps3, vecs, mats, st3_folded, w3, r):
-    """XLA combine: dW3 and the BN2 sums from P1's accumulators."""
+def _combine_p1(ps3, vecs, mats, st3_folded, w3, r, axis_name=None):
+    """XLA combine: dW3 (this shard's partial) and the BN2 sums (global
+    across the DP axis) from P1's accumulators."""
     c2 = w3.shape[0]
     sc3 = st3_folded[0, 0]                      # γ3/σ3
-    u1 = ps3[0, 0] / r
-    u2 = ps3[0, 1] / r
-    vy2, vm2, vmx = (vecs[0, 0, :c2], vecs[0, 0, c2:2 * c2],
-                     vecs[0, 0, 2 * c2:])
+    ps3_g = _psum(ps3, axis_name)
+    u1 = ps3_g[0, 0] / r
+    u2 = ps3_g[0, 1] / r
     c3 = w3.shape[1]
-    A3, C3 = mats[0, :c2, :c3], mats[0, :c2, c3:]
-    E, G = mats[0, c2:2 * c2, :c3], mats[0, c2:2 * c2, c3:]
-    Ep, Gp = mats[0, 2 * c2:, :c3], mats[0, 2 * c2:, c3:]
 
+    def split(v, m_):
+        vy2, vm2, vmx = (v[0, 0, :c2], v[0, 0, c2:2 * c2],
+                         v[0, 0, 2 * c2:])
+        return (vy2, vm2, vmx,
+                m_[0, :c2, :c3], m_[0, :c2, c3:],
+                m_[0, c2:2 * c2, :c3], m_[0, c2:2 * c2, c3:],
+                m_[0, 2 * c2:, :c3], m_[0, 2 * c2:, c3:])
+
+    # dW3 from this shard's rows only (shard_map psums at the boundary)
+    vy2, _, _, A3, C3, _, _, _, _ = split(vecs, mats)
     dw3 = sc3[None, :] * (A3 - vy2[:, None] * u1[None, :]
                           - C3 * u2[None, :])
+    # the BN2 sums couple every row globally
+    _, vm2, vmx, _, _, E, G, Ep, Gp = split(
+        _psum(vecs, axis_name), _psum(mats, axis_name))
     w3s = w3 * sc3[None, :]
     s2_1 = jnp.sum((E - G * u2[None, :]) * w3s, axis=1) - vm2 * (w3s @ u1)
     s2_2 = jnp.sum((Ep - Gp * u2[None, :]) * w3s, axis=1) - vmx * (w3s @ u1)
     s2 = jnp.stack([s2_1, s2_2])[None]
-    return dw3, s2
+    return dw3, s2, ps3_g
 
 
 def _call_p2(h1, dout, idx, st1, st2, st3, w2, w3, us3, us2, n,
@@ -682,26 +706,28 @@ def _call_p2(h1, dout, idx, st1, st2, st3, w2, w3, us3, us2, n,
     return dw2[0], ps1, scat, d1, d2
 
 
-def _fused_train_bwd(interpret, res, cts):
+def _fused_train_bwd(interpret, axis_name, world, res, cts):
     (dout, _dstats) = cts  # stats feed running updates only
     idx, h1, st1, st2, st3, params, n = res
     b, m, k, c1 = h1.shape
-    r = float(b * m * k)
+    r = float(b * m * k * world)
     w2, w3 = params.w2, params.w3
 
     ps3, vecs, mats = _call_p1(h1, dout, st1, st2, st3, w2, w3,
                                interpret)
-    dw3, s2 = _combine_p1(ps3, vecs, mats, st3, w3, r)
+    dw3, s2_g, ps3_g = _combine_p1(ps3, vecs, mats, st3, w3, r,
+                                   axis_name)
 
-    us3 = ps3 / r
-    us2 = s2 / r
+    us3 = ps3_g / r
+    us2 = s2_g / r
     dw2, ps1, scat, d1, d2 = _call_p2(
         h1, dout, idx, st1, st2, st3, w2, w3, us3, us2, n, interpret)
 
-    # dQ / dOff are affine in the (now known) BN1 sums
+    # dQ / dOff are affine in the (now known, global) BN1 sums
+    ps1_g = _psum(ps1, axis_name)
     sc1 = st1[0, 0]
-    u1 = ps1[0, 0] / r
-    u2 = ps1[0, 1] / r
+    u1 = ps1_g[0, 0] / r
+    u2 = ps1_g[0, 1] / r
     scdz = scat[:, :, :c1]
     scxh = scat[:, :, c1:2 * c1]
     cnt = scat[:, :, 2 * c1:2 * c1 + 1]
@@ -709,10 +735,34 @@ def _fused_train_bwd(interpret, res, cts):
     doff = -sc1 * (d1 - float(k) * u1[None, None, :]
                    - d2 * u2[None, None, :])
 
+    # param grads are this shard's partials: dγ/dβ are the LOCAL dstat
+    # sums; s2's local partial is recovered from the global by the same
+    # linearity (cheaper: recompute from local mats)
+    if axis_name is not None:
+        # local S2 partial for dγ2/dβ2: same linear combine as the
+        # global one but with this shard's E/G/F and the GLOBAL u-terms
+        c2 = w3.shape[0]
+        c3 = w3.shape[1]
+        vm2 = vecs[0, 0, c2:2 * c2]
+        vmx = vecs[0, 0, 2 * c2:]
+        E, G = mats[0, c2:2 * c2, :c3], mats[0, c2:2 * c2, c3:]
+        Ep, Gp = mats[0, 2 * c2:, :c3], mats[0, 2 * c2:, c3:]
+        sc3 = st3[0, 0]
+        w3s = w3 * sc3[None, :]
+        u1_3 = ps3_g[0, 0] / r
+        u2_3 = ps3_g[0, 1] / r
+        s2_l1 = jnp.sum((E - G * u2_3[None, :]) * w3s, axis=1) \
+            - vm2 * (w3s @ u1_3)
+        s2_l2 = jnp.sum((Ep - Gp * u2_3[None, :]) * w3s, axis=1) \
+            - vmx * (w3s @ u1_3)
+        g2_grad, b2_grad = s2_l2, s2_l1
+    else:
+        g2_grad, b2_grad = s2_g[0, 1], s2_g[0, 0]
+
     dparams = SAParams(
         w2=dw2, w3=dw3,
         g1=ps1[0, 1], b1=ps1[0, 0],
-        g2=s2[0, 1], b2=s2[0, 0],
+        g2=g2_grad, b2=b2_grad,
         g3=ps3[0, 1], b3=ps3[0, 0],
     )
     return dq, doff, None, dparams

@@ -26,7 +26,13 @@ def _fmt(v: Any) -> str:
 
 def _parse(raw: str, typ: Any) -> Any:
     raw = raw.strip()
+    if raw == "None":
+        return None
     origin = getattr(typ, "__origin__", None)
+    if origin is not None and str(origin) == "typing.Union":
+        # Optional[T]: parse against the non-None member
+        inner = [a for a in typ.__args__ if a is not type(None)]
+        return _parse(raw, inner[0]) if inner else None
     if origin in (tuple, list):
         inner = raw.strip("[]")
         items = [s.strip() for s in inner.split(",") if s.strip()]

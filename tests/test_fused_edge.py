@@ -1,0 +1,171 @@
+"""Fused EdgeConv (Pallas) vs the unfused DGCNN path.
+
+Same test strategy as test_fused_sa: forward/stat/eval parity against
+the unfused module (bf16-rounding tolerances), a tight VJP oracle
+against jax AD of a rounding-identical jnp replica, and gradient
+direction/magnitude parity.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from pointcloudlib_tpu.models.dgcnn import EdgeConv, FusedEdgeConv
+from pointcloudlib_tpu.ops.pallas.fused_edge import (
+    EdgeStats,
+    fused_edge_conv,
+    fused_edge_eval,
+)
+
+B, N, K, C, F = 2, 64, 8, 16, 32
+
+
+def _x(seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+
+
+def _init_both(x):
+    fused = FusedEdgeConv(F, K)
+    os.environ["POINTCLOUDLIB_FUSED_SA"] = "0"
+    try:
+        unfused = EdgeConv(F, K)
+        uv = unfused.init(jax.random.key(0), x, True)
+    finally:
+        del os.environ["POINTCLOUDLIB_FUSED_SA"]
+    fv = fused.init(jax.random.key(0), x, True)
+    # copy fused weights into the unfused tree
+    up = uv["params"]["DenseBNAct_0"]
+    up["Dense_0"]["kernel"] = fv["params"]["w"]
+    up["BatchNorm_0"]["scale"] = fv["params"]["bn_scale"]
+    up["BatchNorm_0"]["bias"] = fv["params"]["bn_bias"]
+    return fused, unfused, fv, uv
+
+
+def test_forward_and_stats_parity():
+    x = _x(0)
+    fused, unfused, fv, uv = _init_both(x)
+    (fo), fmut = fused.apply(fv, x, True, mutable=["batch_stats"])
+    os.environ["POINTCLOUDLIB_FUSED_SA"] = "0"
+    try:
+        uo, umut = unfused.apply(uv, x, True, mutable=["batch_stats"])
+    finally:
+        del os.environ["POINTCLOUDLIB_FUSED_SA"]
+    np.testing.assert_allclose(np.asarray(fo), np.asarray(uo),
+                               rtol=0.05, atol=0.05)
+    ubn = umut["batch_stats"]["DenseBNAct_0"]["BatchNorm_0"]
+    np.testing.assert_allclose(
+        np.asarray(fmut["batch_stats"]["mean"]), np.asarray(ubn["mean"]),
+        rtol=0.03, atol=0.02)
+    np.testing.assert_allclose(
+        np.asarray(fmut["batch_stats"]["var"]), np.asarray(ubn["var"]),
+        rtol=0.05, atol=0.02)
+
+
+def test_eval_parity():
+    x = _x(1)
+    fused, unfused, fv, uv = _init_both(x)
+    _, fmut = fused.apply(fv, x, True, mutable=["batch_stats"])
+    os.environ["POINTCLOUDLIB_FUSED_SA"] = "0"
+    try:
+        _, umut = unfused.apply(uv, x, True, mutable=["batch_stats"])
+        uo = unfused.apply(
+            {"params": uv["params"], **umut}, x, False)
+    finally:
+        del os.environ["POINTCLOUDLIB_FUSED_SA"]
+    fo = fused.apply({"params": fv["params"], **fmut}, x, False)
+    np.testing.assert_allclose(np.asarray(fo), np.asarray(uo),
+                               rtol=0.05, atol=0.05)
+
+
+def _edge_reference(q, off, idx, gamma, beta, slope=0.2):
+    """jnp replica with the kernels' exact roundings."""
+    b, n, c = q.shape
+    _, m, k = idx.shape
+
+    def bf(v):
+        return v.astype(jnp.bfloat16).astype(jnp.float32)
+
+    g = jnp.take_along_axis(
+        bf(q), idx.reshape(b, m * k)[..., None], axis=1
+    ).reshape(b, m, k, c)
+    h = g - off[:, :, None, :]
+    flat = h.reshape(-1, c)
+    mean = jnp.mean(flat, axis=0)
+    var = jnp.maximum(jnp.mean(flat * flat, axis=0) - mean ** 2, 0.0)
+    hc = bf(h)  # the bf16 checkpoint
+    z = gamma * (hc - mean) * jax.lax.rsqrt(var + 1e-5) + beta
+    y = jnp.where(z > 0, z, slope * z)
+    return jnp.max(y, axis=2), (mean, var)
+
+
+def test_vjp_matches_jax_ad_of_replica():
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((B, N, F)), jnp.float32)
+    off = jnp.asarray(rng.standard_normal((B, N, F)) * .1, jnp.float32)
+    idx = jnp.asarray(rng.integers(0, N, (B, N, K)), jnp.int32)
+    gamma = jnp.asarray(1 + .1 * rng.standard_normal(F), jnp.float32)
+    beta = jnp.asarray(.1 * rng.standard_normal(F), jnp.float32)
+    co = jnp.asarray(rng.standard_normal((B, N, F)), jnp.float32)
+
+    def loss_f(q, off, gamma, beta):
+        out, _ = fused_edge_conv(q, off, idx, gamma, beta, 0.2, True)
+        return jnp.sum(out * co)
+
+    def loss_r(q, off, gamma, beta):
+        out, _ = _edge_reference(q, off, idx, gamma, beta)
+        return jnp.sum(out * co)
+
+    np.testing.assert_allclose(float(loss_f(q, off, gamma, beta)),
+                               float(loss_r(q, off, gamma, beta)),
+                               rtol=2e-3)
+    gf = jax.grad(loss_f, argnums=(0, 1, 2, 3))(q, off, gamma, beta)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(q, off, gamma, beta)
+    for a, b in zip(gf, gr):
+        scale = max(float(jnp.max(jnp.abs(b))), 1e-4)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0.03, atol=0.03 * scale)
+
+
+def test_dgcnn_model_fused_runs_and_learns():
+    """The full DGCNN cls model with the fused path enabled trains."""
+    import optax
+
+    from pointcloudlib_tpu.models.dgcnn import DGCNN
+
+    os.environ["POINTCLOUDLIB_FUSED_SA"] = "1"
+    try:
+        rng = np.random.default_rng(5)
+        xyz = jnp.asarray(rng.standard_normal((4, 64, 3)), jnp.float32)
+        labels = jnp.asarray([0, 1, 2, 3], jnp.int32)
+        model = DGCNN(n_classes=4, k=8)
+        v = model.init(jax.random.key(0), xyz, training=True)
+        tx = optax.adam(1e-3)
+        opt = tx.init(v["params"])
+
+        @jax.jit
+        def step(params, bs, opt):
+            def lf(p):
+                logits, mut = model.apply(
+                    {"params": p, "batch_stats": bs}, xyz, training=True,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": jax.random.key(1)})
+                return optax.softmax_cross_entropy_with_integer_labels(
+                    logits, labels).mean(), mut["batch_stats"]
+
+            (l, bs2), g = jax.value_and_grad(lf, has_aux=True)(params)
+            up, opt = tx.update(g, opt)
+            return optax.apply_updates(params, up), bs2, opt, l
+
+        params, bs = v["params"], v["batch_stats"]
+        first = None
+        for _ in range(25):
+            params, bs, opt, l = step(params, bs, opt)
+            if first is None:
+                first = float(l)
+        assert float(l) < first * 0.6, (first, float(l))
+    finally:
+        del os.environ["POINTCLOUDLIB_FUSED_SA"]

@@ -1,0 +1,92 @@
+"""Fused SA under shard_map data parallelism (8-device CPU mesh).
+
+The fused kernels run per shard inside shard_map with the batch split
+over the ``data`` axis; BN statistics (forward moments + backward dstat
+sums) are psum'd — sync-BN, the exact semantics jit-SPMD gives the
+unfused path. These tests assert the sharded computation equals the
+single-device one: outputs, batch stats, input gradients, and param
+gradients (partials psum'd at the shard_map boundary).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from pointcloudlib_tpu.ops.pallas.fused_sa import (
+    SAParams,
+    fused_sa_train,
+)
+
+B, N, M, K = 8, 64, 16, 8
+C1, C2, C3 = 16, 16, 32
+WORLD = 8
+
+
+def _data(seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((B, N, C1)), jnp.float32)
+    off = jnp.asarray(rng.standard_normal((B, M, C1)) * .1, jnp.float32)
+    idx = jnp.asarray(rng.integers(0, N, (B, M, K)), jnp.int32)
+    params = SAParams(
+        w2=jnp.asarray(rng.standard_normal((C1, C2)) * .3, jnp.float32),
+        w3=jnp.asarray(rng.standard_normal((C2, C3)) * .3, jnp.float32),
+        g1=jnp.asarray(1 + .1 * rng.standard_normal(C1), jnp.float32),
+        b1=jnp.asarray(.1 * rng.standard_normal(C1), jnp.float32),
+        g2=jnp.asarray(1 + .1 * rng.standard_normal(C2), jnp.float32),
+        b2=jnp.asarray(.1 * rng.standard_normal(C2), jnp.float32),
+        g3=jnp.asarray(1 + .1 * rng.standard_normal(C3), jnp.float32),
+        b3=jnp.asarray(.1 * rng.standard_normal(C3), jnp.float32),
+    )
+    co = jnp.asarray(rng.standard_normal((B, M, C3)), jnp.float32)
+    return q, off, idx, params, co
+
+
+def _sharded_fn(mesh):
+    return shard_map(
+        functools.partial(fused_sa_train, interpret=True,
+                          axis_name="data", world=WORLD),
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data"), P()),
+        out_specs=(P("data"), P()),
+        # pallas_call outputs carry no varying-mesh-axes metadata
+        check_vma=False,
+    )
+
+
+def test_dp_forward_matches_single_device():
+    mesh = jax.make_mesh((WORLD,), ("data",))
+    q, off, idx, params, _ = _data(0)
+    out_s, stats_s = jax.jit(_sharded_fn(mesh))(q, off, idx, params)
+    out_1, stats_1 = fused_sa_train(q, off, idx, params, True)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_1),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(stats_s, stats_1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_dp_gradients_match_single_device():
+    mesh = jax.make_mesh((WORLD,), ("data",))
+    q, off, idx, params, co = _data(1)
+    fn = _sharded_fn(mesh)
+
+    def loss_s(q, off, params):
+        out, _ = fn(q, off, idx, params)
+        return jnp.sum(out * co)
+
+    def loss_1(q, off, params):
+        out, _ = fused_sa_train(q, off, idx, params, True)
+        return jnp.sum(out * co)
+
+    gs = jax.jit(jax.grad(loss_s, argnums=(0, 1, 2)))(q, off, params)
+    g1 = jax.grad(loss_1, argnums=(0, 1, 2))(q, off, params)
+    flat_s, _ = jax.tree_util.tree_flatten(gs)
+    flat_1, _ = jax.tree_util.tree_flatten(g1)
+    for a, b in zip(flat_s, flat_1):
+        scale = max(float(jnp.max(jnp.abs(b))), 1e-4)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4 * scale)
