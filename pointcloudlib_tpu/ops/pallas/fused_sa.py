@@ -163,16 +163,6 @@ def _maxpool_dz(h3_2d, dout2d, st_ref, cm: int, k: int):
     return jnp.where(z > 0, da.reshape(cm * k, c), 0.0)
 
 
-def _bwd_to_dz3(h1c, dout_c, st1, st2, st3, w2, w3, cm, k):
-    """Recompute forward from an h1 chunk, then dz3 per row.
-    Returns (y1, h2, y2, h3, dz3)."""
-    y1, h2, y2 = _fwd_to(h1c, st1, st2, w2)
-    h3 = jnp.dot(y2.astype(jnp.bfloat16), w3[:, :],
-                 preferred_element_type=jnp.float32)
-    dz3 = _maxpool_dz(h3, dout_c, st3, cm, k)
-    return y1, h2, y2, h3, dz3
-
-
 def _psum_init(psum_ref):
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -186,10 +176,6 @@ def _acc2(acc, x2d):
 
 def _zeros2(c):
     return (jnp.zeros((1, c), jnp.float32), jnp.zeros((1, c), jnp.float32))
-
-
-def _row_slice(i, cm):
-    return (0, pl.ds(i * cm, cm), slice(None), slice(None))
 
 
 # ------------------------------------------------------------ fwd kernels

@@ -290,3 +290,50 @@ def test_training_learns():
         if first is None:
             first = float(l)
     assert float(l) < first * 0.5, (first, float(l))
+
+
+def test_pointnet2_model_fused_runs_and_learns():
+    """The full PointNet++ SSG model with the fused path enabled
+    (interpret mode) trains end to end — SA1/SA2 fused, SA3 group-all
+    unfused, head unchanged."""
+    import optax
+
+    from pointcloudlib_tpu.models import get_cls_model
+
+    os.environ["POINTCLOUDLIB_FUSED_SA"] = "1"
+    try:
+        rng = np.random.default_rng(9)
+        xyz = jnp.asarray(rng.standard_normal((4, 128, 3)), jnp.float32)
+        feats = jnp.asarray(rng.standard_normal((4, 128, 3)), jnp.float32)
+        labels = jnp.asarray([0, 1, 2, 3], jnp.int32)
+        model = get_cls_model("pointnet2", n_classes=4)
+        v = model.init(jax.random.key(0), xyz, feats, True)
+        flat = jax.tree_util.tree_flatten_with_path(v["params"])[0]
+        assert any("FusedSetAbstraction" in jax.tree_util.keystr(kp)
+                   for kp, _ in flat), "fused path not active"
+        tx = optax.adam(1e-3)
+        opt = tx.init(v["params"])
+
+        @jax.jit
+        def step(params, bs, opt):
+            def lf(p):
+                logits, mut = model.apply(
+                    {"params": p, "batch_stats": bs}, xyz, feats,
+                    training=True, mutable=["batch_stats"],
+                    rngs={"dropout": jax.random.key(1)})
+                return optax.softmax_cross_entropy_with_integer_labels(
+                    logits, labels).mean(), mut["batch_stats"]
+
+            (l, bs2), g = jax.value_and_grad(lf, has_aux=True)(params)
+            up, opt = tx.update(g, opt)
+            return optax.apply_updates(params, up), bs2, opt, l
+
+        params, bs = v["params"], v["batch_stats"]
+        first = None
+        for _ in range(25):
+            params, bs, opt, l = step(params, bs, opt)
+            if first is None:
+                first = float(l)
+        assert float(l) < first * 0.6, (first, float(l))
+    finally:
+        del os.environ["POINTCLOUDLIB_FUSED_SA"]
