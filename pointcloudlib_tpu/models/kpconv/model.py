@@ -184,16 +184,16 @@ class KPConvOp(nn.Module):
         p = self.num_kpoints
         c_in = feats.shape[-1]
 
+        from pointcloudlib_tpu.ops import index_points
+
         n = s.shape[1]
         safe = jnp.minimum(idx, n - 1)
-        nbr = jnp.take_along_axis(
-            s, safe.reshape(s.shape[0], -1, 1), axis=1
-        ).reshape(*idx.shape, 3)
+        # index_points routes to the Pallas gather-as-matmul on TPU —
+        # XLA's narrow batched gather is the single slowest op here
+        nbr = index_points(s, safe)
         nbr = nbr - q[:, :, None, :]  # local coords [B,M,K,3]
 
-        nfeat = jnp.take_along_axis(
-            feats, safe.reshape(feats.shape[0], -1, 1), axis=1
-        ).reshape(*idx.shape, c_in)
+        nfeat = index_points(feats, safe)
         nfeat = jnp.where(nmask[..., None], nfeat, 0.0)
 
         if self.deformable:
@@ -300,11 +300,11 @@ class KPConvOp(nn.Module):
 def _pool_max(feats: Array, idx: Array, nmask: Array) -> Array:
     """Masked max over pooled neighbors (reference max_pool,
     blocks.py:76-90); all-invalid rows yield 0."""
+    from pointcloudlib_tpu.ops import index_points
+
     n = feats.shape[1]
     safe = jnp.minimum(idx, n - 1)
-    g = jnp.take_along_axis(
-        feats, safe.reshape(feats.shape[0], -1, 1), axis=1
-    ).reshape(*idx.shape, feats.shape[-1])
+    g = index_points(feats, safe)
     g = jnp.where(nmask[..., None], g, -jnp.inf)
     out = jnp.max(g, axis=2)
     return jnp.where(jnp.isfinite(out), out, 0.0)

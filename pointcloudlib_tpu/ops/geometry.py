@@ -102,6 +102,9 @@ def index_points(points: Array, idx: Array) -> Array:
         and points.dtype == jnp.float32
         and idx.ndim in (2, 3)
         and points.ndim == 3
+        # Mosaic: the one-hot lane dim (= N) must be a whole lane tile;
+        # tiny support sets take the XLA path (fast enough there)
+        and points.shape[1] % 128 == 0
     ):
         from pointcloudlib_tpu.ops.pallas.gather import gather_neighbors
 
