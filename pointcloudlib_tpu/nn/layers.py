@@ -186,8 +186,16 @@ class FusedSetAbstraction(nn.Module):
 
     @nn.compact
     def __call__(
-        self, xyz: Array, feats: Optional[Array], training: bool = False
+        self,
+        xyz: Array,
+        feats: Optional[Array],
+        training: bool = False,
+        *,
+        new_xyz: Optional[Array] = None,
+        nidx: Optional[Array] = None,
     ) -> Tuple[Array, Array]:
+        """``new_xyz``/``nidx`` may be precomputed by the caller (MSG
+        shares one FPS across scales)."""
         from pointcloudlib_tpu.ops.pallas.fused_sa import (
             SAParams,
             SAStats,
@@ -198,9 +206,12 @@ class FusedSetAbstraction(nn.Module):
         c1, c2, c3 = self.mlp
         interpret = jax.default_backend() != "tpu"
 
-        idx = fps(xyz, self.n_points)
-        new_xyz = index_points(xyz, idx)
-        nidx, _ = ball_query(new_xyz, xyz, self.radius, self.n_samples)
+        if new_xyz is None:
+            idx = fps(xyz, self.n_points)
+            new_xyz = index_points(xyz, idx)
+        if nidx is None:
+            nidx, _ = ball_query(new_xyz, xyz, self.radius,
+                                 self.n_samples)
         nidx = jax.lax.stop_gradient(nidx)
 
         if feats is None:
@@ -290,12 +301,25 @@ class SetAbstractionMSG(nn.Module):
     ) -> Tuple[Array, Array]:
         idx = fps(xyz, self.n_points)
         new_xyz = index_points(xyz, idx)
+        fuse = (
+            all(len(m) == 3 for m in self.mlps)
+            and all(k % 8 == 0 for k in self.n_samples)
+            and _fused_sa_enabled()
+        )
         outs = []
         for r, k, mlp in zip(self.radii, self.n_samples, self.mlps):
             nidx, _ = ball_query(new_xyz, xyz, r, k)
-            grouped = group_points(xyz, feats, new_xyz, nidx, self.use_xyz)
-            h = PointMLP(mlp)(grouped, training)
-            outs.append(jnp.max(h, axis=2))
+            if fuse:
+                _, h = FusedSetAbstraction(
+                    mlp=tuple(mlp), n_points=self.n_points, radius=r,
+                    n_samples=k, use_xyz=self.use_xyz,
+                )(xyz, feats, training, new_xyz=new_xyz, nidx=nidx)
+                outs.append(h)
+            else:
+                grouped = group_points(xyz, feats, new_xyz, nidx,
+                                       self.use_xyz)
+                h = PointMLP(mlp)(grouped, training)
+                outs.append(jnp.max(h, axis=2))
         return new_xyz, jnp.concatenate(outs, axis=-1)
 
 

@@ -337,3 +337,39 @@ def test_pointnet2_model_fused_runs_and_learns():
         assert float(l) < first * 0.6, (first, float(l))
     finally:
         del os.environ["POINTCLOUDLIB_FUSED_SA"]
+
+
+def test_msg_fused_matches_unfused():
+    """SetAbstractionMSG's fused path equals the unfused one (weights
+    copied scale by scale)."""
+    from pointcloudlib_tpu.nn.layers import SetAbstractionMSG
+
+    xyz, feats = _data(11)
+    kw = dict(n_points=M, radii=[0.3, 0.6], n_samples=[8, 16],
+              mlps=[[16, 16, 32], [16, 16, 32]])
+    os.environ["POINTCLOUDLIB_FUSED_SA"] = "1"
+    try:
+        fused = SetAbstractionMSG(**kw)
+        fv = fused.init(jax.random.key(0), xyz, feats, True)
+        (_, fo), _ = fused.apply(fv, xyz, feats, True,
+                                 mutable=["batch_stats"])
+    finally:
+        os.environ["POINTCLOUDLIB_FUSED_SA"] = "0"
+    try:
+        unfused = SetAbstractionMSG(**kw)
+        uv = unfused.init(jax.random.key(0), xyz, feats, True)
+        for s in (0, 1):
+            fp = fv["params"][f"FusedSetAbstraction_{s}"]
+            up = uv["params"][f"PointMLP_{s}"]
+            for i, w in enumerate(("w1", "w2", "w3")):
+                up[f"DenseBNAct_{i}"]["Dense_0"]["kernel"] = fp[w]
+                up[f"DenseBNAct_{i}"]["BatchNorm_0"]["scale"] = \
+                    fp[f"bn{i+1}_scale"]
+                up[f"DenseBNAct_{i}"]["BatchNorm_0"]["bias"] = \
+                    fp[f"bn{i+1}_bias"]
+        (_, uo), _ = unfused.apply(uv, xyz, feats, True,
+                                   mutable=["batch_stats"])
+    finally:
+        del os.environ["POINTCLOUDLIB_FUSED_SA"]
+    np.testing.assert_allclose(np.asarray(fo), np.asarray(uo),
+                               rtol=0.06, atol=0.08)
