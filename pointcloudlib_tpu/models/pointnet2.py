@@ -26,18 +26,26 @@ Array = jax.Array
 
 class _ClsHead(nn.Module):
     n_classes: int
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Array, training: bool) -> Array:
-        x = DenseBNAct(512)(x, training)
-        x = DenseBNAct(256)(x, training)
+        x = DenseBNAct(512, axis_name=self.axis_name)(x, training)
+        x = DenseBNAct(256, axis_name=self.axis_name)(x, training)
         x = nn.Dropout(0.5, deterministic=not training)(x)
         return nn.Dense(self.n_classes)(x)
 
 
 class PointNet2SSG(nn.Module):
+    """``axis_name``/``world``: set when the train step runs inside
+    shard_map data parallelism — every BatchNorm (fused and unfused)
+    syncs its batch statistics across the axis
+    (parallel/mesh.py:shard_map_train_step)."""
+
     n_classes: int = 40
     use_xyz: bool = True
+    axis_name: Optional[str] = None
+    world: int = 1
 
     @nn.compact
     def __call__(
@@ -46,18 +54,20 @@ class PointNet2SSG(nn.Module):
         feats: Optional[Array] = None,
         training: bool = False,
     ) -> Array:
+        ax = dict(axis_name=self.axis_name, world=self.world)
         xyz, f = SetAbstraction(
             mlp=[64, 64, 128], n_points=512, radius=0.2, n_samples=64,
-            use_xyz=self.use_xyz,
+            use_xyz=self.use_xyz, **ax,
         )(xyz, feats, training)
         xyz, f = SetAbstraction(
             mlp=[128, 128, 256], n_points=128, radius=0.4, n_samples=64,
-            use_xyz=self.use_xyz,
+            use_xyz=self.use_xyz, **ax,
         )(xyz, f, training)
         xyz, f = SetAbstraction(
-            mlp=[256, 512, 1024], use_xyz=self.use_xyz,
+            mlp=[256, 512, 1024], use_xyz=self.use_xyz, **ax,
         )(xyz, f, training)
-        return _ClsHead(self.n_classes)(f[:, 0], training)
+        return _ClsHead(self.n_classes, axis_name=self.axis_name)(
+            f[:, 0], training)
 
 
 class PointNet2PartSeg(nn.Module):

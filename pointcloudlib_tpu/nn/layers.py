@@ -50,13 +50,18 @@ def compute_dtype():
 
 
 class DenseBNAct(nn.Module):
-    """Dense → BatchNorm → activation, the pervasive pointwise block."""
+    """Dense → BatchNorm → activation, the pervasive pointwise block.
+
+    ``axis_name``: set when training inside shard_map data parallelism
+    so BatchNorm syncs its batch statistics across the axis (jit-SPMD
+    syncs implicitly; shard_map needs the explicit collective)."""
 
     features: int
     use_bn: bool = True
     act: Optional[Callable[[Array], Array]] = nn.relu
     bn_momentum: float = 0.9
     use_bias: Optional[bool] = None  # default: bias iff no BN
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Array, training: bool = False) -> Array:
@@ -68,6 +73,7 @@ class DenseBNAct(nn.Module):
                 momentum=self.bn_momentum,
                 epsilon=1e-5,
                 dtype=jnp.float32,  # stats and normalization in f32
+                axis_name=self.axis_name,
             )(x)
         x = x.astype(jnp.float32)
         if self.act is not None:
@@ -90,13 +96,14 @@ class PointMLP(nn.Module):
     use_bn: bool = True
     act: Callable[[Array], Array] = nn.relu
     bn_momentum: float = 0.9
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Array, training: bool = False) -> Array:
         for f in self.features:
             x = DenseBNAct(
                 f, use_bn=self.use_bn, act=self.act,
-                bn_momentum=self.bn_momentum,
+                bn_momentum=self.bn_momentum, axis_name=self.axis_name,
             )(x, training)
         return x
 
@@ -136,6 +143,8 @@ class SetAbstraction(nn.Module):
     radius: Optional[float] = None
     n_samples: Optional[int] = None
     use_xyz: bool = True
+    axis_name: Optional[str] = None   # shard_map DP: sync-BN
+    world: int = 1
 
     @nn.compact
     def __call__(
@@ -151,7 +160,8 @@ class SetAbstraction(nn.Module):
             return FusedSetAbstraction(
                 mlp=tuple(self.mlp), n_points=self.n_points,
                 radius=self.radius, n_samples=self.n_samples,
-                use_xyz=self.use_xyz,
+                use_xyz=self.use_xyz, axis_name=self.axis_name,
+                world=self.world,
             )(xyz, feats, training)
         if self.n_points is None:
             grouped = group_all(xyz, feats, use_xyz=self.use_xyz)  # [B,1,N,C]
@@ -161,7 +171,7 @@ class SetAbstraction(nn.Module):
             new_xyz = index_points(xyz, idx)
             nidx, _ = ball_query(new_xyz, xyz, self.radius, self.n_samples)
             grouped = group_points(xyz, feats, new_xyz, nidx, self.use_xyz)
-        h = PointMLP(self.mlp)(grouped, training)
+        h = PointMLP(self.mlp, axis_name=self.axis_name)(grouped, training)
         return new_xyz, jnp.max(h, axis=2)
 
 

@@ -69,6 +69,31 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
     )
 
 
+def shard_map_train_step(step_fn, mesh: Mesh, axis: str = DATA_AXIS):
+    """shard_map variant of the DP train step — required when the step
+    contains Pallas kernels (jit-SPMD has no partitioner for custom
+    calls and would replicate them on real multi-chip).
+
+    ``step_fn(state, batch, rng) -> (state, metrics)`` runs per shard;
+    it must compute a LOCAL-mean loss and pmean its own grads/metrics
+    over ``axis`` (make_cls_train_step does when built with
+    ``axis_name``), and the model must be constructed with the same
+    ``axis_name``/``world`` so every BatchNorm syncs.
+    """
+    from jax import shard_map
+
+    repl, data = P(), P(axis)
+    return jax.jit(
+        shard_map(
+            step_fn, mesh=mesh,
+            in_specs=(repl, data, repl),
+            out_specs=(repl, repl),
+            check_vma=False,  # pallas outputs carry no vma metadata
+        ),
+        donate_argnums=(0,),
+    )
+
+
 def shard_train_step(step_fn, mesh: Mesh, axis: str = DATA_AXIS):
     """jit a ``(state, batch, rng) -> (state, metrics)`` step for DP.
 

@@ -26,9 +26,16 @@ def make_cls_train_step(
     model,
     mesh: Optional[Mesh] = None,
     smoothing: bool = True,
+    axis_name: Optional[str] = None,
 ):
     """Build ``step(state, batch, rng) -> (state, metrics)`` for
-    classification. ``batch = {"xyz", "feats" (optional), "label"}``."""
+    classification. ``batch = {"xyz", "feats" (optional), "label"}``.
+
+    ``axis_name``: build a shard_map DP step instead of jit-SPMD —
+    required when the model contains Pallas kernels and the mesh spans
+    real chips; the model must be constructed with the same axis_name
+    so its BatchNorms sync (see parallel/mesh.py:shard_map_train_step).
+    """
 
     def loss_fn(params, state: TrainState, batch, rng):
         variables = {"params": params}
@@ -58,12 +65,22 @@ def make_cls_train_step(
         (loss, (bs, acc)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, state, batch, rng)
+        if axis_name is not None:
+            # shard_map DP: grads/metrics are local partials; the
+            # batch_stats are already global (sync-BN via axis_name)
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+            acc = jax.lax.pmean(acc, axis_name)
         state = state.apply_gradients(grads=grads)
         if bs is not None:
             state = state.replace(batch_stats=bs)
         metrics = {"loss": loss, "acc": acc}
         return state, metrics
 
+    if axis_name is not None and mesh is not None:
+        from pointcloudlib_tpu.parallel.mesh import shard_map_train_step
+
+        return shard_map_train_step(step, mesh, axis=axis_name)
     if mesh is not None:
         return shard_train_step(step, mesh)
     return jax.jit(step, donate_argnums=(0,))

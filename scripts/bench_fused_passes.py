@@ -72,18 +72,17 @@ def main():
     print(f"out:              {bench(fo, h1, st1, st2, st3, params.w2, params.w3):.2f} ms", flush=True)
 
     dout = co
-    bs3 = jax.jit(lambda h, d: fs._call_bs3(h, d, st1, st2, st3, params.w2, params.w3, False))
-    s3 = bs3(h1, dout)
-    print(f"bs3:              {bench(bs3, h1, dout):.2f} ms", flush=True)
-    bw3 = jax.jit(lambda h, d, s: fs._call_bw3(h, d, st1, st2, st3, params.w2, params.w3, s, r, False))
-    dw3, s2 = bw3(h1, dout, s3)
-    print(f"bw3:              {bench(bw3, h1, dout, s3):.2f} ms", flush=True)
-    bw2 = jax.jit(lambda h, d, a, b_: fs._call_bw2(h, d, st1, st2, st3, params.w2, params.w3, a, b_, r, False))
-    dw2, s1 = bw2(h1, dout, s3, s2)
-    print(f"bw2:              {bench(bw2, h1, dout, s3, s2):.2f} ms", flush=True)
-    b4 = jax.jit(lambda h, d, a, b_, c_: fs._call_b4(h, d, idx, st1, st2, st3, params.w2, params.w3, a, b_, c_, r, N, False))
-    _ = b4(h1, dout, s3, s2, s1)
-    print(f"b4 (scatter):     {bench(b4, h1, dout, s3, s2, s1):.2f} ms", flush=True)
+    p1 = jax.jit(lambda h, d: fs._call_p1(h, d, st1, st2, st3,
+                                          params.w2, params.w3, False))
+    ps3, vecs, mats = p1(h1, dout)
+    print(f"P1 (S3+mats):     {bench(p1, h1, dout):.2f} ms", flush=True)
+    dw3, s2, ps3g = fs._combine_p1(ps3, vecs, mats, st3, params.w3, r)
+    us3, us2 = ps3g / r, s2 / r
+    p2 = jax.jit(lambda h, d: fs._call_p2(h, d, idx, st1, st2, st3,
+                                          params.w2, params.w3,
+                                          us3, us2, N, False))
+    _ = p2(h1, dout)
+    print(f"P2 (dW2+scatter): {bench(p2, h1, dout):.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

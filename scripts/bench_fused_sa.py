@@ -93,12 +93,12 @@ def main():
 
     fused = FusedSetAbstraction(mlp=(64, 64, 128), n_points=512,
                                 radius=0.2, n_samples=64)
+    # keep the unfused dispatch pinned for the whole comparison
     os.environ["POINTCLOUDLIB_FUSED_SA"] = "0"
     unfused = SetAbstraction(mlp=(64, 64, 128), n_points=512, radius=0.2,
                              n_samples=64)
     fv = fused.init(jax.random.key(0), xyz, feats, True)
     uv = unfused.init(jax.random.key(0), xyz, feats, True)
-    del os.environ["POINTCLOUDLIB_FUSED_SA"]
 
     def mloss(mod, v, x, f):
         (_, out), _ = mod.apply(v, x, f, True, mutable=["batch_stats"])
