@@ -8,7 +8,7 @@ LeakyReLU(0.2) throughout.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -118,6 +118,72 @@ class FusedEdgeConv(nn.Module):
         return out
 
 
+class Fused2EdgeConv(nn.Module):
+    """Two-layer EdgeConv (the DGCNN partseg pair: two Dense+BN+lrelu on
+    the edge features, then max) via ops/pallas/fused_edge.py."""
+
+    features: Tuple[int, int]
+    k: int
+    slope: float = 0.2
+    bn_momentum: float = 0.9
+    axis_name: Optional[str] = None
+    world: int = 1
+
+    @nn.compact
+    def __call__(self, x: Array, training: bool = False) -> Array:
+        from pointcloudlib_tpu.ops.pallas.fused_edge import (
+            Edge2Stats,
+            fused_edge2_conv,
+            fused_edge2_eval,
+        )
+
+        interpret = jax.default_backend() != "tpu"
+        c = x.shape[-1]
+        f1, f2 = self.features
+        _, idx = knn(x, x, self.k)
+        idx = jax.lax.stop_gradient(idx)
+
+        w = self.param("w", nn.initializers.lecun_normal(),
+                       (2 * c, f1), jnp.float32)
+        wa, wb = w[:c], w[c:]
+        q = jnp.dot(x.astype(jnp.bfloat16), wa.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        off = jnp.dot(x.astype(jnp.bfloat16),
+                      (wa - wb).astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+        w2 = self.param("w2", nn.initializers.lecun_normal(),
+                        (f1, f2), jnp.float32)
+        g1 = self.param("bn1_scale", nn.initializers.ones, (f1,))
+        b1 = self.param("bn1_bias", nn.initializers.zeros, (f1,))
+        g2 = self.param("bn2_scale", nn.initializers.ones, (f2,))
+        b2 = self.param("bn2_bias", nn.initializers.zeros, (f2,))
+        ra = [
+            (self.variable("batch_stats", f"mean{l}",
+                           lambda c_=c_: jnp.zeros((c_,), jnp.float32)),
+             self.variable("batch_stats", f"var{l}",
+                           lambda c_=c_: jnp.ones((c_,), jnp.float32)))
+            for l, c_ in ((1, f1), (2, f2))
+        ]
+
+        if training:
+            out, stats = fused_edge2_conv(
+                q, off, idx, w2, g1, b1, g2, b2, self.slope, interpret,
+                self.axis_name, self.world)
+            if not self.is_initializing():
+                mom = self.bn_momentum
+                batch = [(stats.m1, stats.v1), (stats.m2, stats.v2)]
+                for (rm, rv), (bm, bv) in zip(ra, batch):
+                    rm.value = mom * rm.value + (1 - mom) * bm
+                    rv.value = mom * rv.value + (1 - mom) * bv
+        else:
+            out = fused_edge2_eval(
+                q, off, idx, w2, g1, b1, g2, b2,
+                Edge2Stats(ra[0][0].value, ra[0][1].value,
+                           ra[1][0].value, ra[1][1].value),
+                self.slope, interpret)
+        return out
+
+
 class DGCNN(nn.Module):
     n_classes: int = 40
     k: int = 20
@@ -166,19 +232,26 @@ class DGCNNPartSeg(nn.Module):
         del feats
         b, n, _ = xyz.shape
 
-        e = edge_features(xyz, self.k)
-        e = DenseBNAct(64, act=_lrelu)(e, training)
-        e = DenseBNAct(64, act=_lrelu)(e, training)
-        x1 = jnp.max(e, axis=2)
+        from pointcloudlib_tpu.nn.layers import _fused_sa_enabled
 
-        e = edge_features(x1, self.k)
-        e = DenseBNAct(64, act=_lrelu)(e, training)
-        e = DenseBNAct(64, act=_lrelu)(e, training)
-        x2 = jnp.max(e, axis=2)
+        if _fused_sa_enabled():
+            x1 = Fused2EdgeConv((64, 64), self.k)(xyz, training)
+            x2 = Fused2EdgeConv((64, 64), self.k)(x1, training)
+            x3 = FusedEdgeConv(64, self.k)(x2, training)
+        else:
+            e = edge_features(xyz, self.k)
+            e = DenseBNAct(64, act=_lrelu)(e, training)
+            e = DenseBNAct(64, act=_lrelu)(e, training)
+            x1 = jnp.max(e, axis=2)
 
-        e = edge_features(x2, self.k)
-        e = DenseBNAct(64, act=_lrelu)(e, training)
-        x3 = jnp.max(e, axis=2)
+            e = edge_features(x1, self.k)
+            e = DenseBNAct(64, act=_lrelu)(e, training)
+            e = DenseBNAct(64, act=_lrelu)(e, training)
+            x2 = jnp.max(e, axis=2)
+
+            e = edge_features(x2, self.k)
+            e = DenseBNAct(64, act=_lrelu)(e, training)
+            x3 = jnp.max(e, axis=2)
 
         x = jnp.concatenate([x1, x2, x3], axis=-1)  # [B, N, 192]
         x = DenseBNAct(1024, act=_lrelu)(x, training)

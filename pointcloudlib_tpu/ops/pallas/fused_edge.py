@@ -333,3 +333,371 @@ def fused_edge_eval(q, off, idx, gamma, beta, stats: EdgeStats,
         interpret=interpret,
     )(q.astype(jnp.bfloat16), idx.astype(jnp.int32),
       off.astype(jnp.float32), st)
+
+
+# ------------------------------------------------ two-layer variant
+#
+# DGCNN partseg's EdgeConv pairs (networks/seg/dgcnn_partseg.py:35-128)
+# run TWO Dense+BN+LeakyReLU layers on the edge features before the
+# max. Same machinery with one more level: forward F1 → stats2 → out;
+# backward P1 (S2 sums + the affine-in-sums accumulators, reusing
+# fused_sa._combine_p1 which is level-generic) → P2 (dh1 per row with
+# the now-known sums, hi/lo scatter).
+
+from pointcloudlib_tpu.ops.pallas.fused_sa import (  # noqa: E402
+    _combine_p1,
+    _divisor_tile,
+    _w_spec,
+)
+
+
+def _leaky_mask(z, slope):
+    return jnp.where(z > 0, 1.0, slope)
+
+
+def _ke2_stats2(h_ref, st1_ref, w2_ref, psum_ref, *, cm: int,
+                slope: float):
+    """Σ/Σ² of h2 = leaky(BN1(h1))·W2."""
+    mt, k, c1 = h_ref.shape[1], h_ref.shape[2], h_ref.shape[3]
+    c2 = w2_ref.shape[1]
+    _psum_init(psum_ref)
+
+    def body(i, acc):
+        h1 = h_ref[0, pl.ds(i * cm, cm), :, :]
+        h1 = h1.astype(jnp.float32).reshape(cm * k, c1)
+        y1 = _bn_leaky(h1, st1_ref, slope)
+        h2 = jnp.dot(y1.astype(jnp.bfloat16), w2_ref[:, :],
+                     preferred_element_type=jnp.float32)
+        return (acc[0] + jnp.sum(h2, axis=0, keepdims=True),
+                acc[1] + jnp.sum(h2 * h2, axis=0, keepdims=True))
+
+    s, ss = lax.fori_loop(0, mt // cm, body, _zeros2(c2))
+    psum_ref[0] += jnp.concatenate([s, ss], axis=0)
+
+
+def _ke2_out(h_ref, st1_ref, st2_ref, w2_ref, out_ref, *, cm: int,
+             slope: float):
+    mt, k, c1 = h_ref.shape[1], h_ref.shape[2], h_ref.shape[3]
+    c2 = w2_ref.shape[1]
+
+    def body(i, _):
+        h1 = h_ref[0, pl.ds(i * cm, cm), :, :]
+        h1 = h1.astype(jnp.float32).reshape(cm * k, c1)
+        y1 = _bn_leaky(h1, st1_ref, slope)
+        h2 = jnp.dot(y1.astype(jnp.bfloat16), w2_ref[:, :],
+                     preferred_element_type=jnp.float32)
+        y2 = _bn_leaky(h2, st2_ref, slope)
+        out_ref[0, pl.ds(i * cm, cm), :] = jnp.max(
+            y2.reshape(cm, k, c2), axis=1)
+        return 0
+
+    lax.fori_loop(0, mt // cm, body, 0)
+
+
+def _ke2_p1(h_ref, dout_ref, st1_ref, st2_ref, w2_ref,
+            ps2_ref, vec_ref, mats_ref, *, cm: int, slope: float):
+    """Backward pass 1: S2 sums + [y1|m1|m1·x̂1]ᵀ·[dz2|x̂2]."""
+    mt, k, c1 = h_ref.shape[1], h_ref.shape[2], h_ref.shape[3]
+    c2 = w2_ref.shape[1]
+    _psum_init(ps2_ref)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        vec_ref[0] = jnp.zeros_like(vec_ref[0])
+        mats_ref[0] = jnp.zeros_like(mats_ref[0])
+
+    contract = (((0,), (0,)), ((), ()))
+
+    def body(i, acc):
+        s, ss, vecs, mats = acc
+        h1 = h_ref[0, pl.ds(i * cm, cm), :, :]
+        h1 = h1.astype(jnp.float32).reshape(cm * k, c1)
+        dout = dout_ref[0, pl.ds(i * cm, cm), :]
+        y1, z1 = _bn_leaky(h1, st1_ref, slope, with_z=True)
+        h2 = jnp.dot(y1.astype(jnp.bfloat16), w2_ref[:, :],
+                     preferred_element_type=jnp.float32)
+        # dz2: max-pool even tie split + leaky mask at level 2
+        y2, z2 = _bn_leaky(h2, st2_ref, slope, with_z=True)
+        a = y2.reshape(cm, k, c2)
+        amax = jnp.max(a, axis=1, keepdims=True)
+        ties = (a == amax).astype(jnp.float32)
+        da = dout[:, None, :] * ties / jnp.sum(ties, axis=1,
+                                               keepdims=True)
+        dz2 = (_leaky_mask(z2, slope)
+               * da.reshape(cm * k, c2))
+        xh2 = _xhat_e(h2, st2_ref)
+        m1 = _leaky_mask(z1, slope)
+        xh1 = _xhat_e(h1, st1_ref)
+        left = jnp.concatenate([y1, m1, m1 * xh1], axis=1)
+        right = jnp.concatenate([dz2, xh2], axis=1)
+        mats = mats + lax.dot_general(
+            left.astype(jnp.bfloat16), right.astype(jnp.bfloat16),
+            contract, preferred_element_type=jnp.float32)
+        return (s + jnp.sum(dz2, axis=0, keepdims=True),
+                ss + jnp.sum(dz2 * xh2, axis=0, keepdims=True),
+                vecs + jnp.sum(left, axis=0, keepdims=True),
+                mats)
+
+    s, ss, vecs, mats = lax.fori_loop(
+        0, mt // cm, body,
+        _zeros2(c2) + (jnp.zeros((1, 3 * c1), jnp.float32),
+                       jnp.zeros((3 * c1, 2 * c2), jnp.float32)))
+    ps2_ref[0] += jnp.concatenate([s, ss], axis=0)
+    vec_ref[0] += vecs
+    mats_ref[0] += mats
+
+
+def _ke2_p2(h_ref, dout_ref, idx_ref, st1_ref, st2_ref, w2_ref,
+            wt2_ref, us2_ref, us1_ref, dq_ref, doff_ref,
+            *, cm: int, slope: float):
+    """Backward pass 2: dh1 per row (all sums known) → hi/lo scatter."""
+    mt, k, c1 = h_ref.shape[1], h_ref.shape[2], h_ref.shape[3]
+    c2 = w2_ref.shape[1]
+    n = dq_ref.shape[1]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dq_ref[0] = jnp.zeros_like(dq_ref[0])
+
+    contract = (((0,), (0,)), ((), ()))
+    lane = lax.broadcasted_iota(jnp.int32, (cm, k, n), 2)
+
+    def body(i, dq):
+        h1 = h_ref[0, pl.ds(i * cm, cm), :, :]
+        h1 = h1.astype(jnp.float32).reshape(cm * k, c1)
+        dout = dout_ref[0, pl.ds(i * cm, cm), :]
+        idx = idx_ref[0, pl.ds(i * cm, cm), :]
+        y1, z1 = _bn_leaky(h1, st1_ref, slope, with_z=True)
+        h2 = jnp.dot(y1.astype(jnp.bfloat16), w2_ref[:, :],
+                     preferred_element_type=jnp.float32)
+        y2, z2 = _bn_leaky(h2, st2_ref, slope, with_z=True)
+        a = y2.reshape(cm, k, c2)
+        amax = jnp.max(a, axis=1, keepdims=True)
+        ties = (a == amax).astype(jnp.float32)
+        da = dout[:, None, :] * ties / jnp.sum(ties, axis=1,
+                                               keepdims=True)
+        dz2 = _leaky_mask(z2, slope) * da.reshape(cm * k, c2)
+        # dh2 = sc2·(dz2 − u1 − x̂2·u2) with pre-divided sums
+        sc2 = st2_ref[0, 0:1, :]
+        dh2 = sc2 * (dz2 - us2_ref[0, 0:1, :]
+                     - _xhat_e(h2, st2_ref) * us2_ref[0, 1:2, :])
+        dy1 = jnp.dot(dh2.astype(jnp.bfloat16), wt2_ref[:, :],
+                      preferred_element_type=jnp.float32)
+        dz1 = _leaky_mask(z1, slope) * dy1
+        sc1 = st1_ref[0, 0:1, :]
+        dh1 = sc1 * (dz1 - us1_ref[0, 0:1, :]
+                     - _xhat_e(h1, st1_ref) * us1_ref[0, 1:2, :])
+
+        doff_ref[0, pl.ds(i * cm, cm), :] = -jnp.sum(
+            dh1.reshape(cm, k, c1), axis=1)
+        onehot = (lane == idx[:, :, None]).astype(jnp.bfloat16)
+        onehot = onehot.reshape(cm * k, n)
+        hi = dh1.astype(jnp.bfloat16)
+        lo = (dh1 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = lax.dot_general(onehot, hi, contract,
+                              preferred_element_type=jnp.float32)
+        acc += lax.dot_general(onehot, lo, contract,
+                               preferred_element_type=jnp.float32)
+        return dq + acc
+
+    dq = lax.fori_loop(0, mt // cm, body,
+                       jnp.zeros((n, c1), jnp.float32))
+    dq_ref[0] += dq
+
+
+class Edge2Stats(NamedTuple):
+    m1: Array
+    v1: Array
+    m2: Array
+    v2: Array
+
+
+def _e2_fwd(q, off, idx, w2, g1, b1, g2, b2, slope, interpret,
+            axis_name, world):
+    b = q.shape[0]
+    _, m, k = idx.shape
+    r = float(b * m * k * world)
+    h1, ps = _call_ef1(q, idx, off, interpret)
+    m1, v1 = _moments(_psum(ps[0], axis_name), r)
+    st1 = _stack_stats(m1, v1, g1, b1)
+
+    b_, mm, kk, c1 = h1.shape
+    c2 = w2.shape[1]
+    mt = _m_tile(mm, kk, bf16_widths=c1)
+    cm = _divisor_tile(mt, max(1, 1024 // kk))
+    ps2 = pl.pallas_call(
+        functools.partial(_ke2_stats2, cm=cm, slope=slope),
+        grid=(b_ * (mm // mt),),
+        in_specs=[_flat(mm, mt, (kk, c1)), _st_spec(c1), _w_spec(w2)],
+        out_specs=_ps_spec(c2),
+        out_shape=jax.ShapeDtypeStruct((1, 2, c2), jnp.float32),
+        interpret=interpret,
+    )(h1, st1, w2.astype(jnp.bfloat16))
+    m2, v2 = _moments(_psum(ps2[0], axis_name), r)
+    st2 = _stack_stats(m2, v2, g2, b2)
+
+    out = pl.pallas_call(
+        functools.partial(_ke2_out, cm=cm, slope=slope),
+        grid=(b_ * (mm // mt),),
+        in_specs=[_flat(mm, mt, (kk, c1)), _st_spec(c1), _st_spec(c2),
+                  _w_spec(w2)],
+        out_specs=_flat(mm, mt, (c2,)),
+        out_shape=jax.ShapeDtypeStruct((b_, mm, c2), jnp.float32),
+        interpret=interpret,
+    )(h1, st1, st2, w2.astype(jnp.bfloat16))
+    return out, Edge2Stats(m1, v1, m2, v2), (h1, st1, st2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def fused_edge2_conv(q, off, idx, w2, g1, b1, g2, b2, slope=0.2,
+                     interpret=False, axis_name=None, world=1):
+    """Two-layer fused EdgeConv:
+    ``max_k leaky(BN2(leaky(BN1(Q[idx] − Off))·W2))`` — the DGCNN
+    partseg pair. W1 lives in Q/Off (XLA AD); W2 is in-kernel with its
+    gradient from the affine-in-sums expansion."""
+    out, stats, _ = _e2_fwd(q, off, idx, w2, g1, b1, g2, b2, slope,
+                            interpret, axis_name, world)
+    return out, stats
+
+
+def _e2_fwd_rule(q, off, idx, w2, g1, b1, g2, b2, slope, interpret,
+                 axis_name, world):
+    out, stats, (h1, st1, st2) = _e2_fwd(
+        q, off, idx, w2, g1, b1, g2, b2, slope, interpret, axis_name,
+        world)
+    return (out, stats), (idx, h1, st1, st2, w2, q.shape[1])
+
+
+def _e2_bwd_rule(slope, interpret, axis_name, world, res, cts):
+    (dout, _dstats) = cts
+    idx, h1, st1, st2, w2, n = res
+    b, m, k, c1 = h1.shape
+    c2 = w2.shape[1]
+    r = float(b * m * k * world)
+
+    mt = _m_tile(m, k, bf16_widths=c1, f32_widths=c2 // k + 1)
+    cm = _divisor_tile(mt, max(1, 1024 // k))
+    ps2, vecs, mats = pl.pallas_call(
+        functools.partial(_ke2_p1, cm=cm, slope=slope),
+        grid=(b * (m // mt),),
+        in_specs=[_flat(m, mt, (k, c1)), _flat(m, mt, (c2,)),
+                  _st_spec(c1), _st_spec(c2), _w_spec(w2)],
+        out_specs=[_ps_spec(c2),
+                   pl.BlockSpec((1, 1, 3 * c1), lambda *a: (0, 0, 0)),
+                   pl.BlockSpec((1, 3 * c1, 2 * c2),
+                                lambda *a: (0, 0, 0))],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, 2, c2), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1, 3 * c1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * c1, 2 * c2), jnp.float32),
+        ],
+        interpret=interpret,
+    )(h1, dout, st1, st2, w2.astype(jnp.bfloat16))
+
+    # _combine_p1 is level-generic: dW2 from this shard's accumulators
+    # with global u-terms; s1 (the BN1 sums) global under axis_name
+    dw2, s1, ps2_g = _combine_p1(ps2, vecs, mats, st2, w2, r, axis_name)
+    if axis_name is not None:
+        # local partial S1 for the dγ1/dβ1 grads (same as fused_sa)
+        sc2 = st2[0, 0]
+        w2s = w2 * sc2[None, :]
+        ps2g = _psum(ps2, axis_name)
+        u1 = ps2g[0, 0] / r
+        u2 = ps2g[0, 1] / r
+        vm = vecs[0, 0, c1:2 * c1]
+        vmx = vecs[0, 0, 2 * c1:]
+        E, G = mats[0, c1:2 * c1, :c2], mats[0, c1:2 * c1, c2:]
+        Ep, Gp = mats[0, 2 * c1:, :c2], mats[0, 2 * c1:, c2:]
+        s1_l1 = jnp.sum((E - G * u2[None, :]) * w2s, axis=1) \
+            - vm * (w2s @ u1)
+        s1_l2 = jnp.sum((Ep - Gp * u2[None, :]) * w2s, axis=1) \
+            - vmx * (w2s @ u1)
+        g1_grad, b1_grad = s1_l2, s1_l1
+    else:
+        g1_grad, b1_grad = s1[0, 1], s1[0, 0]
+
+    us2 = ps2_g / r
+    us1 = s1 / r  # s1 from _combine_p1 is already global under axis
+
+    cmg = _gchunk(mt, k, n)
+    dq, doff = pl.pallas_call(
+        functools.partial(_ke2_p2, cm=cmg, slope=slope),
+        grid=(b, m // mt),
+        in_specs=[
+            pl.BlockSpec((1, mt, k, c1), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, mt, c2), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, mt, k), lambda i, j: (i, j, 0)),
+            _st_spec(c1), _st_spec(c2), _w_spec(w2),
+            pl.BlockSpec((c2, c1), lambda i, j: (0, 0)),
+            _ps_spec(c2), _ps_spec(c1),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n, c1), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, mt, c1), lambda i, j: (i, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, c1), jnp.float32),
+            jax.ShapeDtypeStruct((b, m, c1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(h1, dout, idx.astype(jnp.int32), st1, st2,
+      w2.astype(jnp.bfloat16),
+      jnp.swapaxes(w2, 0, 1).astype(jnp.bfloat16), us2, us1)
+
+    # dγ2/dβ2 are this shard's partial S2 sums
+    return (dq, doff, None, dw2, g1_grad, b1_grad, ps2[0, 1], ps2[0, 0])
+
+
+fused_edge2_conv.defvjp(_e2_fwd_rule, _e2_bwd_rule)
+
+
+def fused_edge2_eval(q, off, idx, w2, g1, b1, g2, b2,
+                     stats: Edge2Stats, slope=0.2, interpret=False):
+    """Eval-mode two-layer fused EdgeConv with running statistics."""
+    b, n, c1 = q.shape
+    _, m, k = idx.shape
+    c2 = w2.shape[1]
+    st1 = _stack_stats(stats.m1, stats.v1, g1, b1)
+    st2 = _stack_stats(stats.m2, stats.v2, g2, b2)
+    mt = _m_tile(m, k, bf16_widths=c1)
+    cm = _gchunk(mt, k, n)
+    return pl.pallas_call(
+        functools.partial(_ke2_eval, cm=cm, slope=slope),
+        grid=(b * (m // mt),),
+        in_specs=[
+            pl.BlockSpec((1, n, c1), lambda i, _m=m, _mt=mt:
+                         (i // (_m // _mt), 0, 0)),
+            _flat(m, mt, (k,)),
+            _flat(m, mt, (c1,)),
+            _st_spec(c1), _st_spec(c2), _w_spec(w2),
+        ],
+        out_specs=_flat(m, mt, (c2,)),
+        out_shape=jax.ShapeDtypeStruct((b, m, c2), jnp.float32),
+        interpret=interpret,
+    )(q.astype(jnp.bfloat16), idx.astype(jnp.int32),
+      off.astype(jnp.float32), st1, st2, w2.astype(jnp.bfloat16))
+
+
+def _ke2_eval(q_ref, idx_ref, off_ref, st1_ref, st2_ref, w2_ref,
+              out_ref, *, cm: int, slope: float):
+    n, c1 = q_ref.shape[1], q_ref.shape[2]
+    mt, k = idx_ref.shape[1], idx_ref.shape[2]
+    c2 = w2_ref.shape[1]
+    lane = lax.broadcasted_iota(jnp.int32, (cm, k, n), 2)
+
+    def body(i, _):
+        idx = idx_ref[0, pl.ds(i * cm, cm), :]
+        off = off_ref[0, pl.ds(i * cm, cm), :]
+        onehot = (lane == idx[:, :, None]).astype(jnp.bfloat16)
+        g = jnp.dot(onehot.reshape(cm * k, n), q_ref[0],
+                    preferred_element_type=jnp.float32)
+        h1 = (g.reshape(cm, k, c1) - off[:, None, :]).reshape(cm * k, c1)
+        y1 = _bn_leaky(h1, st1_ref, slope)
+        h2 = jnp.dot(y1.astype(jnp.bfloat16), w2_ref[:, :],
+                     preferred_element_type=jnp.float32)
+        y2 = _bn_leaky(h2, st2_ref, slope)
+        out_ref[0, pl.ds(i * cm, cm), :] = jnp.max(
+            y2.reshape(cm, k, c2), axis=1)
+        return 0
+
+    lax.fori_loop(0, mt // cm, body, 0)

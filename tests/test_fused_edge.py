@@ -169,3 +169,100 @@ def test_dgcnn_model_fused_runs_and_learns():
         assert float(l) < first * 0.6, (first, float(l))
     finally:
         del os.environ["POINTCLOUDLIB_FUSED_SA"]
+
+
+def _edge2_reference(q, off, idx, w2, g1, b1, g2, b2, slope=0.2):
+    """jnp replica of the two-layer fused EdgeConv with the kernels'
+    exact roundings."""
+    b, n, c = q.shape
+    _, m, k = idx.shape
+
+    def bf(v):
+        return v.astype(jnp.bfloat16).astype(jnp.float32)
+
+    g = jnp.take_along_axis(
+        bf(q), idx.reshape(b, m * k)[..., None], axis=1
+    ).reshape(b, m, k, c)
+    h1 = g - off[:, :, None, :]
+
+    def moments(h):
+        flat = h.reshape(-1, h.shape[-1])
+        mean = jnp.mean(flat, axis=0)
+        var = jnp.maximum(jnp.mean(flat * flat, axis=0) - mean ** 2, 0.)
+        return mean, var
+
+    def bn_leaky(hc, stats, gam, bet):
+        mean, var = stats
+        z = gam * (hc - mean) * jax.lax.rsqrt(var + 1e-5) + bet
+        return jnp.where(z > 0, z, slope * z)
+
+    s1 = moments(h1)
+    y1 = bn_leaky(bf(h1), s1, g1, b1)
+    h2 = jnp.einsum("bmkc,cd->bmkd", y1.astype(jnp.bfloat16),
+                    w2.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+    s2 = moments(h2)
+    y2 = bn_leaky(h2, s2, g2, b2)
+    return jnp.max(y2, axis=2), (s1, s2)
+
+
+def test_edge2_vjp_matches_jax_ad_of_replica():
+    from pointcloudlib_tpu.ops.pallas.fused_edge import fused_edge2_conv
+
+    rng = np.random.default_rng(6)
+    f1, f2 = 16, 32
+    q = jnp.asarray(rng.standard_normal((B, N, f1)), jnp.float32)
+    off = jnp.asarray(rng.standard_normal((B, N, f1)) * .1, jnp.float32)
+    idx = jnp.asarray(rng.integers(0, N, (B, N, K)), jnp.int32)
+    w2 = jnp.asarray(rng.standard_normal((f1, f2)) * .3, jnp.float32)
+    g1 = jnp.asarray(1 + .1 * rng.standard_normal(f1), jnp.float32)
+    b1 = jnp.asarray(.1 * rng.standard_normal(f1), jnp.float32)
+    g2 = jnp.asarray(1 + .1 * rng.standard_normal(f2), jnp.float32)
+    b2 = jnp.asarray(.1 * rng.standard_normal(f2), jnp.float32)
+    co = jnp.asarray(rng.standard_normal((B, N, f2)), jnp.float32)
+
+    def loss_f(q, off, w2, g1, b1, g2, b2):
+        out, _ = fused_edge2_conv(q, off, idx, w2, g1, b1, g2, b2,
+                                  0.2, True)
+        return jnp.sum(out * co)
+
+    def loss_r(q, off, w2, g1, b1, g2, b2):
+        out, _ = _edge2_reference(q, off, idx, w2, g1, b1, g2, b2)
+        return jnp.sum(out * co)
+
+    args = (q, off, w2, g1, b1, g2, b2)
+    np.testing.assert_allclose(float(loss_f(*args)), float(loss_r(*args)),
+                               rtol=2e-3)
+    gf = jax.grad(loss_f, argnums=tuple(range(7)))(*args)
+    gr = jax.grad(loss_r, argnums=tuple(range(7)))(*args)
+    for i, (a, b) in enumerate(zip(gf, gr)):
+        scale = max(float(jnp.max(jnp.abs(b))), 1e-4)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0.04, atol=0.04 * scale,
+            err_msg=f"arg {i}")
+
+
+def test_dgcnn_partseg_fused_runs():
+    from pointcloudlib_tpu.models.dgcnn import DGCNNPartSeg
+
+    os.environ["POINTCLOUDLIB_FUSED_SA"] = "1"
+    try:
+        rng = np.random.default_rng(7)
+        xyz = jnp.asarray(rng.standard_normal((2, 64, 3)), jnp.float32)
+        onehot = jnp.eye(16, dtype=jnp.float32)[jnp.asarray([0, 1])]
+        model = DGCNNPartSeg(part_num=10, k=8)
+        v = model.init(jax.random.key(0), xyz, onehot, training=True)
+        out, mut = model.apply(v, xyz, onehot, training=True,
+                               mutable=["batch_stats"],
+                               rngs={"dropout": jax.random.key(1)})
+        assert out.shape == (2, 64, 10)
+        assert np.isfinite(np.asarray(out)).all()
+        # grads flow
+        g = jax.grad(lambda p: jnp.sum(model.apply(
+            {"params": p, "batch_stats": v["batch_stats"]}, xyz, onehot,
+            training=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.key(1)})[0] ** 2))(v["params"])
+        assert all(np.isfinite(np.asarray(x)).all()
+                   for x in jax.tree_util.tree_leaves(g))
+    finally:
+        del os.environ["POINTCLOUDLIB_FUSED_SA"]
