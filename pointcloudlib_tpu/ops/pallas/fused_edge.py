@@ -146,7 +146,7 @@ def _ke_bwd(h_ref, dout_ref, idx_ref, st_ref, ps_ref, scat_ref,
     ones8 = jnp.ones((cm * k, 8), jnp.bfloat16)
 
     def body(i, acc):
-        s, ss, scat = acc
+        s, ss = acc
         h = h_ref[0, pl.ds(i * cm, cm), :, :]
         h = h.astype(jnp.float32).reshape(cm * k, c)
         dout = dout_ref[0, pl.ds(i * cm, cm), :]
@@ -170,17 +170,13 @@ def _ke_bwd(h_ref, dout_ref, idx_ref, st_ref, ps_ref, scat_ref,
         right = jnp.concatenate(
             [dz.astype(jnp.bfloat16), xh.astype(jnp.bfloat16), ones8],
             axis=1)
-        scat = scat + lax.dot_general(
+        scat_ref[0] += lax.dot_general(
             onehot, right, contract, preferred_element_type=jnp.float32)
         return (s + jnp.sum(dz, axis=0, keepdims=True),
-                ss + jnp.sum(dz * xh, axis=0, keepdims=True),
-                scat)
+                ss + jnp.sum(dz * xh, axis=0, keepdims=True))
 
-    s, ss, scat = lax.fori_loop(
-        0, mt // cm, body,
-        _zeros2(c) + (jnp.zeros((n, 2 * c + 8), jnp.float32),))
+    s, ss = lax.fori_loop(0, mt // cm, body, _zeros2(c))
     ps_ref[0] += jnp.concatenate([s, ss], axis=0)
-    scat_ref[0] += scat
 
 
 # ---------------------------------------------------------- orchestration
@@ -267,7 +263,8 @@ def _edge_bwd_rule(slope, interpret, axis_name, world, res, cts):
     b, m, k, c = h.shape
     r = float(b * m * k * world)
 
-    mt = _m_tile(m, k, bf16_widths=c, f32_widths=c // k + 1)
+    mt = _m_tile(m, k, bf16_widths=c, f32_widths=c // k + 1,
+                 fixed_bytes=8 * n * (2 * c + 8))
     cm = _gchunk(mt, k, n)
     ps, scat, d1, d2 = pl.pallas_call(
         functools.partial(_ke_bwd, cm=cm, slope=slope),
@@ -462,7 +459,7 @@ def _ke2_p2(h_ref, dout_ref, idx_ref, st1_ref, st2_ref, w2_ref,
     contract = (((0,), (0,)), ((), ()))
     lane = lax.broadcasted_iota(jnp.int32, (cm, k, n), 2)
 
-    def body(i, dq):
+    def body(i, _):
         h1 = h_ref[0, pl.ds(i * cm, cm), :, :]
         h1 = h1.astype(jnp.float32).reshape(cm * k, c1)
         dout = dout_ref[0, pl.ds(i * cm, cm), :]
@@ -498,11 +495,10 @@ def _ke2_p2(h_ref, dout_ref, idx_ref, st1_ref, st2_ref, w2_ref,
                               preferred_element_type=jnp.float32)
         acc += lax.dot_general(onehot, lo, contract,
                                preferred_element_type=jnp.float32)
-        return dq + acc
+        dq_ref[0] += acc
+        return 0
 
-    dq = lax.fori_loop(0, mt // cm, body,
-                       jnp.zeros((n, c1), jnp.float32))
-    dq_ref[0] += dq
+    lax.fori_loop(0, mt // cm, body, 0)
 
 
 class Edge2Stats(NamedTuple):
@@ -619,6 +615,8 @@ def _e2_bwd_rule(slope, interpret, axis_name, world, res, cts):
     us2 = ps2_g / r
     us1 = s1 / r  # s1 from _combine_p1 is already global under axis
 
+    mt = _m_tile(m, k, bf16_widths=c1, f32_widths=c2 // k + 1,
+                 fixed_bytes=8 * n * c1)
     cmg = _gchunk(mt, k, n)
     dq, doff = pl.pallas_call(
         functools.partial(_ke2_p2, cm=cmg, slope=slope),

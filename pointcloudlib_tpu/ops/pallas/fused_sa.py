@@ -91,12 +91,16 @@ def _divisor_tile(m: int, cap: int) -> int:
     return mt
 
 
-def _m_tile(m: int, k: int, bf16_widths: int, f32_widths: int = 0) -> int:
+def _m_tile(m: int, k: int, bf16_widths: int, f32_widths: int = 0,
+            fixed_bytes: int = 0) -> int:
     """Rows tile from a VMEM budget: double-buffered block bytes per
-    m-row = k·(2·bf16_widths + 4·f32_widths)·2, ~5 MB budget (leaves
-    room for the in-kernel chunk temporaries)."""
+    m-row = k·(2·bf16_widths + 4·f32_widths)·2 against a ~6 MB budget
+    (leaving room for the chunk temporaries), minus ``fixed_bytes`` for
+    mt-independent residents (e.g. the scatter accumulator block+carry,
+    which scale with N not mt)."""
     per_row = 2 * k * (2 * bf16_widths + 4 * f32_widths)
-    return _divisor_tile(m, (5 << 20) // max(1, per_row))
+    budget = max(1 << 19, (6 << 20) - fixed_bytes)
+    return _divisor_tile(m, budget // max(1, per_row))
 
 
 def _chunk(mt: int, k: int) -> int:
@@ -107,8 +111,8 @@ def _chunk(mt: int, k: int) -> int:
 
 def _gchunk(mt: int, k: int, n: int) -> int:
     """Chunk for gather/scatter kernels: the one-hot block
-    [cm·K, N] bf16 (plus its int32 iota) must stay ~2 MB."""
-    return _divisor_tile(mt, max(1, (1 << 21) // (2 * k * n)))
+    [cm·K, N] bf16 plus its int32 iota (6 B/element) stay ~3 MB."""
+    return _divisor_tile(mt, max(1, (3 << 20) // (6 * k * n)))
 
 
 # --------------------------------------------------------- kernel helpers
@@ -378,7 +382,7 @@ def _k_p2(h1_ref, dout_ref, idx_ref, st1_ref, st2_ref, st3_ref,
     ones8 = jnp.ones((cm * k, 8), jnp.bfloat16)
 
     def body(i, acc):
-        dw2, s, ss, scat = acc
+        dw2, s, ss = acc
         h1 = h1_ref[0, pl.ds(i * cm, cm), :, :]
         h1 = h1.astype(jnp.float32).reshape(cm * k, c1)
         dout = dout_ref[0, pl.ds(i * cm, cm), :]
@@ -412,21 +416,20 @@ def _k_p2(h1_ref, dout_ref, idx_ref, st1_ref, st2_ref, st3_ref,
         right = jnp.concatenate(
             [dz1.astype(jnp.bfloat16), xh1.astype(jnp.bfloat16), ones8],
             axis=1)
-        scat = scat + lax.dot_general(
+        # accumulate straight into the (VMEM-resident) output block —
+        # an [N, 2C1+8] loop carry would double the footprint
+        scat_ref[0] += lax.dot_general(
             onehot, right, contract, preferred_element_type=jnp.float32)
         return (dw2,
                 s + jnp.sum(dz1, axis=0, keepdims=True),
-                ss + jnp.sum(dz1 * xh1, axis=0, keepdims=True),
-                scat)
+                ss + jnp.sum(dz1 * xh1, axis=0, keepdims=True))
 
     c2_ = w2_ref.shape[1]
-    dw2, s, ss, scat = lax.fori_loop(
+    dw2, s, ss = lax.fori_loop(
         0, mt // cm, body,
-        (jnp.zeros((c1, c2_), jnp.float32),) + _zeros2(c1)
-        + (jnp.zeros((n, 2 * c1 + 8), jnp.float32),))
+        (jnp.zeros((c1, c2_), jnp.float32),) + _zeros2(c1))
     dw2_ref[0] += dw2
     ps1_ref[0] += jnp.concatenate([s, ss], axis=0)
-    scat_ref[0] += scat
 
 
 # ---------------------------------------------------------- orchestration
@@ -656,7 +659,10 @@ def _call_p2(h1, dout, idx, st1, st2, st3, w2, w3, us3, us2, n,
              interpret):
     b, m, k, c1 = h1.shape
     c2, c3 = w2.shape[1], w3.shape[1]
-    mt = _m_tile(m, k, bf16_widths=c1, f32_widths=c3 // k + 1)
+    # the [N, 2C1+8] scatter accumulator (output block + loop carry)
+    # lives in VMEM regardless of the row tile
+    mt = _m_tile(m, k, bf16_widths=c1, f32_widths=c3 // k + 1,
+                 fixed_bytes=8 * n * (2 * c1 + 8))
     dw2, ps1, scat, d1, d2 = pl.pallas_call(
         functools.partial(_k_p2, cm=_gchunk(mt, k, n)),
         grid=(b, m // mt),
