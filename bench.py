@@ -27,6 +27,7 @@ import numpy as np
 BASELINES = {
     "pointnet2_ssg_modelnet40_train_throughput": 1000.0,
     "pointnet2_ssg_n4096_normals_train_throughput": 1000.0,
+    "pointnet2_msg_modelnet40_train_throughput": 500.0,  # MSG ~2x SSG cost
     "dgcnn_modelnet40_train_throughput": 800.0,
     "kpconv_modelnet40_train_throughput": 200.0,
     "pointnet2_shapenet_partseg_train_throughput": 800.0,
@@ -148,6 +149,8 @@ def main():
     jobs = [
         ("pointnet2_ssg_n4096_normals_train_throughput",
          lambda: _bench_cls("pointnet2", 32, 4096, True, iters=20)),
+        ("pointnet2_msg_modelnet40_train_throughput",
+         lambda: _bench_cls("pointnet2_msg", 32, 1024, True, iters=15)),
         ("dgcnn_modelnet40_train_throughput",
          lambda: _bench_cls("dgcnn", 32, 1024, False, iters=20)),
         ("kpconv_modelnet40_train_throughput",
