@@ -1,0 +1,97 @@
+"""Compile-and-run sweep of the fused kernels over every shape the
+model zoo uses (plus margins). Catches VMEM/tiling regressions that
+interpret-mode tests cannot (they're Mosaic compile-time properties).
+
+Run on the real chip:  python scripts/compile_sweep.py
+"""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def sweep_sa():
+    from pointcloudlib_tpu.ops.pallas.fused_sa import (
+        SAParams, SAStats, fused_sa_eval, fused_sa_train,
+    )
+
+    # (B, N, M, K, C1, C2, C3) — SSG SA1/SA2, MSG scales, headline N=4096
+    shapes = [
+        (8, 1024, 512, 64, 64, 64, 128),      # SA1
+        (8, 512, 128, 64, 128, 128, 256),     # SA2
+        (4, 4096, 512, 64, 64, 64, 128),      # SA1 @ N=4096
+        (8, 1024, 512, 16, 32, 32, 64),       # MSG scale K=16
+        (8, 1024, 512, 128, 64, 96, 128),     # MSG scale K=128
+        (8, 2048, 512, 32, 64, 64, 128),      # partseg-ish
+    ]
+    rng = np.random.default_rng(0)
+    for (b, n, m, k, c1, c2, c3) in shapes:
+        q = jnp.asarray(rng.standard_normal((b, n, c1)), jnp.float32)
+        off = jnp.asarray(rng.standard_normal((b, m, c1)) * .1,
+                          jnp.float32)
+        idx = jnp.asarray(rng.integers(0, n, (b, m, k)), jnp.int32)
+        params = SAParams(
+            w2=jnp.asarray(rng.standard_normal((c1, c2)) * .2,
+                           jnp.float32),
+            w3=jnp.asarray(rng.standard_normal((c2, c3)) * .2,
+                           jnp.float32),
+            g1=jnp.ones(c1), b1=jnp.zeros(c1),
+            g2=jnp.ones(c2), b2=jnp.zeros(c2),
+            g3=jnp.ones(c3), b3=jnp.zeros(c3),
+        )
+        g = jax.jit(jax.grad(
+            lambda q, off, p: jnp.sum(
+                fused_sa_train(q, off, idx, p)[0]), argnums=(0, 1, 2)))
+        out = g(q, off, params)
+        jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+        ev = fused_sa_eval(q, off, idx, params, SAStats(
+            jnp.zeros(c1), jnp.ones(c1), jnp.zeros(c2), jnp.ones(c2),
+            jnp.zeros(c3), jnp.ones(c3)))
+        jax.device_get(ev.ravel()[0])
+        print(f"sa ok  B={b} N={n} M={m} K={k} C=({c1},{c2},{c3})",
+              flush=True)
+
+
+def sweep_edge():
+    from pointcloudlib_tpu.ops.pallas.fused_edge import (
+        fused_edge2_conv, fused_edge_conv,
+    )
+
+    rng = np.random.default_rng(1)
+    # 1-layer: DGCNN cls shapes (k=20) incl. the widest C'=256
+    for (b, n, k, c, f) in [(8, 1024, 20, 3, 64), (8, 1024, 20, 128, 256),
+                            (4, 2048, 40, 64, 64)]:
+        q = jnp.asarray(rng.standard_normal((b, n, f)), jnp.float32)
+        off = jnp.asarray(rng.standard_normal((b, n, f)) * .1, jnp.float32)
+        idx = jnp.asarray(rng.integers(0, n, (b, n, k)), jnp.int32)
+        gam = jnp.ones(f); bet = jnp.zeros(f)
+        g = jax.jit(jax.grad(
+            lambda q, off, g_, b_: jnp.sum(
+                fused_edge_conv(q, off, idx, g_, b_)[0]),
+            argnums=(0, 1, 2, 3)))
+        out = g(q, off, gam, bet)
+        jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+        print(f"edge ok  B={b} N={n} K={k} F={f}", flush=True)
+    # 2-layer partseg pair at k=40 N=2048
+    b, n, k, f1, f2 = 4, 2048, 40, 64, 64
+    q = jnp.asarray(rng.standard_normal((b, n, f1)), jnp.float32)
+    off = jnp.asarray(rng.standard_normal((b, n, f1)) * .1, jnp.float32)
+    idx = jnp.asarray(rng.integers(0, n, (b, n, k)), jnp.int32)
+    w2 = jnp.asarray(rng.standard_normal((f1, f2)) * .2, jnp.float32)
+    g = jax.jit(jax.grad(
+        lambda q, off, w2: jnp.sum(fused_edge2_conv(
+            q, off, idx, w2, jnp.ones(f1), jnp.zeros(f1),
+            jnp.ones(f2), jnp.zeros(f2))[0]), argnums=(0, 1, 2)))
+    out = g(q, off, w2)
+    jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+    print(f"edge2 ok  B={b} N={n} K={k} F=({f1},{f2})", flush=True)
+
+
+if __name__ == "__main__":
+    sweep_sa()
+    sweep_edge()
+    print("sweep complete")
