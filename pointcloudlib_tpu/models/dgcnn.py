@@ -39,8 +39,9 @@ class EdgeConv(nn.Module):
     max over the neighbor axis.
 
     On TPU dispatches to the fused Pallas path (FusedEdgeConv) — the
-    edge tensor never materializes. NOTE the two paths declare
-    different parameter trees (same caveat as SetAbstraction)."""
+    edge tensor never materializes. The two paths declare different
+    parameter trees; utils/interop.convert_variables converts
+    checkpoints between them."""
 
     features: int
     k: int

@@ -133,9 +133,9 @@ class SetAbstraction(nn.Module):
     with the per-group max of pointnet2.py:57.
 
     On TPU, grouped 3-layer instances dispatch to the fully-fused Pallas
-    path (FusedSetAbstraction) — NOTE the two paths declare different
-    parameter trees, so checkpoints are specific to the backend they
-    were trained on.
+    path (FusedSetAbstraction). The two paths declare different
+    parameter trees; utils/interop.convert_variables re-shapes a
+    checkpoint between them (tests/test_interop_fused.py).
     """
 
     mlp: Sequence[int]

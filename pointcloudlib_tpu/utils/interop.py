@@ -110,3 +110,117 @@ def pointnet_from_torch(state_dict: Mapping) -> Dict:
     params["Dense_0"] = _dense(state_dict, "linear2")
 
     return {"params": params, "batch_stats": stats}
+
+
+# --------------------------------------------------------------------
+# Fused ↔ unfused parameter-tree conversion.
+#
+# The fused Pallas model paths (FusedSetAbstraction, FusedEdgeConv)
+# declare flat parameter trees (w1/w2/w3 + bn*_scale/bias) while the
+# unfused XLA paths nest PointMLP/DenseBNAct/Dense/BatchNorm — so a
+# checkpoint trained on TPU (fused) doesn't restore on CPU (unfused)
+# and vice versa. ``convert_variables`` re-shapes a variables tree to
+# match a target template (an ``init`` of the destination-backend
+# model), translating between the two layouts wherever they differ and
+# copying everything else through. Values are identical — the fused
+# path computes the same math from the same weights.
+#
+# Known limitation: DGCNNPartSeg's fused pair layers shift the
+# positional numbering of its head blocks; conversion for that model
+# is not supported (train and serve it on one backend).
+
+
+def _sa_unpack(fsa: Mapping, stats: bool) -> Dict:
+    """FusedSetAbstraction leaves → PointMLP/DenseBNAct tree."""
+    out = {}
+    for i in range(3):
+        if stats:
+            out[f"DenseBNAct_{i}"] = {"BatchNorm_0": {
+                "mean": fsa[f"mean{i + 1}"], "var": fsa[f"var{i + 1}"]}}
+        else:
+            out[f"DenseBNAct_{i}"] = {
+                "Dense_0": {"kernel": fsa[f"w{i + 1}"]},
+                "BatchNorm_0": {"scale": fsa[f"bn{i + 1}_scale"],
+                                "bias": fsa[f"bn{i + 1}_bias"]},
+            }
+    return out
+
+
+def _sa_pack(pm: Mapping, stats: bool) -> Dict:
+    out = {}
+    for i in range(3):
+        blk = pm[f"DenseBNAct_{i}"]
+        if stats:
+            out[f"mean{i + 1}"] = blk["BatchNorm_0"]["mean"]
+            out[f"var{i + 1}"] = blk["BatchNorm_0"]["var"]
+        else:
+            out[f"w{i + 1}"] = blk["Dense_0"]["kernel"]
+            out[f"bn{i + 1}_scale"] = blk["BatchNorm_0"]["scale"]
+            out[f"bn{i + 1}_bias"] = blk["BatchNorm_0"]["bias"]
+    return out
+
+
+def _edge_unpack(fe: Mapping, stats: bool) -> Dict:
+    if stats:
+        return {"BatchNorm_0": {"mean": fe["mean"], "var": fe["var"]}}
+    return {"Dense_0": {"kernel": fe["w"]},
+            "BatchNorm_0": {"scale": fe["bn_scale"],
+                            "bias": fe["bn_bias"]}}
+
+
+def _edge_pack(db: Mapping, stats: bool) -> Dict:
+    if stats:
+        return {"mean": db["BatchNorm_0"]["mean"],
+                "var": db["BatchNorm_0"]["var"]}
+    return {"w": db["Dense_0"]["kernel"],
+            "bn_scale": db["BatchNorm_0"]["scale"],
+            "bn_bias": db["BatchNorm_0"]["bias"]}
+
+
+def _suffix(key: str) -> str:
+    return key.rsplit("_", 1)[-1]
+
+
+def _convert_level(src: Mapping, tgt: Mapping, stats: bool) -> Dict:
+    out = {}
+    for key, tval in tgt.items():
+        if key in src:
+            sval = src[key]
+            out[key] = (
+                _convert_level(sval, tval, stats)
+                if isinstance(tval, Mapping) else sval
+            )
+        elif key.startswith("FusedSetAbstraction_") and (
+                f"PointMLP_{_suffix(key)}" in src):
+            out[key] = _sa_pack(src[f"PointMLP_{_suffix(key)}"], stats)
+        elif key.startswith("PointMLP_") and (
+                f"FusedSetAbstraction_{_suffix(key)}" in src):
+            out[key] = _sa_unpack(
+                src[f"FusedSetAbstraction_{_suffix(key)}"], stats)
+        elif key.startswith("FusedEdgeConv_") and (
+                f"DenseBNAct_{_suffix(key)}" in src):
+            out[key] = _edge_pack(src[f"DenseBNAct_{_suffix(key)}"], stats)
+        elif key.startswith("DenseBNAct_") and (
+                f"FusedEdgeConv_{_suffix(key)}" in src):
+            out[key] = _edge_unpack(
+                src[f"FusedEdgeConv_{_suffix(key)}"], stats)
+        else:
+            raise KeyError(
+                f"cannot convert: target key {key!r} has no source "
+                f"counterpart among {sorted(src)[:8]}"
+            )
+    return out
+
+
+def convert_variables(src: Mapping, template: Mapping) -> Dict:
+    """Re-shape a flax ``variables`` tree between the fused and unfused
+    model layouts, using an ``init`` of the destination-backend model
+    as the structural template. See module note for the DGCNNPartSeg
+    limitation."""
+    out = {"params": _convert_level(src["params"], template["params"],
+                                    stats=False)}
+    if "batch_stats" in template:
+        out["batch_stats"] = _convert_level(
+            src.get("batch_stats", {}), template["batch_stats"],
+            stats=True)
+    return out
