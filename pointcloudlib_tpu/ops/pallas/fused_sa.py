@@ -85,10 +85,24 @@ def _rsig(v):
 
 
 def _divisor_tile(m: int, cap: int) -> int:
+    """Largest divisor of m ≤ cap (plain — used for IN-KERNEL chunk
+    sizes, which are dynamic-slice extents with no tiling constraint)."""
     mt = max(1, min(m, cap))
     while m % mt:
         mt -= 1
     return mt
+
+
+def _block_tile(m: int, cap: int) -> int:
+    """Largest divisor of m that is ≤ cap and a multiple of 8 — for
+    BLOCK row tiles, where mt can land in a block's last-two dims
+    (Mosaic: multiple of 8 or equal to the array dim). Falls back to m
+    (block == array dim is always legal)."""
+    cap = max(1, min(m, cap))
+    for mt in range(cap - cap % 8, 0, -8):
+        if m % mt == 0:
+            return mt
+    return m
 
 
 def _m_tile(m: int, k: int, bf16_widths: int, f32_widths: int = 0,
@@ -100,7 +114,7 @@ def _m_tile(m: int, k: int, bf16_widths: int, f32_widths: int = 0,
     which scale with N not mt)."""
     per_row = 2 * k * (2 * bf16_widths + 4 * f32_widths)
     budget = max(1 << 19, (6 << 20) - fixed_bytes)
-    return _divisor_tile(m, budget // max(1, per_row))
+    return _block_tile(m, budget // max(1, per_row))
 
 
 def _chunk(mt: int, k: int) -> int:

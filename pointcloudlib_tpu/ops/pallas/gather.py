@@ -75,12 +75,16 @@ def _scatter_kernel(g_ref, idx_ref, out_ref):
 
 
 def _tile_m(m: int, k: int, n: int) -> int:
-    # tile M so the one-hot block [Mt*K, N] stays ~2MB in VMEM
+    # tile M so the one-hot block [Mt*K, N] stays ~2MB in VMEM.
+    # Mosaic: a block's last-two dims must be (mult of 8, mult of 128)
+    # or equal the array dims — mt is the sublane dim of the idx block,
+    # so it must be a multiple of 8 (or the whole m).
     row_budget = 1024 if n <= 2048 else max(256, (1 << 21) // n)
-    mt = max(1, min(m, row_budget // max(k, 1)))
-    while m % mt:
-        mt -= 1
-    return mt
+    cap = max(1, min(m, row_budget // max(k, 1)))
+    for mt in range(cap - cap % 8, 0, -8):
+        if m % mt == 0:
+            return mt
+    return m
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

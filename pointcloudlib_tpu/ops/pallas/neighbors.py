@@ -120,11 +120,12 @@ def _pad_points(p: Array, mult: int = 128) -> Array:
 
 def _tile_m(m: int, n: int, k: int, bytes_per: int = 8) -> int:
     budget = 6 * 1024 * 1024
-    mt = max(1, min(m, budget // max(1, n * k * bytes_per)))
-    mt = min(mt, 256)
-    while m % mt:
-        mt -= 1
-    return mt
+    cap = max(1, min(m, budget // max(1, n * k * bytes_per), 256))
+    # mt is the sublane dim of the output blocks: multiple of 8 or m
+    for mt in range(cap - cap % 8, 0, -8):
+        if m % mt == 0:
+            return mt
+    return m
 
 
 @functools.partial(

@@ -140,3 +140,73 @@ def test_full_pointnet2_shard_map_step():
         assert losses[-1] < losses[0], losses
     finally:
         del os.environ["POINTCLOUDLIB_FUSED_SA"]
+
+
+def test_edge_conv_dp_matches_single_device():
+    """Both fused EdgeConv variants under shard_map equal the
+    single-device computation (outputs and grads)."""
+    from pointcloudlib_tpu.ops.pallas.fused_edge import (
+        fused_edge2_conv,
+        fused_edge_conv,
+    )
+
+    mesh = jax.make_mesh((WORLD,), ("data",))
+    rng = np.random.default_rng(5)
+    f1, f2 = 16, 32
+    q = jnp.asarray(rng.standard_normal((B, N, f1)), jnp.float32)
+    off = jnp.asarray(rng.standard_normal((B, N, f1)) * .1, jnp.float32)
+    idx = jnp.asarray(rng.integers(0, N, (B, N, K)), jnp.int32)
+    g1 = jnp.asarray(1 + .1 * rng.standard_normal(f1), jnp.float32)
+    b1 = jnp.asarray(.1 * rng.standard_normal(f1), jnp.float32)
+    g2 = jnp.asarray(1 + .1 * rng.standard_normal(f2), jnp.float32)
+    b2 = jnp.asarray(.1 * rng.standard_normal(f2), jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((f1, f2)) * .3, jnp.float32)
+    co1 = jnp.asarray(rng.standard_normal((B, N, f1)), jnp.float32)
+    co2 = jnp.asarray(rng.standard_normal((B, N, f2)), jnp.float32)
+
+    # one-layer
+    sh1 = shard_map(
+        lambda q, off, idx, g, b: fused_edge_conv(
+            q, off, idx, g, b, 0.2, True, "data", WORLD),
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data"), P(), P()),
+        out_specs=(P("data"), P()), check_vma=False)
+
+    def l_s(q, off, g, b):
+        return jnp.sum(sh1(q, off, idx, g, b)[0] * co1)
+
+    def l_1(q, off, g, b):
+        return jnp.sum(fused_edge_conv(q, off, idx, g, b, 0.2, True)[0]
+                       * co1)
+
+    gs = jax.jit(jax.grad(l_s, argnums=(0, 1, 2, 3)))(q, off, g1, b1)
+    g_1 = jax.grad(l_1, argnums=(0, 1, 2, 3))(q, off, g1, b1)
+    for a, b_ in zip(gs, g_1):
+        scale = max(float(jnp.max(jnp.abs(b_))), 1e-4)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=3e-4, atol=3e-4 * scale)
+
+    # two-layer
+    sh2 = shard_map(
+        lambda q, off, idx, w2, g1, b1, g2, b2: fused_edge2_conv(
+            q, off, idx, w2, g1, b1, g2, b2, 0.2, True, "data", WORLD),
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data"), P(), P(), P(), P(),
+                  P()),
+        out_specs=(P("data"), P()), check_vma=False)
+
+    def l2_s(q, off, w2, g1, b1, g2, b2):
+        return jnp.sum(sh2(q, off, idx, w2, g1, b1, g2, b2)[0] * co2)
+
+    def l2_1(q, off, w2, g1, b1, g2, b2):
+        return jnp.sum(fused_edge2_conv(
+            q, off, idx, w2, g1, b1, g2, b2, 0.2, True)[0] * co2)
+
+    args = (q, off, w2, g1, b1, g2, b2)
+    gs2 = jax.jit(jax.grad(l2_s, argnums=tuple(range(7))))(*args)
+    g21 = jax.grad(l2_1, argnums=tuple(range(7)))(*args)
+    for i, (a, b_) in enumerate(zip(gs2, g21)):
+        scale = max(float(jnp.max(jnp.abs(b_))), 1e-4)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=3e-4, atol=3e-4 * scale,
+                                   err_msg=f"edge2 arg {i}")
