@@ -91,7 +91,23 @@ def sweep_edge():
     print(f"edge2 ok  B={b} N={n} K={k} F=({f1},{f2})", flush=True)
 
 
+def sweep_gather_odd():
+    """KPConv's data-calibrated caps produce non-power-of-two shapes
+    (e.g. M=496, K=12) — the class that exposed the sublane-tile bug."""
+    from pointcloudlib_tpu.ops.pallas.gather import gather_neighbors
+
+    rng = np.random.default_rng(2)
+    for (b, n, m, k, c) in [(16, 512, 496, 12, 64), (16, 1024, 984, 22, 3),
+                            (8, 256, 248, 35, 128), (8, 128, 120, 41, 256)]:
+        pts = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+        idx = jnp.asarray(rng.integers(0, n, (b, m, k)), jnp.int32)
+        g = jax.jit(jax.grad(lambda p: jnp.sum(gather_neighbors(p, idx))))
+        jax.device_get(g(pts).ravel()[0])
+        print(f"gather ok  B={b} N={n} M={m} K={k} C={c}", flush=True)
+
+
 if __name__ == "__main__":
     sweep_sa()
     sweep_edge()
+    sweep_gather_odd()
     print("sweep complete")
