@@ -26,7 +26,18 @@ misc/ops.py:289-407 grouping). The unfused XLA path materializes every
 * kernels take whole per-batch(-tile) blocks and loop over row chunks
   internally — few large DMAs instead of thousands of small grid
   blocks;
-* eval mode needs no statistics: one kernel runs the whole chain.
+* eval mode needs no statistics: one kernel runs the whole chain;
+* **windowed gathers** (round 3): the one-hot build and its matmuls
+  cost rows·N — but when the cloud is spatially sorted
+  (ops/spatial.py Hilbert canonicalization, applied by the trainer),
+  a tile of neighboring centers draws its indices from a narrow
+  window of the source. Rows are permuted per batch element so tiles
+  are index-clustered (σ = argsort of each row's min neighbor index —
+  semantics-invisible: outputs are permuted back), each tile gets a
+  window start from its actual min index (SMEM descriptor), and
+  tiles whose span exceeds the static width W = N/4 take a full-N
+  fallback branch — so the windowed path is exact for ANY input
+  ordering, sorted or not.
 
 Numerics: matmul inputs are bf16 (exactly the ``nn.Dense(dtype=bf16)``
 policy of the unfused path), accumulation and BN math f32; the h1
@@ -46,6 +57,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
@@ -127,6 +139,70 @@ def _gchunk(mt: int, k: int, n: int) -> int:
     """Chunk for gather/scatter kernels: the one-hot block
     [cm·K, N] bf16 plus its int32 iota (6 B/element) stay ~3 MB."""
     return _divisor_tile(mt, max(1, (3 << 20) // (6 * k * n)))
+
+
+# ------------------------------------------------------------- windowing
+
+
+def _window_width(n: int) -> int | None:
+    """Static gather-window width for a source of n points: N/4 rounded
+    up to a lane tile, or None when windowing cannot pay (small n) or
+    is disabled (POINTCLOUDLIB_SA_WINDOW=0)."""
+    import os
+
+    forced = os.environ.get("POINTCLOUDLIB_SA_WINDOW")
+    if forced == "0":
+        return None
+    if n % 128 or n < 256:
+        return None
+    # measured on v5e (docs/DESIGN.md): the per-chunk branch overhead
+    # cancels the saved lanes below n=4096 (-2% at 2048, -7% at 1024);
+    # +13% end-to-end at n=4096
+    if n < 4096 and forced != "1":
+        return None
+    for w in (-(-max(n // 4, 128) // 128) * 128, n // 2):
+        if w < n and n % w == 0:
+            return w
+    return None
+
+
+def _row_perm(idx: Array):
+    """Per-batch permutation σ clustering rows by neighbor locality
+    (sort by each row's min neighbor index), plus its inverse."""
+    key = jnp.min(idx, axis=2)
+    sigma = jnp.argsort(key, axis=1).astype(jnp.int32)
+    inv = jnp.argsort(sigma, axis=1).astype(jnp.int32)
+    return sigma, inv
+
+
+def _take_rows(x: Array, perm: Array) -> Array:
+    """Permute rows of [B, M, ...] by [B, M] — routed through the
+    Pallas gather on TPU (XLA's narrow-row gather is ~100x off
+    roofline; ops/pallas/gather.py)."""
+    from pointcloudlib_tpu.ops.geometry import index_points
+
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        # index payloads are small non-negative ints — exact in f32
+        return index_points(x.astype(jnp.float32), perm).astype(x.dtype)
+    return index_points(x, perm)
+
+
+def _window_plan(idx: Array, cm: int, w: int, n: int):
+    """Per-chunk window starts and block counts, flattened to
+    ``b * (m // cm) + chunk`` (b-major, matching the kernels' flat
+    tile/chunk order). A chunk whose index span fits ``[s, s+w)`` runs
+    ONE gather block at ``s``; otherwise it runs all ``n // w`` blocks
+    (the unified block loop — non-matching blocks contribute exact
+    zeros, so both cases compute the same sums)."""
+    b, m, k = idx.shape
+    t = idx.reshape(b, m // cm, cm * k)
+    lo = jnp.min(t, axis=2)
+    hi = jnp.max(t, axis=2)
+    s = jnp.minimum(lo - (lo % 8), n - w)
+    narrow = hi - s < w
+    starts = jnp.where(narrow, s, 0)
+    nblocks = jnp.where(narrow, 1, n // w).astype(jnp.int32)
+    return starts.reshape(-1), nblocks.reshape(-1)
 
 
 # --------------------------------------------------------- kernel helpers
@@ -221,6 +297,57 @@ def _k_f1(q_ref, idx_ref, off_ref, h1_ref, psum_ref, *, cm: int):
     psum_ref[0] += jnp.concatenate([s, ss], axis=0)
 
 
+def _gather_blocks(q_ref, idx, s, nb, lane, cm, k, w):
+    """Windowed gather: one one-hot matmul over the chunk's [s, s+w)
+    window of Q, or the sum over all n//w statically-unrolled blocks
+    for chunks whose span overflows (non-matching blocks contribute
+    exact 0 — both branches compute the same sums). No dynamic-trip
+    loops: Mosaic lowers those to un-pipelined while loops."""
+    n, c = q_ref.shape[1], q_ref.shape[2]
+
+    def blk(base):
+        qw = q_ref[0, pl.ds(base, w), :]
+        onehot = (lane == (idx - base)[:, :, None]).astype(jnp.bfloat16)
+        return jnp.dot(onehot.reshape(cm * k, w), qw,
+                       preferred_element_type=jnp.float32)
+
+    def narrow(_):
+        return blk(pl.multiple_of(s, 8))
+
+    def wide(_):
+        acc = blk(0)
+        for j in range(1, n // w):
+            acc += blk(j * w)
+        return acc
+
+    return lax.cond(nb == 1, narrow, wide, 0)
+
+
+def _k_f1w(s_ref, nb_ref, q_ref, idx_ref, off_ref, h1_ref, psum_ref,
+           *, cm: int, w: int):
+    """Windowed gather pass: rows are pre-clustered (σ); each chunk
+    reads only its [s, s+w) window of Q (or loops all blocks when its
+    span overflows) — exact for any input order."""
+    c = q_ref.shape[2]
+    mt, k = idx_ref.shape[1], idx_ref.shape[2]
+    _psum_init(psum_ref)
+    nch = mt // cm
+    pid = pl.program_id(0)
+    lane = lax.broadcasted_iota(jnp.int32, (cm, k, w), 2)
+
+    def body(i, acc):
+        idx = idx_ref[0, pl.ds(i * cm, cm), :]
+        off = off_ref[0, pl.ds(i * cm, cm), :]
+        g = _gather_blocks(q_ref, idx, s_ref[pid * nch + i],
+                           nb_ref[pid * nch + i], lane, cm, k, w)
+        h1 = g.reshape(cm, k, c) - off[:, None, :]
+        h1_ref[0, pl.ds(i * cm, cm), :, :] = h1.astype(jnp.bfloat16)
+        return _acc2(acc, h1.reshape(cm * k, c))
+
+    sm, ss = lax.fori_loop(0, nch, body, _zeros2(c))
+    psum_ref[0] += jnp.concatenate([sm, ss], axis=0)
+
+
 def _k_stats2(h1_ref, st1_ref, w2_ref, psum_ref, *, cm: int):
     """Σ/Σ² of h2 = relu(BN1(h1))·W2 (nothing written but the sums)."""
     mt, k, c1 = h1_ref.shape[1], h1_ref.shape[2], h1_ref.shape[3]
@@ -303,6 +430,34 @@ def _k_eval(q_ref, idx_ref, off_ref, st1_ref, st2_ref, st3_ref,
         return 0
 
     lax.fori_loop(0, mt // cm, body, 0)
+
+
+def _k_evalw(s_ref, nb_ref, q_ref, idx_ref, off_ref, st1_ref, st2_ref,
+             st3_ref, w2_ref, w3_ref, out_ref, *, cm: int, w: int):
+    """Windowed eval kernel (see _k_f1w)."""
+    c1 = q_ref.shape[2]
+    mt, k = idx_ref.shape[1], idx_ref.shape[2]
+    c3 = w3_ref.shape[1]
+    nch = mt // cm
+    pid = pl.program_id(0)
+    lane = lax.broadcasted_iota(jnp.int32, (cm, k, w), 2)
+
+    def body(i, _):
+        idx = idx_ref[0, pl.ds(i * cm, cm), :]
+        off = off_ref[0, pl.ds(i * cm, cm), :]
+        g = _gather_blocks(q_ref, idx, s_ref[pid * nch + i],
+                           nb_ref[pid * nch + i], lane, cm, k, w)
+        h1 = (g.reshape(cm, k, c1) - off[:, None, :]).reshape(
+            cm * k, c1)
+        _, _, y2 = _fwd_to(h1, st1_ref, st2_ref, w2_ref)
+        h3 = jnp.dot(y2.astype(jnp.bfloat16), w3_ref[:, :],
+                     preferred_element_type=jnp.float32)
+        y3 = _bn_relu2(h3, st3_ref)
+        out_ref[0, pl.ds(i * cm, cm), :] = jnp.max(
+            y3.reshape(cm, k, c3), axis=1)
+        return 0
+
+    lax.fori_loop(0, nch, body, 0)
 
 
 # ------------------------------------------------------------ bwd kernels
@@ -446,6 +601,98 @@ def _k_p2(h1_ref, dout_ref, idx_ref, st1_ref, st2_ref, st3_ref,
     ps1_ref[0] += jnp.concatenate([s, ss], axis=0)
 
 
+def _k_p2w(s_ref, nb_ref, h1_ref, dout_ref, idx_ref, st1_ref, st2_ref,
+           st3_ref, w2_ref, w3_ref, wt3_ref, wt2_ref, us3_ref, us2_ref,
+           dw2_ref, ps1_ref, scat_ref, d1_ref, d2_ref, *, cm: int,
+           w: int):
+    """Windowed backward pass 2 (see _k_f1w): the scatter one-hot is
+    built per w-wide block and accumulated into that slice of the
+    resident scatter block — one block for narrow chunks, all for
+    wide ones."""
+    mt, k, c1 = h1_ref.shape[1], h1_ref.shape[2], h1_ref.shape[3]
+    nch = mt // cm
+    nt = pl.num_programs(1)
+    pid = pl.program_id(0) * nt + pl.program_id(1)
+
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _():
+        ps1_ref[0] = jnp.zeros_like(ps1_ref[0])
+        dw2_ref[0] = jnp.zeros_like(dw2_ref[0])
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        scat_ref[0] = jnp.zeros_like(scat_ref[0])
+
+    contract = (((0,), (0,)), ((), ()))
+    lane = lax.broadcasted_iota(jnp.int32, (cm, k, w), 2)
+    ones8 = jnp.ones((cm * k, 8), jnp.bfloat16)
+
+    def body(i, acc):
+        dw2, sa, ss = acc
+        h1 = h1_ref[0, pl.ds(i * cm, cm), :, :]
+        h1 = h1.astype(jnp.float32).reshape(cm * k, c1)
+        dout = dout_ref[0, pl.ds(i * cm, cm), :]
+        idx = idx_ref[0, pl.ds(i * cm, cm), :]
+        y1, z1 = _bn_relu2(h1, st1_ref, with_z=True)
+        h2 = jnp.dot(y1.astype(jnp.bfloat16), w2_ref[:, :],
+                     preferred_element_type=jnp.float32)
+        y2, z2 = _bn_relu2(h2, st2_ref, with_z=True)
+        h3 = jnp.dot(y2.astype(jnp.bfloat16), w3_ref[:, :],
+                     preferred_element_type=jnp.float32)
+        dz3 = _maxpool_dz(h3, dout, st3_ref, cm, k)
+        dh3 = _bn_bwd_row(dz3, _xhat(h3, st3_ref), st3_ref, us3_ref,
+                          1.0)
+        dy2 = jnp.dot(dh3.astype(jnp.bfloat16), wt3_ref[:, :],
+                      preferred_element_type=jnp.float32)
+        dz2 = jnp.where(z2 > 0, dy2, 0.0)
+        dh2 = _bn_bwd_row(dz2, _xhat(h2, st2_ref), st2_ref, us2_ref,
+                          1.0)
+        dw2 = dw2 + lax.dot_general(
+            y1.astype(jnp.bfloat16), dh2.astype(jnp.bfloat16),
+            contract, preferred_element_type=jnp.float32)
+        dy1 = jnp.dot(dh2.astype(jnp.bfloat16), wt2_ref[:, :],
+                      preferred_element_type=jnp.float32)
+        dz1 = jnp.where(z1 > 0, dy1, 0.0)
+        xh1 = _xhat(h1, st1_ref)
+
+        d1_ref[0, pl.ds(i * cm, cm), :] = jnp.sum(
+            dz1.reshape(cm, k, c1), axis=1)
+        d2_ref[0, pl.ds(i * cm, cm), :] = jnp.sum(
+            xh1.reshape(cm, k, c1), axis=1)
+        right = jnp.concatenate(
+            [dz1.astype(jnp.bfloat16), xh1.astype(jnp.bfloat16),
+             ones8], axis=1)
+        s = s_ref[pid * nch + i]
+        nb = nb_ref[pid * nch + i]
+        n = scat_ref.shape[1]
+
+        def blk(base):
+            onehot = (lane == (idx - base)[:, :, None]).astype(
+                jnp.bfloat16)
+            scat_ref[0, pl.ds(base, w), :] += lax.dot_general(
+                onehot.reshape(cm * k, w), right, contract,
+                preferred_element_type=jnp.float32)
+
+        @pl.when(nb == 1)
+        def _():
+            blk(pl.multiple_of(s, 8))
+
+        @pl.when(nb != 1)
+        def _():
+            for j in range(n // w):
+                blk(j * w)
+        return (dw2,
+                sa + jnp.sum(dz1, axis=0, keepdims=True),
+                ss + jnp.sum(dz1 * xh1, axis=0, keepdims=True))
+
+    c2_ = w2_ref.shape[1]
+    dw2, sa, ss = lax.fori_loop(
+        0, nch, body,
+        (jnp.zeros((c1, c2_), jnp.float32),) + _zeros2(c1))
+    dw2_ref[0] += dw2
+    ps1_ref[0] += jnp.concatenate([sa, ss], axis=0)
+
+
 # ---------------------------------------------------------- orchestration
 
 
@@ -487,22 +734,40 @@ def _call_f1(q, idx, off, interpret):
     _, m, k = idx.shape
     mt = _m_tile(m, k, bf16_widths=c1)
     cm = _gchunk(mt, k, n)
+    w = _window_width(n)
+    out_specs = [_flat(m, mt, (k, c1)), _ps_spec(c1)]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, m, k, c1), jnp.bfloat16),
+        jax.ShapeDtypeStruct((1, 2, c1), jnp.float32),
+    ]
+    q_spec = pl.BlockSpec((1, n, c1), lambda i, _m=m, _mt=mt:
+                          (i // (_m // _mt), 0, 0))
+    if w is None:
+        h1, psum = pl.pallas_call(
+            functools.partial(_k_f1, cm=cm),
+            grid=(b * (m // mt),),
+            in_specs=[q_spec, _flat(m, mt, (k,)), _flat(m, mt, (c1,))],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(q.astype(jnp.bfloat16), idx.astype(jnp.int32),
+          off.astype(jnp.float32))
+        return h1, psum
+    # chunk temporaries are budgeted for full-n lanes (the wide
+    # fallback still materializes them); w only narrows the reads
+    starts, nblocks = _window_plan(idx, cm, w, n)
     h1, psum = pl.pallas_call(
-        functools.partial(_k_f1, cm=cm),
+        functools.partial(_k_f1w, cm=cm, w=w),
         grid=(b * (m // mt),),
         in_specs=[
-            pl.BlockSpec((1, n, c1), lambda i, _m=m, _mt=mt:
-                         (i // (_m // _mt), 0, 0)),
-            _flat(m, mt, (k,)),
-            _flat(m, mt, (c1,)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            q_spec, _flat(m, mt, (k,)), _flat(m, mt, (c1,)),
         ],
-        out_specs=[_flat(m, mt, (k, c1)), _ps_spec(c1)],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, m, k, c1), jnp.bfloat16),
-            jax.ShapeDtypeStruct((1, 2, c1), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
-    )(q.astype(jnp.bfloat16), idx.astype(jnp.int32),
+    )(starts, nblocks, q.astype(jnp.bfloat16), idx.astype(jnp.int32),
       off.astype(jnp.float32))
     return h1, psum
 
@@ -560,9 +825,18 @@ def _psum(x, axis_name):
 
 def _fused_fwd_impl(q, off, idx, params: SAParams, interpret,
                     axis_name=None, world=1):
-    b = q.shape[0]
+    b, n, _ = q.shape
     _, m, k = idx.shape
     r = float(b * m * k * world)
+
+    # windowing: cluster rows by neighbor locality so per-tile index
+    # windows are tight (semantics-invisible — outputs are unpermuted)
+    if _window_width(n) is not None:
+        sigma, inv = _row_perm(idx)
+        idx = _take_rows(idx, sigma)
+        off = _take_rows(off, sigma)
+    else:
+        sigma = inv = None
 
     h1, p1 = _call_f1(q, idx, off, interpret)
     m1, v1 = _moments(_psum(p1[0], axis_name), r)
@@ -577,8 +851,10 @@ def _fused_fwd_impl(q, off, idx, params: SAParams, interpret,
     st3 = _stack_stats(m3, v3, params.g3, params.b3)
 
     out = _call_out(h1, st1, st2, st3, params.w2, params.w3, interpret)
+    if sigma is not None:
+        out = _take_rows(out, inv)
     stats = SAStats(m1, v1, m2, v2, m3, v3)
-    return out, stats, (h1, st1, st2, st3)
+    return out, stats, (h1, st1, st2, st3, idx, sigma, inv)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
@@ -607,9 +883,9 @@ def fused_sa_train(q, off, idx, params: SAParams, interpret=False,
 
 
 def _fused_train_fwd(q, off, idx, params, interpret, axis_name, world):
-    out, stats, (h1, st1, st2, st3) = _fused_fwd_impl(
+    out, stats, (h1, st1, st2, st3, idx_s, sigma, inv) = _fused_fwd_impl(
         q, off, idx, params, interpret, axis_name, world)
-    res = (idx, h1, st1, st2, st3, params, q.shape[1])
+    res = (idx_s, h1, st1, st2, st3, params, q.shape[1], sigma, inv)
     return (out, stats), res
 
 
@@ -677,47 +953,68 @@ def _call_p2(h1, dout, idx, st1, st2, st3, w2, w3, us3, us2, n,
     # lives in VMEM regardless of the row tile
     mt = _m_tile(m, k, bf16_widths=c1, f32_widths=c3 // k + 1,
                  fixed_bytes=8 * n * (2 * c1 + 8))
+    w = _window_width(n)
+    in_specs = [
+        pl.BlockSpec((1, mt, k, c1), lambda i, j: (i, j, 0, 0)),
+        pl.BlockSpec((1, mt, c3), lambda i, j: (i, j, 0)),
+        pl.BlockSpec((1, mt, k), lambda i, j: (i, j, 0)),
+        _st_spec(c1), _st_spec(c2), _st_spec(c3),
+        _w_spec(w2), _w_spec(w3),
+        pl.BlockSpec((c3, c2), lambda i, j: (0, 0)),
+        pl.BlockSpec((c2, c1), lambda i, j: (0, 0)),
+        _ps_spec(c3), _ps_spec(c2),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, c1, c2), lambda i, j: (0, 0, 0)),
+        _ps_spec(c1),
+        pl.BlockSpec((1, n, 2 * c1 + 8), lambda i, j: (i, 0, 0)),
+        pl.BlockSpec((1, mt, c1), lambda i, j: (i, j, 0)),
+        pl.BlockSpec((1, mt, c1), lambda i, j: (i, j, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((1, c1, c2), jnp.float32),
+        jax.ShapeDtypeStruct((1, 2, c1), jnp.float32),
+        jax.ShapeDtypeStruct((b, n, 2 * c1 + 8), jnp.float32),
+        jax.ShapeDtypeStruct((b, m, c1), jnp.float32),
+        jax.ShapeDtypeStruct((b, m, c1), jnp.float32),
+    ]
+    args = (h1, dout, idx.astype(jnp.int32), st1, st2, st3,
+            w2.astype(jnp.bfloat16), w3.astype(jnp.bfloat16),
+            jnp.swapaxes(w3, 0, 1).astype(jnp.bfloat16),
+            jnp.swapaxes(w2, 0, 1).astype(jnp.bfloat16), us3, us2)
+    if w is None:
+        dw2, ps1, scat, d1, d2 = pl.pallas_call(
+            functools.partial(_k_p2, cm=_gchunk(mt, k, n)),
+            grid=(b, m // mt),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(*args)
+        return dw2[0], ps1, scat, d1, d2
+    cm = _gchunk(mt, k, n)
+    starts, nblocks = _window_plan(idx, cm, w, n)
     dw2, ps1, scat, d1, d2 = pl.pallas_call(
-        functools.partial(_k_p2, cm=_gchunk(mt, k, n)),
+        functools.partial(_k_p2w, cm=cm, w=w),
         grid=(b, m // mt),
-        in_specs=[
-            pl.BlockSpec((1, mt, k, c1), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, mt, c3), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, mt, k), lambda i, j: (i, j, 0)),
-            _st_spec(c1), _st_spec(c2), _st_spec(c3),
-            _w_spec(w2), _w_spec(w3),
-            pl.BlockSpec((c3, c2), lambda i, j: (0, 0)),
-            pl.BlockSpec((c2, c1), lambda i, j: (0, 0)),
-            _ps_spec(c3), _ps_spec(c2),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, c1, c2), lambda i, j: (0, 0, 0)),
-            _ps_spec(c1),
-            pl.BlockSpec((1, n, 2 * c1 + 8), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, mt, c1), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, mt, c1), lambda i, j: (i, j, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((1, c1, c2), jnp.float32),
-            jax.ShapeDtypeStruct((1, 2, c1), jnp.float32),
-            jax.ShapeDtypeStruct((b, n, 2 * c1 + 8), jnp.float32),
-            jax.ShapeDtypeStruct((b, m, c1), jnp.float32),
-            jax.ShapeDtypeStruct((b, m, c1), jnp.float32),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
-    )(h1, dout, idx.astype(jnp.int32), st1, st2, st3,
-      w2.astype(jnp.bfloat16), w3.astype(jnp.bfloat16),
-      jnp.swapaxes(w3, 0, 1).astype(jnp.bfloat16),
-      jnp.swapaxes(w2, 0, 1).astype(jnp.bfloat16), us3, us2)
+    )(starts, nblocks, *args)
     return dw2[0], ps1, scat, d1, d2
 
 
 def _fused_train_bwd(interpret, axis_name, world, res, cts):
     (dout, _dstats) = cts  # stats feed running updates only
-    idx, h1, st1, st2, st3, params, n = res
+    idx, h1, st1, st2, st3, params, n, sigma, inv = res
     b, m, k, c1 = h1.shape
     r = float(b * m * k * world)
     w2, w3 = params.w2, params.w3
+
+    if sigma is not None:
+        dout = _take_rows(dout, sigma)  # rows ride in σ order (as h1)
 
     ps3, vecs, mats = _call_p1(h1, dout, st1, st2, st3, w2, w3,
                                interpret)
@@ -738,6 +1035,9 @@ def _fused_train_bwd(interpret, axis_name, world, res, cts):
     scxh = scat[:, :, c1:2 * c1]
     cnt = scat[:, :, 2 * c1:2 * c1 + 1]
     dq = sc1 * (scdz - cnt * u1[None, None, :] - scxh * u2[None, None, :])
+    if sigma is not None:  # d1/d2 are per-center rows in σ order
+        d1 = _take_rows(d1, inv)
+        d2 = _take_rows(d2, inv)
     doff = -sc1 * (d1 - float(k) * u1[None, None, :]
                    - d2 * u2[None, None, :])
 
@@ -838,20 +1138,41 @@ def fused_sa_eval(q, off, idx, params: SAParams, stats: SAStats,
     st3 = _stack_stats(stats.m3, stats.v3, params.g3, params.b3)
     mt = _m_tile(m, k, bf16_widths=c1)
     cm = _gchunk(mt, k, n)
-    return pl.pallas_call(
-        functools.partial(_k_eval, cm=cm),
+    w = _window_width(n)
+    q_spec = pl.BlockSpec((1, n, c1), lambda i, _m=m, _mt=mt:
+                          (i // (_m // _mt), 0, 0))
+    tail_specs = [
+        _flat(m, mt, (k,)),
+        _flat(m, mt, (c1,)),
+        _st_spec(c1), _st_spec(c2), _st_spec(c3),
+        _w_spec(params.w2), _w_spec(params.w3),
+    ]
+    if w is None:
+        return pl.pallas_call(
+            functools.partial(_k_eval, cm=cm),
+            grid=(b * (m // mt),),
+            in_specs=[q_spec] + tail_specs,
+            out_specs=_flat(m, mt, (c3,)),
+            out_shape=jax.ShapeDtypeStruct((b, m, c3), jnp.float32),
+            interpret=interpret,
+        )(q.astype(jnp.bfloat16), idx.astype(jnp.int32),
+          off.astype(jnp.float32), st1, st2, st3,
+          params.w2.astype(jnp.bfloat16),
+          params.w3.astype(jnp.bfloat16))
+    sigma, inv = _row_perm(idx)
+    idx = _take_rows(idx, sigma)
+    off = _take_rows(off, sigma)
+    starts, wide = _window_plan(idx, cm, w, n)
+    out = pl.pallas_call(
+        functools.partial(_k_evalw, cm=cm, w=w),
         grid=(b * (m // mt),),
-        in_specs=[
-            pl.BlockSpec((1, n, c1), lambda i, _m=m, _mt=mt:
-                         (i // (_m // _mt), 0, 0)),
-            _flat(m, mt, (k,)),
-            _flat(m, mt, (c1,)),
-            _st_spec(c1), _st_spec(c2), _st_spec(c3),
-            _w_spec(params.w2), _w_spec(params.w3),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  q_spec] + tail_specs,
         out_specs=_flat(m, mt, (c3,)),
         out_shape=jax.ShapeDtypeStruct((b, m, c3), jnp.float32),
         interpret=interpret,
-    )(q.astype(jnp.bfloat16), idx.astype(jnp.int32),
+    )(starts, wide, q.astype(jnp.bfloat16), idx.astype(jnp.int32),
       off.astype(jnp.float32), st1, st2, st3,
       params.w2.astype(jnp.bfloat16), params.w3.astype(jnp.bfloat16))
+    return _take_rows(out, inv)

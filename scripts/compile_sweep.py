@@ -19,17 +19,28 @@ def sweep_sa():
         SAParams, SAStats, fused_sa_eval, fused_sa_train,
     )
 
-    # (B, N, M, K, C1, C2, C3) — SSG SA1/SA2, MSG scales, headline N=4096
+    # (B, N, M, K, C1, C2, C3) — SSG SA1/SA2, MSG scales, headline N=4096.
+    # The N=4096 shape compiles the WINDOWED kernels (default gate);
+    # "win" entries force the window path at gated-off sizes too.
     shapes = [
         (8, 1024, 512, 64, 64, 64, 128),      # SA1
         (8, 512, 128, 64, 128, 128, 256),     # SA2
-        (4, 4096, 512, 64, 64, 64, 128),      # SA1 @ N=4096
+        (4, 4096, 512, 64, 64, 64, 128),      # SA1 @ N=4096 (windowed)
         (8, 1024, 512, 16, 32, 32, 64),       # MSG scale K=16
         (8, 1024, 512, 128, 64, 96, 128),     # MSG scale K=128
         (8, 2048, 512, 32, 64, 64, 128),      # partseg-ish
+        ("win", 8, 1024, 512, 64, 64, 64, 128),   # SA1, forced window
+        ("win", 8, 512, 128, 64, 128, 128, 256),  # SA2, forced window
     ]
     rng = np.random.default_rng(0)
-    for (b, n, m, k, c1, c2, c3) in shapes:
+    for shape in shapes:
+        import os
+
+        forced = shape[0] == "win"
+        if forced:
+            os.environ["POINTCLOUDLIB_SA_WINDOW"] = "1"
+            shape = shape[1:]
+        (b, n, m, k, c1, c2, c3) = shape
         q = jnp.asarray(rng.standard_normal((b, n, c1)), jnp.float32)
         off = jnp.asarray(rng.standard_normal((b, m, c1)) * .1,
                           jnp.float32)
@@ -52,8 +63,10 @@ def sweep_sa():
             jnp.zeros(c1), jnp.ones(c1), jnp.zeros(c2), jnp.ones(c2),
             jnp.zeros(c3), jnp.ones(c3)))
         jax.device_get(ev.ravel()[0])
-        print(f"sa ok  B={b} N={n} M={m} K={k} C=({c1},{c2},{c3})",
-              flush=True)
+        if forced:
+            os.environ.pop("POINTCLOUDLIB_SA_WINDOW", None)
+        print(f"sa ok  B={b} N={n} M={m} K={k} C=({c1},{c2},{c3})"
+              + (" [windowed]" if forced else ""), flush=True)
 
 
 def sweep_edge():
