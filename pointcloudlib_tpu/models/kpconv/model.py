@@ -188,13 +188,19 @@ class KPConvOp(nn.Module):
 
         n = s.shape[1]
         safe = jnp.minimum(idx, n - 1)
-        # index_points routes to the Pallas gather-as-matmul on TPU —
-        # XLA's narrow batched gather is the single slowest op here
-        nbr = index_points(s, safe)
-        nbr = nbr - q[:, :, None, :]  # local coords [B,M,K,3]
-
-        nfeat = index_points(feats, safe)
-        nfeat = jnp.where(nmask[..., None], nfeat, 0.0)
+        # ONE combined [coords ‖ feats] gather: index_points routes to
+        # the Pallas gather-as-matmul on TPU (the slowest op here), and
+        # its one-hot matmul pads the row width to full MXU lanes — so
+        # the 3-wide coordinate gather costs as much as the feature
+        # gather; fusing them halves the gather cost per conv
+        g = index_points(jnp.concatenate([s, feats], axis=-1), safe)
+        # stop_gradient: coordinates have no trainable upstream (the
+        # pyramid is geometry) — without it the shared gather would
+        # revive the dead d2→coords cotangent chain that jax prunes
+        # when the gathers are separate (deformable offsets still get
+        # their gradient through kpts, not nbr)
+        nbr = jax.lax.stop_gradient(g[..., :3]) - q[:, :, None, :]
+        nfeat = jnp.where(nmask[..., None], g[..., 3:], 0.0)
 
         if self.deformable:
             # offsets predicted by a rigid KPConv over the same
