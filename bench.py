@@ -7,12 +7,12 @@ B=64 N=1024 train step) is printed LAST:
 
 Baselines (labeled estimates — the reference README reports only
 speedup ratios vs the authors' PyTorch ports, no absolute rates and no
-hardware, BASELINE.md): the community-consensus PyTorch rate for each
-model on a V100-class GPU × the reference's published speedup ratio
-(README.md:73-97). PointNet++: ~370 sa/s × 2.72 ≈ 1000. DGCNN:
-~650 × 1.22 ≈ 800. KPConv: no ratio published; ~200 sa/s
-(CPU-pyramid-bound, the reference builds its pyramid per batch on the
-host). PointNet++ partseg: ~430 × 1.85 ≈ 800.
+hardware): each = (estimated PyTorch V100-class rate at the same
+config) × (the reference's published speedup ratio, README.md:73-97).
+The per-workload derivations, including the round-3 revisions of the
+N=4096 and DGCNN rows (the round-1 values ignored N-scaling and
+contradicted published torch epoch times respectively), live in
+BASELINE.md "Derived absolute throughput baselines".
 """
 
 from __future__ import annotations
@@ -23,12 +23,12 @@ import time
 import jax
 import numpy as np
 
-# labeled estimates, see module docstring
+# labeled estimates, derivations in BASELINE.md
 BASELINES = {
     "pointnet2_ssg_modelnet40_train_throughput": 1000.0,
-    "pointnet2_ssg_n4096_normals_train_throughput": 1000.0,
+    "pointnet2_ssg_n4096_normals_train_throughput": 500.0,
     "pointnet2_msg_modelnet40_train_throughput": 500.0,  # MSG ~2x SSG cost
-    "dgcnn_modelnet40_train_throughput": 800.0,
+    "dgcnn_modelnet40_train_throughput": 370.0,
     "kpconv_modelnet40_train_throughput": 200.0,
     "pointnet2_shapenet_partseg_train_throughput": 800.0,
 }

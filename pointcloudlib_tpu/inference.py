@@ -57,6 +57,14 @@ class Predictor:
 
         @functools.partial(jax.jit, static_argnames=())
         def _forward(variables, xyz, feats):
+            # Hilbert-canonicalize when a fused kernel will window at
+            # this size (same gate as the trainer; class output is
+            # point-order-invariant so nothing to un-sort)
+            from pointcloudlib_tpu.ops.pallas.fused_sa import _window_width
+            from pointcloudlib_tpu.ops.spatial import canonicalize
+
+            if _window_width(xyz.shape[1]) is not None:
+                xyz, feats, _ = canonicalize(xyz, feats)
             logits = model.apply(variables, xyz, feats, training=False)
             return jax.nn.softmax(logits, axis=-1)
 
@@ -162,9 +170,19 @@ class SegPredictor:
         self.batch_size = batch_size
 
         def _forward(variables, xyz, onehot, feats):
+            from pointcloudlib_tpu.ops.pallas.fused_sa import _window_width
+            from pointcloudlib_tpu.ops.spatial import (
+                canonicalize, unsort_rows,
+            )
+
+            order = None
+            if _window_width(xyz.shape[1]) is not None:
+                xyz, feats, order = canonicalize(xyz, feats)
             logits = model.apply(variables, xyz, onehot, feats=feats,
                                  training=False)
-            return jax.nn.softmax(logits, axis=-1)
+            probs = jax.nn.softmax(logits, axis=-1)
+            # per-point outputs return in the caller's original order
+            return probs if order is None else unsort_rows(probs, order)
 
         self._forward = jax.jit(_forward)
 
