@@ -67,16 +67,27 @@ def _ball_query_kernel(r2_ref, c_ref, p_ref, idx_ref, cnt_ref):
     rank = _cumsum_lanes(maski)                           # [Mt, N]
     lane = lax.broadcasted_iota(jnp.int32, (mt, n), 1)
     kcol = lax.broadcasted_iota(jnp.int32, (mt, k), 1)
+    # ramp is rank on in-radius lanes and 0 elsewhere (rank stays at
+    # j+1 on out-of-radius lanes AFTER the (j+1)-th hit, so the mask
+    # must fold in); ramp == j+1 then already implies in-radius —
+    # one compare+select+reduce per extraction slot
+    ramp = maski * rank
 
     def body(j, idx_out):
-        # at most one lane has rank == j+1 among in-radius points, so a
-        # sum-extract recovers its index (0 when the slot is empty)
-        ind = maski * (rank == j + 1).astype(jnp.int32)
-        idx_j = jnp.sum(ind * lane, axis=1)               # [Mt]
+        # at most one lane has ramp == j+1, so a sum-extract recovers
+        # its index (0 when the slot is empty — overwritten below)
+        idx_j = jnp.sum(jnp.where(ramp == j + 1, lane, 0), axis=1)
         return jnp.where(kcol == j, idx_j[:, None], idx_out)
 
-    idx = lax.fori_loop(0, k, body, jnp.zeros((mt, k), jnp.int32))
     cnt = rank[:, n - 1 :]                                # [Mt, 1]
+    # adaptive slot bound: no row in this tile has more than max(cnt)
+    # in-radius points, so later slots would extract nothing — they
+    # keep their zero init and take the repeat-first fill below, which
+    # is exactly what a full k-slot loop produces. Real counts are
+    # usually far below k (the reference pads the same way,
+    # misc/ops.py:321-326), so this cuts most extraction passes.
+    nslots = jnp.minimum(jnp.max(cnt), k)
+    idx = lax.fori_loop(0, nslots, body, jnp.zeros((mt, k), jnp.int32))
     valid = kcol < cnt
     first = idx[:, 0:1]                                   # 0 when cnt==0
     idx_ref[0] = jnp.where(valid, idx, first)

@@ -32,6 +32,40 @@ def test_ball_query_empty_rows():
     np.testing.assert_array_equal(np.asarray(idx), 0)
 
 
+@pytest.mark.parametrize(
+    "sorted_cloud", [False, True], ids=["random", "canonicalized"]
+)
+def test_ball_query_block_sparse_matches_xla(sorted_cloud):
+    """n >= 1024 routes to the block-sparse kernel (Hilbert-sorted
+    centers + per-block skip conds) — must be exact either way."""
+    rng = np.random.default_rng(7)
+    b, m, n, k, r = 2, 64, 1024, 16, 0.3
+    pts = rng.standard_normal((b, n, 3)).astype(np.float32)
+    pts /= np.linalg.norm(pts, axis=-1, keepdims=True)
+    points = jnp.asarray(pts)
+    if sorted_cloud:
+        from pointcloudlib_tpu.ops.spatial import canonicalize
+
+        points, _ = canonicalize(points)
+    centers = points[:, :: n // m][:, :m]
+    want_idx, want_cnt = ball_query(centers, points, r, k)
+    got_idx, got_cnt = ball_query_pallas(centers, points, r, k,
+                                         interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_cnt),
+                                  np.asarray(want_cnt))
+    np.testing.assert_array_equal(np.asarray(got_idx),
+                                  np.asarray(want_idx))
+
+
+def test_ball_query_block_sparse_empty_rows():
+    centers = jnp.full((1, 8, 3), 50.0, jnp.float32)
+    points = jnp.zeros((1, 1024, 3), jnp.float32)
+    idx, cnt = ball_query_pallas(centers, points, 0.5, 4,
+                                 interpret=True)
+    np.testing.assert_array_equal(np.asarray(cnt), 0)
+    np.testing.assert_array_equal(np.asarray(idx), 0)
+
+
 @pytest.mark.parametrize("b,m,n,k", [(2, 16, 100, 7), (1, 8, 130, 20)])
 def test_knn_matches_xla(b, m, n, k):
     rng = np.random.default_rng(b + n + k)
