@@ -143,21 +143,40 @@ def radius_neighbors(
     hold the shadow sentinel ``N`` (one-past-the-end of the support set).
     """
     n = support.shape[1]
-    q2 = jnp.sum(query * query, axis=-1, keepdims=True)
-    s2 = jnp.sum(support * support, axis=-1, keepdims=True)
-    # exact f32: TPU's default bf16 cross term can flip borderline
-    # in-radius membership relative to the host/native builder
-    inner = jnp.einsum(
-        "bmc,bnc->bmn", query, support,
-        preferred_element_type=jnp.float32,
-        precision=lax.Precision.HIGHEST,
-    )
-    d2 = jnp.maximum(q2 - 2 * inner + jnp.swapaxes(s2, -1, -2), 0.0)
-    valid = smask[:, None, :] & (d2 < radius * radius)
-    keyed = jnp.where(valid, d2, jnp.inf)
     kk = min(k, n)
-    neg, idx = lax.top_k(-keyed, kk)
-    nmask = neg > -jnp.inf
+    from pointcloudlib_tpu.ops.dispatch import USE_PALLAS
+
+    if USE_PALLAS and n >= 256 and query.dtype == jnp.float32:
+        # fused Pallas kNN over masked supports: XLA's top_k writes the
+        # [B,M,N] keyed matrix to HBM and full-sorts each row (2x
+        # slower, scripts/bench_knn_slope.py). Masked supports move to
+        # a far coordinate, exactly like the kernel's own padding; the
+        # exact flag forces f32 cross terms so borderline in-radius
+        # membership matches the host/native builder bit-for-bit.
+        from pointcloudlib_tpu.ops.pallas.neighbors import knn_pallas
+
+        far = jnp.asarray(1e9, query.dtype)
+        sup = jnp.where(smask[..., None], support, far)
+        d2k, idx = knn_pallas(
+            query, sup, kk, exact=True,
+            interpret=jax.default_backend() != "tpu",
+        )
+        nmask = d2k < radius * radius
+    else:
+        q2 = jnp.sum(query * query, axis=-1, keepdims=True)
+        s2 = jnp.sum(support * support, axis=-1, keepdims=True)
+        # exact f32: TPU's default bf16 cross term can flip borderline
+        # in-radius membership relative to the host/native builder
+        inner = jnp.einsum(
+            "bmc,bnc->bmn", query, support,
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )
+        d2 = jnp.maximum(q2 - 2 * inner + jnp.swapaxes(s2, -1, -2), 0.0)
+        valid = smask[:, None, :] & (d2 < radius * radius)
+        keyed = jnp.where(valid, d2, jnp.inf)
+        neg, idx = lax.top_k(-keyed, kk)
+        nmask = neg > -jnp.inf
     if k > n:
         idx = jnp.concatenate(
             [idx, jnp.zeros((*idx.shape[:-1], k - n), idx.dtype)], -1

@@ -33,13 +33,16 @@ Array = jax.Array
 _FAR = 1e9  # padding coordinate, outside any radius
 
 
-def _dist2(c: Array, p: Array) -> Array:
-    """Squared distances [Mt, N] via the MXU expansion."""
+def _dist2(c: Array, p: Array, exact: bool = False) -> Array:
+    """Squared distances [Mt, N] via the MXU expansion. ``exact``
+    forces the f32 cross term (3-pass bf16): radius-membership tests
+    compare against host builders bit-for-bit (kpconv/pyramid.py)."""
     c2 = jnp.sum(c * c, axis=1, keepdims=True)           # [Mt, 1]
     p2 = jnp.sum(p * p, axis=1, keepdims=True)           # [N, 1]
     inner = jax.lax.dot_general(
         c, p, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST if exact else None,
     )                                                     # [Mt, N]
     return jnp.maximum(c2 - 2.0 * inner + p2.T, 0.0)
 
@@ -94,11 +97,11 @@ def _ball_query_kernel(r2_ref, c_ref, p_ref, idx_ref, cnt_ref):
     cnt_ref[0] = cnt  # [Mt, 1]
 
 
-def _knn_kernel(c_ref, p_ref, idx_ref, d2_ref):
+def _knn_kernel(c_ref, p_ref, idx_ref, d2_ref, *, exact: bool = False):
     mt = c_ref.shape[1]
     n = p_ref.shape[1]
     k = idx_ref.shape[2]
-    d2 = _dist2(c_ref[0], p_ref[0])
+    d2 = _dist2(c_ref[0], p_ref[0], exact=exact)
     lane = lax.broadcasted_iota(jnp.int32, (mt, n), 1)
     kcol = lax.broadcasted_iota(jnp.int32, (mt, k), 1)
 
@@ -183,16 +186,19 @@ def ball_query_pallas(
     return idx, cnt[..., 0]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("k", "interpret", "exact"))
 def knn_pallas(
     query: Array,
     points: Array,
     k: int,
     interpret: bool = False,
+    exact: bool = False,
 ) -> Tuple[Array, Array]:
     """Drop-in for ops.geometry.knn on TPU: returns (sq_dists, idx),
     ascending, ties to the lower index. Padded rows sit at distance
-    ~1e18 so they are never selected while real points remain."""
+    ~1e18 so they are never selected while real points remain.
+    ``exact`` forces f32 cross terms (KPConv radius membership)."""
     b, m, c = query.shape
     n = points.shape[1]
     assert k <= n, (k, n)
@@ -201,7 +207,7 @@ def knn_pallas(
     mt = _tile_m(m, npad, 1, bytes_per=16)
 
     idx, d2 = pl.pallas_call(
-        _knn_kernel,
+        functools.partial(_knn_kernel, exact=exact),
         grid=(b, m // mt),
         in_specs=[
             pl.BlockSpec((1, mt, c), lambda i, j: (i, j, 0),

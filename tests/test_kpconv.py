@@ -90,6 +90,27 @@ class TestRadiusNeighbors:
             assert set(idx[0, m][nm[0, m]].tolist()) == set(nearest.tolist())
             assert (idx[0, m][~nm[0, m]] == 100).all(), "shadow sentinel"
 
+    def test_pallas_path_matches_xla(self, monkeypatch):
+        """On TPU (n >= 256) radius_neighbors routes through the Pallas
+        kNN kernel — force that path (interpret mode) and compare to
+        the XLA top_k path."""
+        import pointcloudlib_tpu.ops.dispatch as dispatch
+
+        rng = np.random.default_rng(5)
+        q = rng.standard_normal((2, 32, 3)).astype(np.float32)
+        s = rng.standard_normal((2, 300, 3)).astype(np.float32)
+        smask = rng.uniform(size=(2, 300)) < 0.8
+        qmask = np.ones((2, 32), bool)
+        args = (jnp.asarray(q), jnp.asarray(qmask), jnp.asarray(s),
+                jnp.asarray(smask), 0.8, 16)
+        want_idx, want_nm = radius_neighbors(*args)
+        monkeypatch.setattr(dispatch, "USE_PALLAS", True)
+        got_idx, got_nm = radius_neighbors(*args)
+        np.testing.assert_array_equal(np.asarray(got_nm),
+                                      np.asarray(want_nm))
+        np.testing.assert_array_equal(np.asarray(got_idx),
+                                      np.asarray(want_idx))
+
 
 class TestKPCNN:
     @pytest.fixture(scope="class")
