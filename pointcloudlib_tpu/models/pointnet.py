@@ -26,6 +26,7 @@ class PointNet(nn.Module):
     """
 
     n_classes: int = 40
+    dropout: float = 0.5  # reference rate; 0 for deterministic tests
 
     @nn.compact
     def __call__(
@@ -38,7 +39,7 @@ class PointNet(nn.Module):
         x = PointMLP([64, 64, 64, 128, 1024])(xyz, training)
         x = jnp.max(x, axis=1)  # global max pool over points
         x = DenseBNAct(512)(x, training)
-        x = nn.Dropout(0.5, deterministic=not training)(x)
+        x = nn.Dropout(self.dropout, deterministic=not training)(x)
         return nn.Dense(self.n_classes)(x)
 
 

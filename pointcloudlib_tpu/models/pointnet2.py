@@ -27,12 +27,13 @@ Array = jax.Array
 class _ClsHead(nn.Module):
     n_classes: int
     axis_name: Optional[str] = None
+    dropout: float = 0.5  # reference rate; 0 for deterministic tests
 
     @nn.compact
     def __call__(self, x: Array, training: bool) -> Array:
         x = DenseBNAct(512, axis_name=self.axis_name)(x, training)
         x = DenseBNAct(256, axis_name=self.axis_name)(x, training)
-        x = nn.Dropout(0.5, deterministic=not training)(x)
+        x = nn.Dropout(self.dropout, deterministic=not training)(x)
         return nn.Dense(self.n_classes)(x)
 
 
@@ -46,6 +47,7 @@ class PointNet2SSG(nn.Module):
     use_xyz: bool = True
     axis_name: Optional[str] = None
     world: int = 1
+    dropout: float = 0.5
 
     @nn.compact
     def __call__(
@@ -66,8 +68,8 @@ class PointNet2SSG(nn.Module):
         xyz, f = SetAbstraction(
             mlp=[256, 512, 1024], use_xyz=self.use_xyz, **ax,
         )(xyz, f, training)
-        return _ClsHead(self.n_classes, axis_name=self.axis_name)(
-            f[:, 0], training)
+        return _ClsHead(self.n_classes, axis_name=self.axis_name,
+                        dropout=self.dropout)(f[:, 0], training)
 
 
 class PointNet2PartSeg(nn.Module):
