@@ -75,13 +75,20 @@ class FusedEdgeConv(nn.Module):
         from pointcloudlib_tpu.ops.pallas.fused_edge import (
             EdgeStats,
             fused_edge_conv,
+            fused_edge_conv_knn,
             fused_edge_eval,
+            fused_edge_eval_knn,
         )
 
         interpret = jax.default_backend() != "tpu"
         c = x.shape[-1]
-        _, idx = knn(x, x, self.k)
-        idx = jax.lax.stop_gradient(idx)
+        n = x.shape[1]
+        # with lane-tiled N the kNN graph is built inside the gather
+        # kernel (fused_edge_conv_knn / fused_edge_eval_knn)
+        fuse_knn = n % 128 == 0
+        if not fuse_knn:
+            _, idx = knn(x, x, self.k)
+            idx = jax.lax.stop_gradient(idx)
 
         w = self.param("w", nn.initializers.lecun_normal(),
                        (2 * c, self.features), jnp.float32)
@@ -104,13 +111,23 @@ class FusedEdgeConv(nn.Module):
             lambda: jnp.ones((self.features,), jnp.float32))
 
         if training:
-            out, stats = fused_edge_conv(
-                q, off, idx, gamma, beta, self.slope, interpret,
-                self.axis_name, self.world)
+            if fuse_knn:
+                out, stats = fused_edge_conv_knn(
+                    x, q, off, gamma, beta, self.k, self.slope,
+                    interpret, self.axis_name, self.world)
+            else:
+                out, stats = fused_edge_conv(
+                    q, off, idx, gamma, beta, self.slope, interpret,
+                    self.axis_name, self.world)
             if not self.is_initializing():
                 mom = self.bn_momentum
                 ra_mean.value = mom * ra_mean.value + (1 - mom) * stats.mean
                 ra_var.value = mom * ra_var.value + (1 - mom) * stats.var
+        elif fuse_knn:
+            out = fused_edge_eval_knn(
+                x, q, off, gamma, beta,
+                EdgeStats(ra_mean.value, ra_var.value),
+                self.k, self.slope, interpret)
         else:
             out = fused_edge_eval(
                 q, off, idx, gamma, beta,
@@ -135,14 +152,19 @@ class Fused2EdgeConv(nn.Module):
         from pointcloudlib_tpu.ops.pallas.fused_edge import (
             Edge2Stats,
             fused_edge2_conv,
+            fused_edge2_conv_knn,
             fused_edge2_eval,
+            fused_edge2_eval_knn,
         )
 
         interpret = jax.default_backend() != "tpu"
         c = x.shape[-1]
+        n = x.shape[1]
         f1, f2 = self.features
-        _, idx = knn(x, x, self.k)
-        idx = jax.lax.stop_gradient(idx)
+        fuse_knn = n % 128 == 0  # graph built inside the gather kernel
+        if not fuse_knn:
+            _, idx = knn(x, x, self.k)
+            idx = jax.lax.stop_gradient(idx)
 
         w = self.param("w", nn.initializers.lecun_normal(),
                        (2 * c, f1), jnp.float32)
@@ -167,15 +189,26 @@ class Fused2EdgeConv(nn.Module):
         ]
 
         if training:
-            out, stats = fused_edge2_conv(
-                q, off, idx, w2, g1, b1, g2, b2, self.slope, interpret,
-                self.axis_name, self.world)
+            if fuse_knn:
+                out, stats = fused_edge2_conv_knn(
+                    x, q, off, w2, g1, b1, g2, b2, self.k, self.slope,
+                    interpret, self.axis_name, self.world)
+            else:
+                out, stats = fused_edge2_conv(
+                    q, off, idx, w2, g1, b1, g2, b2, self.slope,
+                    interpret, self.axis_name, self.world)
             if not self.is_initializing():
                 mom = self.bn_momentum
                 batch = [(stats.m1, stats.v1), (stats.m2, stats.v2)]
                 for (rm, rv), (bm, bv) in zip(ra, batch):
                     rm.value = mom * rm.value + (1 - mom) * bm
                     rv.value = mom * rv.value + (1 - mom) * bv
+        elif fuse_knn:
+            out = fused_edge2_eval_knn(
+                x, q, off, w2, g1, b1, g2, b2,
+                Edge2Stats(ra[0][0].value, ra[0][1].value,
+                           ra[1][0].value, ra[1][1].value),
+                self.k, self.slope, interpret)
         else:
             out = fused_edge2_eval(
                 q, off, idx, w2, g1, b1, g2, b2,

@@ -179,6 +179,156 @@ def _ke_bwd(h_ref, dout_ref, idx_ref, st_ref, ps_ref, scat_ref,
     ps_ref[0] += jnp.concatenate([s, ss], axis=0)
 
 
+def _ke_knn_f1(x_ref, q_ref, off_ref, idx_ref, h_ref, psum_ref,
+               *, k: int):
+    """Fused kNN + gather: the argmin round's selection mask
+    ``lane == best`` IS the one-hot gather row, so the separate gather
+    kernel's one-hot build (rows·k·N compares) disappears — each round
+    masks d2 AND multiplies Q in one go. Emits the neighbor indices
+    (for the backward scatter), the h = Q[idx] − Off bf16 checkpoint,
+    and the BN Σ/Σ² sums."""
+    n, c = q_ref.shape[1], q_ref.shape[2]
+    mt = off_ref.shape[1]
+    lane = lax.broadcasted_iota(jnp.int32, (mt, n), 1)
+    kcol = lax.broadcasted_iota(jnp.int32, (mt, k), 1)
+    _psum_init(psum_ref)
+
+    x = x_ref[0]
+    start = pl.multiple_of(pl.program_id(1) * mt, 8)
+    xq = x_ref[0, pl.ds(start, mt), :]
+    x2 = jnp.sum(xq * xq, axis=1, keepdims=True)
+    p2 = jnp.sum(x * x, axis=1, keepdims=True)
+    inner = lax.dot_general(xq, x, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    d2 = jnp.maximum(x2 - 2.0 * inner + p2.T, 0.0)
+    off = off_ref[0]
+
+    def body(j, carry):
+        d2cur, idx_out, s, ss = carry
+        best = jnp.argmin(d2cur, axis=1).astype(jnp.int32)     # [Mt]
+        ind = lane == best[:, None]
+        onehot = ind.astype(jnp.bfloat16)                      # free
+        g = jnp.dot(onehot, q_ref[0],
+                    preferred_element_type=jnp.float32)        # [Mt,C]
+        h = g - off
+        # h rides in [k, mt, c] layout: the round index j then lands on
+        # an OUTER (untiled) dim, where dynamic stores are legal
+        h_ref[0, pl.ds(j, 1), :, :] = h[None].astype(jnp.bfloat16)
+        idx_out = jnp.where(kcol == j, best[:, None], idx_out)
+        d2cur = jnp.where(ind, jnp.inf, d2cur)
+        return (d2cur, idx_out,
+                s + jnp.sum(h, axis=0, keepdims=True),
+                ss + jnp.sum(h * h, axis=0, keepdims=True))
+
+    _, idx_out, s, ss = lax.fori_loop(
+        0, k, body,
+        (d2, jnp.zeros((mt, k), jnp.int32)) + _zeros2(c))
+    idx_ref[0] = idx_out
+    psum_ref[0] += jnp.concatenate([s, ss], axis=0)
+
+
+def _ke_knn_eval(x_ref, q_ref, off_ref, st_ref, out_ref, *, k: int,
+                 slope: float):
+    """Eval: kNN rounds + gather + BN + LeakyReLU + running max over
+    the k rounds — no h checkpoint at all."""
+    n, c = q_ref.shape[1], q_ref.shape[2]
+    mt = off_ref.shape[1]
+    lane = lax.broadcasted_iota(jnp.int32, (mt, n), 1)
+
+    x = x_ref[0]
+    start = pl.multiple_of(pl.program_id(1) * mt, 8)
+    xq = x_ref[0, pl.ds(start, mt), :]
+    x2 = jnp.sum(xq * xq, axis=1, keepdims=True)
+    p2 = jnp.sum(x * x, axis=1, keepdims=True)
+    inner = lax.dot_general(xq, x, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    d2 = jnp.maximum(x2 - 2.0 * inner + p2.T, 0.0)
+    off = off_ref[0]
+
+    def body(j, carry):
+        d2cur, macc = carry
+        best = jnp.argmin(d2cur, axis=1).astype(jnp.int32)
+        ind = lane == best[:, None]
+        onehot = ind.astype(jnp.bfloat16)
+        g = jnp.dot(onehot, q_ref[0],
+                    preferred_element_type=jnp.float32)
+        y = _bn_leaky(g - off, st_ref, slope)
+        macc = jnp.maximum(macc, y)
+        d2cur = jnp.where(ind, jnp.inf, d2cur)
+        return d2cur, macc
+
+    _, macc = lax.fori_loop(
+        0, k, body, (d2, jnp.full((mt, c), -jnp.inf, jnp.float32)))
+    out_ref[0] = macc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "slope", "interpret")
+)
+def fused_edge_eval_knn(x, q, off, gamma, beta, stats: EdgeStats,
+                        k: int, slope: float = 0.2,
+                        interpret: bool = False):
+    """Eval-mode EdgeConv with in-kernel graph construction."""
+    b, n, cf = x.shape
+    c = q.shape[2]
+    st = _stack_stats(stats.mean, stats.var, gamma, beta)
+    per_row = 2 * (c * 4 * 2) + n * 4
+    budget = (5 << 20) - 4 * n * (cf + c)
+    from pointcloudlib_tpu.ops.pallas.fused_sa import _block_tile
+
+    mt = _block_tile(n, max(8, budget // per_row))
+    return pl.pallas_call(
+        functools.partial(_ke_knn_eval, k=k, slope=slope),
+        grid=(b, n // mt),
+        in_specs=[
+            pl.BlockSpec((1, n, cf), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, mt, c), lambda i, j: (i, j, 0)),
+            _st_spec(c),
+        ],
+        out_specs=pl.BlockSpec((1, mt, c), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), jnp.float32),
+        interpret=interpret,
+    )(x.astype(jnp.float32), q.astype(jnp.bfloat16),
+      off.astype(jnp.float32), st)
+
+
+def _call_eknn_f1(x, q, off, k, interpret):
+    """Fused self-kNN + gather + stats (forward of fused_edge_knn)."""
+    b, n, cf = x.shape
+    c = q.shape[2]
+    # per-row blocks: h [k,c] bf16 + idx [k] i32 + off [c] f32, double
+    # buffered; d2 [mt, n] f32 is a live temporary; x/q stay resident
+    per_row = 2 * (k * c * 2 + k * 4 + c * 4) + n * 4
+    budget = (5 << 20) - 4 * n * (cf + c)
+    from pointcloudlib_tpu.ops.pallas.fused_sa import _block_tile
+
+    mt = _block_tile(n, max(8, budget // per_row))
+    idx, h, psum = pl.pallas_call(
+        functools.partial(_ke_knn_f1, k=k),
+        grid=(b, n // mt),
+        in_specs=[
+            pl.BlockSpec((1, n, cf), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, mt, c), lambda i, j: (i, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, mt, k), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, k, mt, c), lambda i, j: (i, 0, j, 0)),
+            _ps_spec(c),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, k), jnp.int32),
+            jax.ShapeDtypeStruct((b, k, n, c), jnp.bfloat16),
+            jax.ShapeDtypeStruct((1, 2, c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x.astype(jnp.float32), q.astype(jnp.bfloat16),
+      off.astype(jnp.float32))
+    # downstream passes read [b, n, k, c]
+    return idx, jnp.swapaxes(h, 1, 2), psum
+
+
 # ---------------------------------------------------------- orchestration
 
 
@@ -305,6 +455,48 @@ def _edge_bwd_rule(slope, interpret, axis_name, world, res, cts):
 
 
 fused_edge_conv.defvjp(_edge_fwd_rule, _edge_bwd_rule)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def fused_edge_conv_knn(x, q, off, gamma, beta, k, slope=0.2,
+                        interpret=False, axis_name=None, world=1):
+    """EdgeConv with the self-kNN graph built INSIDE the gather kernel
+    (_ke_knn_f1): each argmin round's selection mask doubles as the
+    one-hot gather row, eliminating the separate kNN kernel and the
+    gather's one-hot build. Graph construction carries no gradient
+    (matching the reference and the unfused path)."""
+    out, stats, _ = _edge_knn_fwd(x, q, off, gamma, beta, k, slope,
+                                  interpret, axis_name, world)
+    return out, stats
+
+
+def _edge_knn_fwd(x, q, off, gamma, beta, k, slope, interpret,
+                  axis_name, world):
+    b, n, _ = x.shape
+    r = float(b * n * k * world)
+    idx, h, ps = _call_eknn_f1(lax.stop_gradient(x), q, off, k,
+                               interpret)
+    mean, var = _moments(_psum(ps[0], axis_name), r)
+    st = _stack_stats(mean, var, gamma, beta)
+    out = _call_eout(h, st, slope, interpret)
+    return out, EdgeStats(mean, var), (idx, h, st)
+
+
+def _edge_knn_fwd_rule(x, q, off, gamma, beta, k, slope, interpret,
+                       axis_name, world):
+    out, stats, (idx, h, st) = _edge_knn_fwd(
+        x, q, off, gamma, beta, k, slope, interpret, axis_name, world)
+    return (out, stats), (idx, h, st, q.shape[1])
+
+
+def _edge_knn_bwd_rule(k, slope, interpret, axis_name, world, res,
+                       cts):
+    dq, doff, _, dg, db = _edge_bwd_rule(slope, interpret, axis_name,
+                                         world, res, cts)
+    return None, dq, doff, dg, db
+
+
+fused_edge_conv_knn.defvjp(_edge_knn_fwd_rule, _edge_knn_bwd_rule)
 
 
 def fused_edge_eval(q, off, idx, gamma, beta, stats: EdgeStats,
@@ -699,3 +891,140 @@ def _ke2_eval(q_ref, idx_ref, off_ref, st1_ref, st2_ref, w2_ref,
         return 0
 
     lax.fori_loop(0, mt // cm, body, 0)
+
+
+# -------------------------------------------- two-layer, in-kernel kNN
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def fused_edge2_conv_knn(x, q, off, w2, g1, b1, g2, b2, k, slope=0.2,
+                         interpret=False, axis_name=None, world=1):
+    """Two-layer fused EdgeConv with the self-kNN graph built inside
+    the gather kernel (see fused_edge_conv_knn)."""
+    out, stats, _ = _e2_knn_fwd(x, q, off, w2, g1, b1, g2, b2, k,
+                                slope, interpret, axis_name, world)
+    return out, stats
+
+
+def _e2_knn_fwd(x, q, off, w2, g1, b1, g2, b2, k, slope, interpret,
+                axis_name, world):
+    b, n, _ = x.shape
+    r = float(b * n * k * world)
+    idx, h1, ps = _call_eknn_f1(lax.stop_gradient(x), q, off, k,
+                                interpret)
+    m1, v1 = _moments(_psum(ps[0], axis_name), r)
+    st1 = _stack_stats(m1, v1, g1, b1)
+
+    b_, mm, kk, c1 = h1.shape
+    c2 = w2.shape[1]
+    mt = _m_tile(mm, kk, bf16_widths=c1)
+    cm = _divisor_tile(mt, max(1, 1024 // kk))
+    ps2 = pl.pallas_call(
+        functools.partial(_ke2_stats2, cm=cm, slope=slope),
+        grid=(b_ * (mm // mt),),
+        in_specs=[_flat(mm, mt, (kk, c1)), _st_spec(c1), _w_spec(w2)],
+        out_specs=_ps_spec(c2),
+        out_shape=jax.ShapeDtypeStruct((1, 2, c2), jnp.float32),
+        interpret=interpret,
+    )(h1, st1, w2.astype(jnp.bfloat16))
+    m2, v2 = _moments(_psum(ps2[0], axis_name), r)
+    st2 = _stack_stats(m2, v2, g2, b2)
+
+    out = pl.pallas_call(
+        functools.partial(_ke2_out, cm=cm, slope=slope),
+        grid=(b_ * (mm // mt),),
+        in_specs=[_flat(mm, mt, (kk, c1)), _st_spec(c1), _st_spec(c2),
+                  _w_spec(w2)],
+        out_specs=_flat(mm, mt, (c2,)),
+        out_shape=jax.ShapeDtypeStruct((b_, mm, c2), jnp.float32),
+        interpret=interpret,
+    )(h1, st1, st2, w2.astype(jnp.bfloat16))
+    return out, Edge2Stats(m1, v1, m2, v2), (idx, h1, st1, st2)
+
+
+def _e2_knn_fwd_rule(x, q, off, w2, g1, b1, g2, b2, k, slope,
+                     interpret, axis_name, world):
+    out, stats, (idx, h1, st1, st2) = _e2_knn_fwd(
+        x, q, off, w2, g1, b1, g2, b2, k, slope, interpret, axis_name,
+        world)
+    return (out, stats), (idx, h1, st1, st2, w2, q.shape[1])
+
+
+def _e2_knn_bwd_rule(k, slope, interpret, axis_name, world, res, cts):
+    grads = _e2_bwd_rule(slope, interpret, axis_name, world, res, cts)
+    # (dq, doff, None(idx), dw2, dg1, db1, dg2, db2) -> prepend dx=None
+    dq, doff, _, dw2, dg1, db1, dg2, db2 = grads
+    return None, dq, doff, dw2, dg1, db1, dg2, db2
+
+
+fused_edge2_conv_knn.defvjp(_e2_knn_fwd_rule, _e2_knn_bwd_rule)
+
+
+def _ke2_knn_eval(x_ref, q_ref, off_ref, st1_ref, st2_ref, w2_ref,
+                  out_ref, *, k: int, slope: float):
+    """Two-layer eval with in-kernel kNN rounds + running max."""
+    n, c1 = q_ref.shape[1], q_ref.shape[2]
+    mt = off_ref.shape[1]
+    c2 = w2_ref.shape[1]
+    lane = lax.broadcasted_iota(jnp.int32, (mt, n), 1)
+
+    x = x_ref[0]
+    start = pl.multiple_of(pl.program_id(1) * mt, 8)
+    xq = x_ref[0, pl.ds(start, mt), :]
+    x2 = jnp.sum(xq * xq, axis=1, keepdims=True)
+    p2 = jnp.sum(x * x, axis=1, keepdims=True)
+    inner = lax.dot_general(xq, x, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    d2 = jnp.maximum(x2 - 2.0 * inner + p2.T, 0.0)
+    off = off_ref[0]
+
+    def body(j, carry):
+        d2cur, macc = carry
+        best = jnp.argmin(d2cur, axis=1).astype(jnp.int32)
+        ind = lane == best[:, None]
+        onehot = ind.astype(jnp.bfloat16)
+        g = jnp.dot(onehot, q_ref[0],
+                    preferred_element_type=jnp.float32)
+        y1 = _bn_leaky(g - off, st1_ref, slope)
+        h2 = jnp.dot(y1.astype(jnp.bfloat16), w2_ref[:, :],
+                     preferred_element_type=jnp.float32)
+        y2 = _bn_leaky(h2, st2_ref, slope)
+        macc = jnp.maximum(macc, y2)
+        d2cur = jnp.where(ind, jnp.inf, d2cur)
+        return d2cur, macc
+
+    _, macc = lax.fori_loop(
+        0, k, body, (d2, jnp.full((mt, c2), -jnp.inf, jnp.float32)))
+    out_ref[0] = macc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "slope", "interpret")
+)
+def fused_edge2_eval_knn(x, q, off, w2, g1, b1, g2, b2,
+                         stats: Edge2Stats, k: int, slope: float = 0.2,
+                         interpret: bool = False):
+    b, n, cf = x.shape
+    c1 = q.shape[2]
+    c2 = w2.shape[1]
+    st1 = _stack_stats(stats.m1, stats.v1, g1, b1)
+    st2 = _stack_stats(stats.m2, stats.v2, g2, b2)
+    per_row = 2 * ((c1 + c2) * 4 * 2) + n * 4
+    budget = (5 << 20) - 4 * n * (cf + c1)
+    from pointcloudlib_tpu.ops.pallas.fused_sa import _block_tile
+
+    mt = _block_tile(n, max(8, budget // per_row))
+    return pl.pallas_call(
+        functools.partial(_ke2_knn_eval, k=k, slope=slope),
+        grid=(b, n // mt),
+        in_specs=[
+            pl.BlockSpec((1, n, cf), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, n, c1), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, mt, c1), lambda i, j: (i, j, 0)),
+            _st_spec(c1), _st_spec(c2), _w_spec(w2),
+        ],
+        out_specs=pl.BlockSpec((1, mt, c2), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, c2), jnp.float32),
+        interpret=interpret,
+    )(x.astype(jnp.float32), q.astype(jnp.bfloat16),
+      off.astype(jnp.float32), st1, st2, w2.astype(jnp.bfloat16))

@@ -103,6 +103,43 @@ def sweep_edge():
     jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])
     print(f"edge2 ok  B={b} N={n} K={k} F=({f1},{f2})", flush=True)
 
+    # in-kernel-kNN variants (round-3): train + eval at model shapes
+    from pointcloudlib_tpu.ops.pallas.fused_edge import (
+        EdgeStats, fused_edge_conv_knn, fused_edge_eval_knn,
+        fused_edge2_conv_knn,
+    )
+
+    for (b, n, k, c, f) in [(8, 1024, 20, 3, 64),
+                            (8, 1024, 20, 256, 256),
+                            (4, 2048, 40, 6, 64)]:
+        x = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+        q = jnp.asarray(rng.standard_normal((b, n, f)), jnp.float32)
+        off = jnp.asarray(rng.standard_normal((b, n, f)) * .1,
+                          jnp.float32)
+        gam = jnp.ones(f)
+        bet = jnp.zeros(f)
+        g = jax.jit(jax.grad(
+            lambda q, off, g_, b_, x=x, k=k: jnp.sum(
+                fused_edge_conv_knn(x, q, off, g_, b_, k)[0]),
+            argnums=(0, 1, 2, 3)))
+        out = g(q, off, gam, bet)
+        jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+        ev = fused_edge_eval_knn(
+            x, q, off, gam, bet, EdgeStats(jnp.zeros(f), jnp.ones(f)),
+            k)
+        jax.device_get(ev.ravel()[0])
+        print(f"edge-knn ok  B={b} N={n} K={k} C={c} F={f}",
+              flush=True)
+    # q/off/w2 still hold the 2-layer pair shapes from above
+    x = jnp.asarray(rng.standard_normal((4, 2048, 64)), jnp.float32)
+    g = jax.jit(jax.grad(
+        lambda q, off, w2: jnp.sum(fused_edge2_conv_knn(
+            x, q, off, w2, jnp.ones(f1), jnp.zeros(f1),
+            jnp.ones(f2), jnp.zeros(f2), 40)[0]), argnums=(0, 1, 2)))
+    out = g(q, off, w2)
+    jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+    print("edge2-knn ok  B=4 N=2048 K=40", flush=True)
+
 
 def sweep_gather_odd():
     """KPConv's data-calibrated caps produce non-power-of-two shapes

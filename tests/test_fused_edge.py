@@ -266,3 +266,135 @@ def test_dgcnn_partseg_fused_runs():
                    for x in jax.tree_util.tree_leaves(g))
     finally:
         del os.environ["POINTCLOUDLIB_FUSED_SA"]
+
+
+def test_knn_fused_matches_separate():
+    """fused_edge_conv_knn (graph built inside the gather kernel) must
+    equal knn + fused_edge_conv in outputs, stats, and gradients."""
+    from pointcloudlib_tpu.ops import knn
+    from pointcloudlib_tpu.ops.pallas.fused_edge import (
+        fused_edge_conv_knn,
+    )
+
+    rng = np.random.default_rng(3)
+    b, n, k, c, f = 2, 128, 8, 16, 32
+    x = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+    wa = jnp.asarray(rng.standard_normal((c, f)) * 0.3, jnp.float32)
+    wb = jnp.asarray(rng.standard_normal((c, f)) * 0.3, jnp.float32)
+    gamma = jnp.ones((f,))
+    beta = jnp.zeros((f,))
+    q = jnp.dot(x.astype(jnp.bfloat16), wa.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+    off = jnp.dot(x.astype(jnp.bfloat16), (wa - wb).astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)
+
+    def run_sep(q, off, gamma, beta):
+        _, idx = knn(x, x, k)
+        out, stats = fused_edge_conv(q, off, idx, gamma, beta, 0.2,
+                                     True, None, 1)
+        return jnp.sum(out * out), (out, stats)
+
+    def run_knn(q, off, gamma, beta):
+        out, stats = fused_edge_conv_knn(x, q, off, gamma, beta, k,
+                                         0.2, True, None, 1)
+        return jnp.sum(out * out), (out, stats)
+
+    (l0, (o0, s0)), g0 = jax.value_and_grad(
+        run_sep, argnums=(0, 1, 2, 3), has_aux=True)(q, off, gamma, beta)
+    (l1, (o1, s1)), g1 = jax.value_and_grad(
+        run_knn, argnums=(0, 1, 2, 3), has_aux=True)(q, off, gamma, beta)
+
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1),
+                               rtol=1e-5, atol=1e-5)
+    for a, b_ in zip(jax.tree_util.tree_leaves((s0, g0)),
+                     jax.tree_util.tree_leaves((s1, g1))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_knn_fused_eval_matches_separate():
+    from pointcloudlib_tpu.ops import knn
+    from pointcloudlib_tpu.ops.pallas.fused_edge import (
+        fused_edge_eval, fused_edge_eval_knn,
+    )
+
+    rng = np.random.default_rng(4)
+    b, n, k, c, f = 2, 128, 8, 16, 32
+    x = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+    wa = jnp.asarray(rng.standard_normal((c, f)) * 0.3, jnp.float32)
+    wb = jnp.asarray(rng.standard_normal((c, f)) * 0.3, jnp.float32)
+    gamma = jnp.asarray(rng.uniform(0.5, 1.5, (f,)), jnp.float32)
+    beta = jnp.asarray(rng.standard_normal((f,)) * 0.1, jnp.float32)
+    stats = EdgeStats(
+        jnp.asarray(rng.standard_normal((f,)) * 0.1, jnp.float32),
+        jnp.asarray(rng.uniform(0.5, 2.0, (f,)), jnp.float32))
+    q = jnp.dot(x.astype(jnp.bfloat16), wa.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+    off = jnp.dot(x.astype(jnp.bfloat16), (wa - wb).astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)
+    _, idx = knn(x, x, k)
+    want = fused_edge_eval(q, off, idx, gamma, beta, stats, 0.2, True)
+    got = fused_edge_eval_knn(x, q, off, gamma, beta, stats, k, 0.2,
+                              True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_knn_fused_edge2_matches_separate():
+    from pointcloudlib_tpu.ops import knn
+    from pointcloudlib_tpu.ops.pallas.fused_edge import (
+        Edge2Stats, fused_edge2_conv, fused_edge2_conv_knn,
+        fused_edge2_eval, fused_edge2_eval_knn,
+    )
+
+    rng = np.random.default_rng(5)
+    b, n, k, c, f1, f2 = 2, 128, 8, 12, 16, 32
+    x = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+    wa = jnp.asarray(rng.standard_normal((c, f1)) * 0.3, jnp.float32)
+    wb = jnp.asarray(rng.standard_normal((c, f1)) * 0.3, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((f1, f2)) * 0.3, jnp.float32)
+    g1, b1 = jnp.ones((f1,)), jnp.zeros((f1,))
+    g2, b2 = jnp.ones((f2,)), jnp.zeros((f2,))
+    q = jnp.dot(x.astype(jnp.bfloat16), wa.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+    off = jnp.dot(x.astype(jnp.bfloat16), (wa - wb).astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)
+
+    def run_sep(q, off, w2, g1, b1, g2, b2):
+        _, idx = knn(x, x, k)
+        out, stats = fused_edge2_conv(q, off, idx, w2, g1, b1, g2, b2,
+                                      0.2, True, None, 1)
+        return jnp.sum(out * out), (out, stats)
+
+    def run_knn(q, off, w2, g1, b1, g2, b2):
+        out, stats = fused_edge2_conv_knn(x, q, off, w2, g1, b1, g2,
+                                          b2, k, 0.2, True, None, 1)
+        return jnp.sum(out * out), (out, stats)
+
+    args = (q, off, w2, g1, b1, g2, b2)
+    (l0, (o0, s0)), g0 = jax.value_and_grad(
+        run_sep, argnums=tuple(range(7)), has_aux=True)(*args)
+    (l1, (o1, s1)), g1_ = jax.value_and_grad(
+        run_knn, argnums=tuple(range(7)), has_aux=True)(*args)
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1),
+                               rtol=1e-5, atol=1e-5)
+    # the two paths accumulate the same products in different MXU
+    # shapes; bf16 h1 rounding can flip a max-pool tie at the boundary
+    for a, b_ in zip(jax.tree_util.tree_leaves((s0, g0)),
+                     jax.tree_util.tree_leaves((s1, g1_))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-3, atol=1e-3)
+
+    # eval parity
+    stats = Edge2Stats(
+        jnp.asarray(rng.standard_normal((f1,)) * 0.1, jnp.float32),
+        jnp.asarray(rng.uniform(0.5, 2.0, (f1,)), jnp.float32),
+        jnp.asarray(rng.standard_normal((f2,)) * 0.1, jnp.float32),
+        jnp.asarray(rng.uniform(0.5, 2.0, (f2,)), jnp.float32))
+    _, idx = knn(x, x, k)
+    want = fused_edge2_eval(q, off, idx, w2, g1, b1, g2, b2, stats,
+                            0.2, True)
+    got = fused_edge2_eval_knn(x, q, off, w2, g1, b1, g2, b2, stats,
+                               k, 0.2, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
