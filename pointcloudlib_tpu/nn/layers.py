@@ -209,6 +209,9 @@ class FusedSetAbstraction(nn.Module):
         from pointcloudlib_tpu.ops.pallas.fused_sa import (
             SAParams,
             SAStats,
+            _window_width,
+            fused_sa_bq_eval,
+            fused_sa_bq_train,
             fused_sa_eval,
             fused_sa_train,
         )
@@ -219,10 +222,17 @@ class FusedSetAbstraction(nn.Module):
         if new_xyz is None:
             idx = fps(xyz, self.n_points)
             new_xyz = index_points(xyz, idx)
-        if nidx is None:
-            nidx, _ = ball_query(new_xyz, xyz, self.radius,
-                                 self.n_samples)
-        nidx = jax.lax.stop_gradient(nidx)
+        # ball query fused into the gather kernel (the rank-extraction
+        # mask IS the one-hot row) unless the caller precomputed nidx
+        # or the windowed path (N >= 4096) takes over
+        n = xyz.shape[1]
+        fuse_bq = (nidx is None and _window_width(n) is None
+                   and n % 128 == 0)
+        if not fuse_bq:
+            if nidx is None:
+                nidx, _ = ball_query(new_xyz, xyz, self.radius,
+                                     self.n_samples)
+            nidx = jax.lax.stop_gradient(nidx)
 
         if feats is None:
             p, recenter = xyz, 3
@@ -274,8 +284,16 @@ class FusedSetAbstraction(nn.Module):
         ]
 
         if training:
-            out, stats = fused_sa_train(q, off, nidx, params, interpret,
-                                        self.axis_name, self.world)
+            if fuse_bq:
+                out, stats = fused_sa_bq_train(
+                    jax.lax.stop_gradient(new_xyz),
+                    jax.lax.stop_gradient(xyz), q, off, params,
+                    self.radius, self.n_samples, interpret,
+                    self.axis_name, self.world)
+            else:
+                out, stats = fused_sa_train(
+                    q, off, nidx, params, interpret, self.axis_name,
+                    self.world)
             if not self.is_initializing():
                 mom = self.bn_momentum
                 batch = [(stats.m1, stats.v1), (stats.m2, stats.v2),
@@ -289,8 +307,13 @@ class FusedSetAbstraction(nn.Module):
                 m2=ra[1][0].value, v2=ra[1][1].value,
                 m3=ra[2][0].value, v3=ra[2][1].value,
             )
-            out = fused_sa_eval(q, off, nidx, params, running,
-                                interpret=interpret)
+            if fuse_bq:
+                out = fused_sa_bq_eval(
+                    new_xyz, xyz, q, off, params, running, self.radius,
+                    self.n_samples, interpret=interpret)
+            else:
+                out = fused_sa_eval(q, off, nidx, params, running,
+                                    interpret=interpret)
         return new_xyz, out
 
 

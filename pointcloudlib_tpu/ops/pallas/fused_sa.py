@@ -693,7 +693,254 @@ def _k_p2w(s_ref, nb_ref, h1_ref, dout_ref, idx_ref, st1_ref, st2_ref,
     ps1_ref[0] += jnp.concatenate([sa, ss], axis=0)
 
 
-# ---------------------------------------------------------- orchestration
+# ----------------------------------------- in-kernel ball query (round 3)
+
+
+def _cumsum_lanes_sa(x):
+    mt, n = x.shape
+    lane = lax.broadcasted_iota(jnp.int32, (mt, n), 1)
+    shift = 1
+    while shift < n:
+        from jax.experimental.pallas import tpu as _pltpu
+
+        rolled = _pltpu.roll(x, shift, axis=1)
+        x = x + jnp.where(lane >= shift, rolled, 0)
+        shift *= 2
+    return x
+
+
+def _bq_setup(c_ref, p_ref, r2_ref):
+    """Distances, in-radius rank ramp, counts for a center tile."""
+    mt = c_ref.shape[1]
+    n = p_ref.shape[1]
+    c = c_ref[0]
+    p = p_ref[0]
+    c2 = jnp.sum(c * c, axis=1, keepdims=True)
+    p2 = jnp.sum(p * p, axis=1, keepdims=True)
+    inner = lax.dot_general(c, p, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    d2 = jnp.maximum(c2 - 2.0 * inner + p2.T, 0.0)
+    maski = (d2 < r2_ref[0]).astype(jnp.int32)
+    rank = _cumsum_lanes_sa(maski)
+    ramp = maski * rank
+    cnt = rank[:, n - 1]
+    lane = lax.broadcasted_iota(jnp.int32, (mt, n), 1)
+    return ramp, cnt, lane
+
+
+def _k_bqf1(r2_ref, c_ref, p_ref, q_ref, off_ref, idx_ref, h_ref,
+            psum_ref, *, k: int):
+    """Fused ball query + gather + BN stats. The extraction mask
+    ``ramp == j+1`` IS the one-hot gather row, and the adaptive slot
+    bound (no tile row has more than max(cnt) in-radius points) caps
+    the gather matmuls too: padded slots replicate slot 0's row —
+    exactly the reference's repeat-first padding
+    (misc/ops.py:321-326) — without touching Q."""
+    n, c = q_ref.shape[1], q_ref.shape[2]
+    mt = c_ref.shape[1]
+    ramp, cnt, lane = _bq_setup(c_ref, p_ref, r2_ref)
+    kcol = lax.broadcasted_iota(jnp.int32, (mt, k), 1)
+    _psum_init(psum_ref)
+    off = off_ref[0]
+    # empty rows (cnt==0) gather point 0, like the XLA path's idx=0
+    q0 = q_ref[0, 0:1, :].astype(jnp.float32)
+    nslots = jnp.minimum(jnp.max(cnt), k)
+    cntc = cnt[:, None]
+
+    def slot(j, carry):
+        idx_out, h0, s, ss = carry
+        eq = ramp == j + 1
+        onehot = eq.astype(jnp.bfloat16)
+        g = jnp.dot(onehot, q_ref[0],
+                    preferred_element_type=jnp.float32)
+        raw = g - off
+        h0 = jnp.where(j == 0, jnp.where(cntc > 0, raw, h0), h0)
+        h = jnp.where(cntc > j, raw, h0)
+        h_ref[0, pl.ds(j, 1), :, :] = h[None].astype(jnp.bfloat16)
+        idx_j = jnp.sum(jnp.where(eq, lane, 0), axis=1)
+        idx_out = jnp.where(kcol == j, idx_j[:, None], idx_out)
+        return (idx_out, h0,
+                s + jnp.sum(h, axis=0, keepdims=True),
+                ss + jnp.sum(h * h, axis=0, keepdims=True))
+
+    # h0 init = the cnt==0 fallback; rows with hits overwrite at j==0
+    idx_out, h0, s, ss = lax.fori_loop(
+        0, nslots, slot,
+        (jnp.zeros((mt, k), jnp.int32),
+         jnp.broadcast_to(q0 - off, (mt, c))) + _zeros2(c))
+
+    def fill(j, carry):
+        s, ss = carry
+        h_ref[0, pl.ds(j, 1), :, :] = h0[None].astype(jnp.bfloat16)
+        return (s + jnp.sum(h0, axis=0, keepdims=True),
+                ss + jnp.sum(h0 * h0, axis=0, keepdims=True))
+
+    s, ss = lax.fori_loop(nslots, k, fill, (s, ss))
+
+    first = idx_out[:, 0:1]
+    idx_ref[0] = jnp.where(kcol < cntc, idx_out, first)
+    psum_ref[0] += jnp.concatenate([s, ss], axis=0)
+
+
+def _call_bqf1(new_xyz, pts, q, off, radius, k, interpret):
+    b, n, c1 = q.shape
+    m = new_xyz.shape[1]
+    per_row = 2 * (k * c1 * 2 + k * 4 + c1 * 4) + n * 8
+    budget = (5 << 20) - 4 * n * (3 + c1)
+    mt = _block_tile(m, max(8, budget // per_row))
+    r2 = jnp.full((1,), radius * radius, jnp.float32)
+    nt = m // mt
+    idx, h, psum = pl.pallas_call(
+        functools.partial(_k_bqf1, k=k),
+        # flat grid: _psum_init zeroes at program_id(0)==0 exactly once
+        grid=(b * nt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, mt, 3), lambda i: (i // nt, i % nt, 0)),
+            pl.BlockSpec((1, n, 3), lambda i: (i // nt, 0, 0)),
+            pl.BlockSpec((1, n, c1), lambda i: (i // nt, 0, 0)),
+            pl.BlockSpec((1, mt, c1), lambda i: (i // nt, i % nt, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, mt, k), lambda i: (i // nt, i % nt, 0)),
+            pl.BlockSpec((1, k, mt, c1),
+                         lambda i: (i // nt, 0, i % nt, 0)),
+            _ps_spec(c1),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, m, k), jnp.int32),
+            jax.ShapeDtypeStruct((b, k, m, c1), jnp.bfloat16),
+            jax.ShapeDtypeStruct((1, 2, c1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(r2, new_xyz.astype(jnp.float32), pts.astype(jnp.float32),
+      q.astype(jnp.bfloat16), off.astype(jnp.float32))
+    return idx, jnp.swapaxes(h, 1, 2), psum
+
+
+def _k_bqeval(r2_ref, c_ref, p_ref, q_ref, off_ref, st1_ref, st2_ref,
+              st3_ref, w2_ref, w3_ref, out_ref, *, k: int):
+    """Eval: ball query + gather + the whole chain per slot + running
+    max — padded slots replicate slot 0 and cannot change the max, so
+    only max(cnt) slots run and no h checkpoint exists."""
+    n, c1 = q_ref.shape[1], q_ref.shape[2]
+    mt = c_ref.shape[1]
+    c3 = w3_ref.shape[1]
+    ramp, cnt, lane = _bq_setup(c_ref, p_ref, r2_ref)
+    off = off_ref[0]
+    q0 = q_ref[0, 0:1, :].astype(jnp.float32)
+    cntc = cnt[:, None]
+    nslots = jnp.minimum(jnp.max(cnt), k)
+
+    def chain(h):
+        _, _, y2 = _fwd_to(h, st1_ref, st2_ref, w2_ref)
+        h3 = jnp.dot(y2.astype(jnp.bfloat16), w3_ref[:, :],
+                     preferred_element_type=jnp.float32)
+        return _bn_relu2(h3, st3_ref)
+
+    def slot(j, macc):
+        eq = ramp == j + 1
+        onehot = eq.astype(jnp.bfloat16)
+        g = jnp.dot(onehot, q_ref[0],
+                    preferred_element_type=jnp.float32)
+        # rows whose slots ran out keep their max (replicated rows
+        # can't raise it); rows with cnt==0 are handled below
+        y3 = chain(g - off)
+        return jnp.where(cntc > j, jnp.maximum(macc, y3), macc)
+
+    macc = lax.fori_loop(
+        0, nslots, slot, jnp.full((mt, c3), -jnp.inf, jnp.float32))
+    y0 = chain(q0 - off)  # cnt==0 rows gather point 0 (XLA-path idx=0)
+    out_ref[0] = jnp.where(cntc > 0, macc, y0)
+
+
+def _bq_fwd_impl(new_xyz, pts, q, off, params: SAParams, radius, k,
+                 interpret, axis_name=None, world=1):
+    b, n, _ = q.shape
+    m = new_xyz.shape[1]
+    r = float(b * m * k * world)
+    idx, h1, p1 = _call_bqf1(new_xyz, pts, q, off, radius, k, interpret)
+    m1, v1 = _moments(_psum(p1[0], axis_name), r)
+    st1 = _stack_stats(m1, v1, params.g1, params.b1)
+    p2 = _call_stats2(h1, st1, params.w2, interpret)
+    m2, v2 = _moments(_psum(p2[0], axis_name), r)
+    st2 = _stack_stats(m2, v2, params.g2, params.b2)
+    p3 = _call_stats3(h1, st1, st2, params.w2, params.w3, interpret)
+    m3, v3 = _moments(_psum(p3[0], axis_name), r)
+    st3 = _stack_stats(m3, v3, params.g3, params.b3)
+    out = _call_out(h1, st1, st2, st3, params.w2, params.w3, interpret)
+    stats = SAStats(m1, v1, m2, v2, m3, v3)
+    return out, stats, (idx, h1, st1, st2, st3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def fused_sa_bq_train(new_xyz, pts, q, off, params: SAParams, radius,
+                      k, interpret=False, axis_name=None, world=1):
+    """Train-mode fused SA with the ball query INSIDE the gather
+    kernel (_k_bqf1): the rank-extraction mask doubles as the one-hot
+    gather row and the adaptive slot bound caps the gather matmuls.
+    Semantics identical to ball_query + fused_sa_train (repeat-first
+    padding included in the BN statistics, reference
+    misc/ops.py:321-326). Grouping carries no gradient."""
+    out, stats, _ = _bq_fwd_impl(new_xyz, pts, q, off, params, radius,
+                                 k, interpret, axis_name, world)
+    return out, stats
+
+
+def _bq_train_fwd(new_xyz, pts, q, off, params, radius, k, interpret,
+                  axis_name, world):
+    out, stats, (idx, h1, st1, st2, st3) = _bq_fwd_impl(
+        new_xyz, pts, q, off, params, radius, k, interpret, axis_name,
+        world)
+    res = (idx, h1, st1, st2, st3, params, q.shape[1], None, None)
+    return (out, stats), res
+
+
+def _bq_train_bwd(radius, k, interpret, axis_name, world, res, cts):
+    dq, doff, _, dparams = _fused_train_bwd(
+        interpret, axis_name, world, res, cts)
+    return None, None, dq, doff, dparams
+
+
+fused_sa_bq_train.defvjp(_bq_train_fwd, _bq_train_bwd)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("radius", "k", "interpret")
+)
+def fused_sa_bq_eval(new_xyz, pts, q, off, params: SAParams,
+                     stats: SAStats, radius, k, interpret=False):
+    """Eval-mode fused SA with in-kernel ball query: slots + chain +
+    running max — no h checkpoint, no idx round trip."""
+    b, n, c1 = q.shape
+    m = new_xyz.shape[1]
+    c2 = params.w2.shape[1]
+    c3 = params.w3.shape[1]
+    st1 = _stack_stats(stats.m1, stats.v1, params.g1, params.b1)
+    st2 = _stack_stats(stats.m2, stats.v2, params.g2, params.b2)
+    st3 = _stack_stats(stats.m3, stats.v3, params.g3, params.b3)
+    per_row = 2 * 4 * (c1 + c2 + c3) + n * 8
+    budget = (5 << 20) - 4 * n * (3 + c1)
+    mt = _block_tile(m, max(8, budget // per_row))
+    r2 = jnp.full((1,), radius * radius, jnp.float32)
+    return pl.pallas_call(
+        functools.partial(_k_bqeval, k=k),
+        grid=(b, m // mt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, mt, 3), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, n, 3), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, n, c1), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, mt, c1), lambda i, j: (i, j, 0)),
+            _st_spec(c1), _st_spec(c2), _st_spec(c3),
+            _w_spec(params.w2), _w_spec(params.w3),
+        ],
+        out_specs=pl.BlockSpec((1, mt, c3), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, m, c3), jnp.float32),
+        interpret=interpret,
+    )(r2, new_xyz.astype(jnp.float32), pts.astype(jnp.float32),
+      q.astype(jnp.bfloat16), off.astype(jnp.float32), st1, st2, st3,
+      params.w2.astype(jnp.bfloat16), params.w3.astype(jnp.bfloat16))
 
 
 def _stack_stats(mu, var, gam, bet):

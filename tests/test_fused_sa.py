@@ -373,3 +373,84 @@ def test_msg_fused_matches_unfused():
         del os.environ["POINTCLOUDLIB_FUSED_SA"]
     np.testing.assert_allclose(np.asarray(fo), np.asarray(uo),
                                rtol=0.06, atol=0.08)
+
+
+def test_bq_fused_matches_separate():
+    """fused_sa_bq_train/_eval (ball query inside the gather kernel)
+    must equal ball_query + fused_sa_train/_eval — including
+    repeat-first padding in the BN statistics and empty rows."""
+    import pointcloudlib_tpu.ops.pallas.fused_sa as fs
+    from pointcloudlib_tpu.ops.geometry import (
+        ball_query, farthest_point_sample, index_points,
+    )
+
+    rng = np.random.default_rng(9)
+    b, n, m, k = 2, 256, 64, 16
+    c1, c2, c3 = 16, 16, 32
+    xyz = jnp.asarray(rng.standard_normal((b, n, 3)), jnp.float32)
+    xyz = xyz / jnp.linalg.norm(xyz, axis=-1, keepdims=True)
+    fidx = farthest_point_sample(xyz, m)
+    new_xyz = index_points(xyz, fidx)
+    # one far-away center -> empty row (cnt == 0 fallback)
+    new_xyz = new_xyz.at[0, 0].set(jnp.asarray([50.0, 50.0, 50.0]))
+    radius = 0.4
+    w1 = jnp.asarray(rng.standard_normal((3, c1)) * 0.3, jnp.float32)
+    q = jnp.dot(xyz.astype(jnp.bfloat16), w1.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+    off = jnp.dot(new_xyz.astype(jnp.bfloat16), w1.astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)
+    params = fs.SAParams(
+        w2=jnp.asarray(rng.standard_normal((c1, c2)) * 0.3, jnp.float32),
+        w3=jnp.asarray(rng.standard_normal((c2, c3)) * 0.3, jnp.float32),
+        g1=jnp.ones((c1,)), b1=jnp.zeros((c1,)),
+        g2=jnp.ones((c2,)), b2=jnp.zeros((c2,)),
+        g3=jnp.ones((c3,)), b3=jnp.zeros((c3,)),
+    )
+
+    def run_sep(q, off, params):
+        nidx, _ = ball_query(new_xyz, xyz, radius, k)
+        out, stats = fs.fused_sa_train(q, off, nidx, params, True,
+                                       None, 1)
+        return jnp.sum(out * out), (out, stats)
+
+    def run_bq(q, off, params):
+        out, stats = fs.fused_sa_bq_train(new_xyz, xyz, q, off, params,
+                                          radius, k, True, None, 1)
+        return jnp.sum(out * out), (out, stats)
+
+    (l0, (o0, s0)), g0 = jax.value_and_grad(
+        run_sep, argnums=(0, 1, 2), has_aux=True)(q, off, params)
+    (l1, (o1, s1)), g1 = jax.value_and_grad(
+        run_bq, argnums=(0, 1, 2), has_aux=True)(q, off, params)
+    # idx and the h1 checkpoint are BIT-identical between the paths
+    # (verified in development); the residual differences come from BN
+    # sums accumulated slot-major vs row-major (f32 reassociation over
+    # ~2k terms), amplified through three 1/sigma normalizations
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1),
+                               rtol=5e-3, atol=5e-3)
+    for a, b_ in zip(jax.tree_util.tree_leaves(s0),
+                     jax.tree_util.tree_leaves(s1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-2, atol=1e-2)
+    # gradients: the tiny stat differences can flip a max-pool tie,
+    # redistributing a gradient unit between two equally-valid rows —
+    # compare tie-robustly (few outliers, tiny mean deviation)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g0),
+                     jax.tree_util.tree_leaves(g1)):
+        a, b_ = np.asarray(a), np.asarray(b_)
+        d = np.abs(a - b_)
+        tol = 1e-2 + 1e-2 * np.abs(b_)
+        assert (d > tol).mean() < 5e-3, (d > tol).mean()
+        assert d.mean() < 3e-3 * max(1.0, np.abs(b_).mean()), d.mean()
+
+    # eval
+    stats = fs.SAStats(*[jnp.full((c,), v, jnp.float32)
+                         for c, v in ((c1, 0.1), (c1, 1.0), (c2, 0.0),
+                                      (c2, 1.2), (c3, -0.1),
+                                      (c3, 0.9))])
+    nidx, _ = ball_query(new_xyz, xyz, radius, k)
+    want = fs.fused_sa_eval(q, off, nidx, params, stats, interpret=True)
+    got = fs.fused_sa_bq_eval(new_xyz, xyz, q, off, params, stats,
+                              radius, k, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
