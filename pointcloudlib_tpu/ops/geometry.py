@@ -315,10 +315,32 @@ def sample_and_group(
     semantics (no near-origin skip — reference misc/utils.py:74 doesn't
     skip).
     """
+    from pointcloudlib_tpu.ops.dispatch import USE_PALLAS
     from pointcloudlib_tpu.ops.dispatch import fps as _fps  # lazy: no cycle
 
     fps_idx = _fps(xyz, n_points, skip_near_origin=False)
     new_xyz = index_points(xyz, fps_idx)
+    n = xyz.shape[1]
+    if USE_PALLAS and n % 128 == 0 and xyz.dtype == jnp.float32:
+        # fused kNN+gather: the argmin round's mask IS the one-hot
+        # gather row; xyz/feats/density ride one [values] gather
+        from pointcloudlib_tpu.ops.pallas.neighbors import knn_gather
+
+        cols = [xyz]
+        if feats is not None:
+            cols.append(feats)
+        if density is not None:
+            cols.append(density[..., None])
+        values = jnp.concatenate(cols, axis=-1) if len(cols) > 1 else xyz
+        _, g = knn_gather(new_xyz, xyz, values, k,
+                          jax.default_backend() != "tpu")
+        g_xyz = g[..., :3] - new_xyz[:, :, None, :]
+        c = 0 if feats is None else feats.shape[-1]
+        grouped = (jnp.concatenate([g_xyz, g[..., 3:3 + c]], axis=-1)
+                   if c else g_xyz)
+        grouped_density = (g[..., 3 + c:4 + c]
+                           if density is not None else None)
+        return new_xyz, grouped, grouped_density
     _, idx = knn(new_xyz, xyz, k)
     grouped = group_points(xyz, feats, new_xyz, idx, use_xyz=True)
     grouped_density = None

@@ -228,3 +228,105 @@ def knn_pallas(
         interpret=interpret,
     )(query.astype(jnp.float32), p)
     return d2, idx
+
+
+def _knn_gather_kernel(c_ref, p_ref, v_ref, idx_ref, g_ref, *, k: int):
+    """Fused kNN + gather: each argmin round's selection mask
+    (``lane == best``) doubles as the one-hot gather row, so the
+    separate gather's rows·k·N one-hot build and the idx round-trip
+    disappear (same trick as fused_edge._ke_knn_f1). Gathered values
+    ride a [k, mt, cv] layout (round index on an untiled dim)."""
+    n = p_ref.shape[1]
+    mt = c_ref.shape[1]
+    lane = lax.broadcasted_iota(jnp.int32, (mt, n), 1)
+    kcol = lax.broadcasted_iota(jnp.int32, (mt, k), 1)
+    d2 = _dist2(c_ref[0], p_ref[0])
+    # hi/lo bf16 split keeps the gathered f32 values ~1-ulp exact
+    # (ops/pallas/gather.py's trick — a bf16 one-hot x f32 matmul would
+    # truncate the values to 8 mantissa bits)
+    v = v_ref[0]
+    v_hi = v.astype(jnp.bfloat16)
+    v_lo = (v - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def body(j, carry):
+        d2cur, idx_out = carry
+        best = jnp.argmin(d2cur, axis=1).astype(jnp.int32)
+        ind = lane == best[:, None]
+        onehot = ind.astype(jnp.bfloat16)
+        g = (jnp.dot(onehot, v_hi, preferred_element_type=jnp.float32)
+             + jnp.dot(onehot, v_lo,
+                       preferred_element_type=jnp.float32))
+        g_ref[0, pl.ds(j, 1), :, :] = g[None]
+        idx_out = jnp.where(kcol == j, best[:, None], idx_out)
+        d2cur = jnp.where(ind, jnp.inf, d2cur)
+        return d2cur, idx_out
+
+    _, idx_out = lax.fori_loop(
+        0, k, body, (d2, jnp.zeros((mt, k), jnp.int32)))
+    idx_ref[0] = idx_out
+
+
+def _knn_gather_fwd_call(query, points, values, k, interpret):
+    b, m, cf = query.shape
+    n, cv = values.shape[1], values.shape[2]
+    per_row = 2 * (k * cv * 4 + k * 4 + cf * 4) + n * 8
+    budget = (5 << 20) - 4 * n * (cf + cv)
+    cap = max(1, min(m, budget // per_row))
+    for mt in range(cap - cap % 8, 0, -8):
+        if m % mt == 0:
+            break
+    else:
+        mt = m
+    nt = m // mt
+    idx, g = pl.pallas_call(
+        functools.partial(_knn_gather_kernel, k=k),
+        grid=(b * nt,),
+        in_specs=[
+            pl.BlockSpec((1, mt, cf), lambda i: (i // nt, i % nt, 0)),
+            pl.BlockSpec((1, n, cf), lambda i: (i // nt, 0, 0)),
+            pl.BlockSpec((1, n, cv), lambda i: (i // nt, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, mt, k), lambda i: (i // nt, i % nt, 0)),
+            pl.BlockSpec((1, k, mt, cv),
+                         lambda i: (i // nt, 0, i % nt, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, m, k), jnp.int32),
+            jax.ShapeDtypeStruct((b, k, m, cv), jnp.float32),
+        ],
+        interpret=interpret,
+    )(query.astype(jnp.float32), points.astype(jnp.float32),
+      values.astype(jnp.float32))
+    return idx, jnp.swapaxes(g, 1, 2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def knn_gather(query, points, values, k, interpret=False):
+    """``(idx [B,M,k], grouped [B,M,k,Cv])`` — kNN of ``query`` in
+    ``points`` space with ``values`` rows gathered in the same kernel.
+    Neighbor selection carries no gradient (discrete, like the
+    reference); d_values is the scatter-as-matmul of
+    ops/pallas/gather.py. Note: the gather one-hot here is f32·f32
+    (exact row pick), so grouped values are EXACT copies — no bf16
+    rounding."""
+    idx, grouped = _knn_gather_fwd_call(
+        lax.stop_gradient(query), lax.stop_gradient(points),
+        values, k, interpret)
+    return idx, grouped
+
+
+def _knn_gather_fwd(query, points, values, k, interpret):
+    idx, grouped = knn_gather(query, points, values, k, interpret)
+    return (idx, grouped), (idx, values.shape[1])
+
+
+def _knn_gather_bwd(k, interpret, res, cts):
+    _didx, dg = cts
+    idx, n = res
+    from pointcloudlib_tpu.ops.pallas.gather import _gather_bwd_impl
+
+    return None, None, _gather_bwd_impl(dg, idx, n, interpret)
+
+
+knn_gather.defvjp(_knn_gather_fwd, _knn_gather_bwd)
