@@ -226,8 +226,10 @@ class FusedSetAbstraction(nn.Module):
         # mask IS the one-hot row) unless the caller precomputed nidx
         # or the windowed path (N >= 4096) takes over
         n = xyz.shape[1]
+        # k <= 64: beyond that the per-slot [mt,N]x[N,C] matmuls lose
+        # to the chunked [cm*k,N] one-hot (measured: MSG's k=128 scale)
         fuse_bq = (nidx is None and _window_width(n) is None
-                   and n % 128 == 0)
+                   and n % 128 == 0 and self.n_samples <= 64)
         if not fuse_bq:
             if nidx is None:
                 nidx, _ = ball_query(new_xyz, xyz, self.radius,
@@ -341,18 +343,20 @@ class SetAbstractionMSG(nn.Module):
         )
         outs = []
         for r, k, mlp in zip(self.radii, self.n_samples, self.mlps):
-            nidx, _ = ball_query(new_xyz, xyz, r, k)
             if fuse:
+                # nidx=None lets the layer build the ball query inside
+                # its gather kernel (fused_sa_bq_*) when eligible
                 _, h = FusedSetAbstraction(
                     mlp=tuple(mlp), n_points=self.n_points, radius=r,
                     n_samples=k, use_xyz=self.use_xyz,
-                )(xyz, feats, training, new_xyz=new_xyz, nidx=nidx)
+                )(xyz, feats, training, new_xyz=new_xyz, nidx=None)
                 outs.append(h)
-            else:
-                grouped = group_points(xyz, feats, new_xyz, nidx,
-                                       self.use_xyz)
-                h = PointMLP(mlp)(grouped, training)
-                outs.append(jnp.max(h, axis=2))
+                continue
+            nidx, _ = ball_query(new_xyz, xyz, r, k)
+            grouped = group_points(xyz, feats, new_xyz, nidx,
+                                   self.use_xyz)
+            h = PointMLP(mlp)(grouped, training)
+            outs.append(jnp.max(h, axis=2))
         return new_xyz, jnp.concatenate(outs, axis=-1)
 
 
