@@ -321,7 +321,12 @@ def sample_and_group(
     fps_idx = _fps(xyz, n_points, skip_near_origin=False)
     new_xyz = index_points(xyz, fps_idx)
     n = xyz.shape[1]
-    if USE_PALLAS and n % 128 == 0 and xyz.dtype == jnp.float32:
+    cv = 3 + (feats.shape[-1] if feats is not None else 0) + (
+        1 if density is not None else 0)
+    # cv >= 16: narrower value slabs pad to full 128-lane tiles in the
+    # fused kernel's output block, wasting VMEM/bandwidth 8x+
+    if (USE_PALLAS and n % 128 == 0 and cv >= 16
+            and xyz.dtype == jnp.float32):
         # fused kNN+gather: the argmin round's mask IS the one-hot
         # gather row; xyz/feats/density ride one [values] gather
         from pointcloudlib_tpu.ops.pallas.neighbors import knn_gather

@@ -269,7 +269,9 @@ def _knn_gather_kernel(c_ref, p_ref, v_ref, idx_ref, g_ref, *, k: int):
 def _knn_gather_fwd_call(query, points, values, k, interpret):
     b, m, cf = query.shape
     n, cv = values.shape[1], values.shape[2]
-    per_row = 2 * (k * cv * 4 + k * 4 + cf * 4) + n * 8
+    # Mosaic pads block lanes to 128-wide tiles: budget the PADDED
+    # double-buffered g block (k × mt × pad(cv)) — the dominant resident
+    per_row = 2 * (k * max(cv, 128) * 4 + k * 4 + 128 * 4) + n * 8
     budget = (5 << 20) - 4 * n * (cf + cv)
     cap = max(1, min(m, budget // per_row))
     for mt in range(cap - cap % 8, 0, -8):
