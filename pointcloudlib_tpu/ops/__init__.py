@@ -18,8 +18,18 @@ from pointcloudlib_tpu.ops.geometry import (
     three_nn_interpolate,
     top_k,
 )
+from pointcloudlib_tpu.ops.spatial import (
+    canonicalize,
+    hilbert_keys,
+    take_rows,
+    unsort_rows,
+)
 
 __all__ = [
+    "canonicalize",
+    "hilbert_keys",
+    "take_rows",
+    "unsort_rows",
     "ball_query",
     "fps",
     "compute_density",
