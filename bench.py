@@ -31,6 +31,13 @@ BASELINES = {
     "dgcnn_modelnet40_train_throughput": 370.0,
     "kpconv_modelnet40_train_throughput": 200.0,
     "pointnet2_shapenet_partseg_train_throughput": 800.0,
+    # round-2 additions: the remaining published workloads
+    "pointnet_modelnet40_train_throughput": 1700.0,
+    "pointcnn_modelnet40_train_throughput": 290.0,
+    "pointconv_modelnet40_train_throughput": 150.0,
+    "dgcnn_shapenet_partseg_train_throughput": 80.0,
+    "pointcnn_shapenet_partseg_train_throughput": 100.0,
+    "pointconv_shapenet_partseg_train_throughput": 100.0,
 }
 
 
@@ -85,7 +92,8 @@ def _bench_cls(model_name, batch_size, n_points, with_normals,
     return batch_size * iters / dt
 
 
-def _bench_partseg(batch_size=16, n_points=2048, iters=20, warmup=3):
+def _bench_partseg(model_name="pointnet2", with_feats=True,
+                   batch_size=16, n_points=2048, iters=20, warmup=3):
     from pointcloudlib_tpu.models import get_seg_model
     from pointcloudlib_tpu.parallel import make_mesh, replicate, shard_batch
     from pointcloudlib_tpu.train import (
@@ -98,22 +106,23 @@ def _bench_partseg(batch_size=16, n_points=2048, iters=20, warmup=3):
 
     mesh = make_mesh()
     batch_size = max(batch_size, 8 * mesh.devices.size)
-    model = get_seg_model("pointnet2", part_num=50)
+    model = get_seg_model(model_name, part_num=50)
     rng = np.random.default_rng(0)
     xyz = rng.standard_normal((batch_size, n_points, 3)).astype(np.float32)
     xyz /= np.linalg.norm(xyz, axis=-1, keepdims=True)
     batch = {
         "xyz": xyz,
-        "feats": xyz,
         "cls_onehot": np.eye(16, dtype=np.float32)[
             np.arange(batch_size) % 16],
         "seg": (np.arange(batch_size * n_points) % 50).astype(
             np.int32).reshape(batch_size, n_points),
     }
+    if with_feats:  # normals (reference train_partseg.py input columns)
+        batch["feats"] = xyz
     key = jax.random.key(0)
     variables = init_variables(
         model, key, batch["xyz"][:1], batch["cls_onehot"][:1],
-        feats=batch["feats"][:1],
+        feats=batch["feats"][:1] if with_feats else None,
     )
     tx = sgd_momentum(step_decay(0.01), momentum=0.9)
     state = TrainState.create(
@@ -147,16 +156,28 @@ def _emit(metric, sps):
 
 def main():
     jobs = [
+        ("pointnet_modelnet40_train_throughput",
+         lambda: _bench_cls("pointnet", 64, 1024, False, iters=30)),
         ("pointnet2_ssg_n4096_normals_train_throughput",
          lambda: _bench_cls("pointnet2", 32, 4096, True, iters=20)),
         ("pointnet2_msg_modelnet40_train_throughput",
          lambda: _bench_cls("pointnet2_msg", 32, 1024, True, iters=15)),
         ("dgcnn_modelnet40_train_throughput",
          lambda: _bench_cls("dgcnn", 32, 1024, False, iters=20)),
+        ("pointcnn_modelnet40_train_throughput",
+         lambda: _bench_cls("pointcnn", 32, 1024, False, iters=15)),
+        ("pointconv_modelnet40_train_throughput",
+         lambda: _bench_cls("pointconv", 32, 1024, True, iters=15)),
         ("kpconv_modelnet40_train_throughput",
          lambda: _bench_cls("kpconv", 16, 1024, False, iters=10)),
         ("pointnet2_shapenet_partseg_train_throughput",
-         _bench_partseg),
+         lambda: _bench_partseg("pointnet2", True)),
+        ("dgcnn_shapenet_partseg_train_throughput",
+         lambda: _bench_partseg("dgcnn", False, iters=10)),
+        ("pointcnn_shapenet_partseg_train_throughput",
+         lambda: _bench_partseg("pointcnn", True, iters=10)),
+        ("pointconv_shapenet_partseg_train_throughput",
+         lambda: _bench_partseg("pointconv", False, iters=10)),
         # headline last — the driver records the final line
         ("pointnet2_ssg_modelnet40_train_throughput",
          lambda: _bench_cls("pointnet2", 64, 1024, True, iters=30)),

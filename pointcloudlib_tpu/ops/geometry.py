@@ -102,12 +102,24 @@ def index_points(points: Array, idx: Array) -> Array:
         and points.dtype == jnp.float32
         and idx.ndim in (2, 3)
         and points.ndim == 3
-        # Mosaic: the one-hot lane dim (= N) must be a whole lane tile;
         # tiny support sets take the XLA path (fast enough there)
-        and points.shape[1] % 128 == 0
+        and points.shape[1] >= 128
     ):
         from pointcloudlib_tpu.ops.pallas.gather import gather_neighbors
 
+        n = points.shape[1]
+        pad = -n % 128
+        if pad:
+            # Mosaic wants a whole lane tile for the one-hot lane dim.
+            # Zero-pad the source rows instead of falling back: indices
+            # are < n by contract, so pad rows are never selected.
+            # (Round-1 regression: KPConv's calibrated caps are
+            # multiples of 8, which silently dropped every big-layer
+            # gather onto the ~100x-slower XLA path.)
+            points = jnp.concatenate(
+                [points,
+                 jnp.zeros((points.shape[0], pad, points.shape[2]),
+                           points.dtype)], axis=1)
         idx3 = idx[:, :, None] if idx.ndim == 2 else idx
         out = gather_neighbors(points, idx3)
         return out[:, :, 0, :] if idx.ndim == 2 else out

@@ -180,13 +180,15 @@ def _ke_bwd(h_ref, dout_ref, idx_ref, st_ref, ps_ref, scat_ref,
 
 
 def _ke_knn_f1(x_ref, q_ref, off_ref, idx_ref, h_ref, psum_ref,
-               *, k: int):
+               *, k: int, nt: int):
     """Fused kNN + gather: the argmin round's selection mask
     ``lane == best`` IS the one-hot gather row, so the separate gather
     kernel's one-hot build (rows·k·N compares) disappears — each round
     masks d2 AND multiplies Q in one go. Emits the neighbor indices
     (for the backward scatter), the h = Q[idx] − Off bf16 checkpoint,
-    and the BN Σ/Σ² sums."""
+    and the BN Σ/Σ² sums. Runs on a FLAT grid (b·nt,) so _psum_init
+    zeroes the accumulator exactly once (program_id(0)==0), never per
+    batch-0 tile."""
     n, c = q_ref.shape[1], q_ref.shape[2]
     mt = off_ref.shape[1]
     lane = lax.broadcasted_iota(jnp.int32, (mt, n), 1)
@@ -194,7 +196,7 @@ def _ke_knn_f1(x_ref, q_ref, off_ref, idx_ref, h_ref, psum_ref,
     _psum_init(psum_ref)
 
     x = x_ref[0]
-    start = pl.multiple_of(pl.program_id(1) * mt, 8)
+    start = pl.multiple_of((pl.program_id(0) % nt) * mt, 8)
     xq = x_ref[0, pl.ds(start, mt), :]
     x2 = jnp.sum(xq * xq, axis=1, keepdims=True)
     p2 = jnp.sum(x * x, axis=1, keepdims=True)
@@ -304,17 +306,20 @@ def _call_eknn_f1(x, q, off, k, interpret):
     from pointcloudlib_tpu.ops.pallas.fused_sa import _block_tile
 
     mt = _block_tile(n, max(8, budget // per_row))
+    nt = n // mt
     idx, h, psum = pl.pallas_call(
-        functools.partial(_ke_knn_f1, k=k),
-        grid=(b, n // mt),
+        functools.partial(_ke_knn_f1, k=k, nt=nt),
+        # flat grid: _psum_init zeroes at program_id(0)==0 exactly once
+        grid=(b * nt,),
         in_specs=[
-            pl.BlockSpec((1, n, cf), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, mt, c), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, n, cf), lambda i: (i // nt, 0, 0)),
+            pl.BlockSpec((1, n, c), lambda i: (i // nt, 0, 0)),
+            pl.BlockSpec((1, mt, c), lambda i: (i // nt, i % nt, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, mt, k), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, k, mt, c), lambda i, j: (i, 0, j, 0)),
+            pl.BlockSpec((1, mt, k), lambda i: (i // nt, i % nt, 0)),
+            pl.BlockSpec((1, k, mt, c),
+                         lambda i: (i // nt, 0, i % nt, 0)),
             _ps_spec(c),
         ],
         out_shape=[

@@ -36,19 +36,34 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
-def hilbert_keys(xyz: Array, bits: int = 10) -> Array:
+def hilbert_keys(xyz: Array, bits: int = 10,
+                 mask: Optional[Array] = None) -> Array:
     """Hilbert-curve index of each point, ``[B, N] int32``.
 
     ``xyz [B, N, 3]`` is quantized per cloud to a ``2^bits`` grid over
     its bounding box (`bits*3` must fit an int32, so bits <= 10).
-    Padding rows (coordinates far outside the real points' box) simply
-    land on the box corner cells — canonicalization stays valid because
-    ordering is a performance hint, not a semantic.
+
+    The box is min/max over the rows that define it — so
+    **far-coordinate padding rows inflate the box** and collapse the
+    real points into a few grid cells, silently degrading
+    canonicalization to a near no-op (windowed gathers then take the
+    wide fallback: a perf regression, never a correctness issue). For
+    padded clouds pass ``mask [B, N] bool`` (True = real point): masked
+    rows are excluded from the box and clamp to its corner cell.
     """
     assert bits * 3 <= 31, bits
     side = (1 << bits) - 1
-    lo = jnp.min(xyz, axis=1, keepdims=True)
-    hi = jnp.max(xyz, axis=1, keepdims=True)
+    if mask is not None:
+        m = mask[..., None]
+        lo = jnp.min(jnp.where(m, xyz, jnp.inf), axis=1, keepdims=True)
+        hi = jnp.max(jnp.where(m, xyz, -jnp.inf), axis=1, keepdims=True)
+        # all-padding cloud: fall back to a unit box at the origin
+        bad = ~jnp.isfinite(lo)
+        lo = jnp.where(bad, 0.0, lo)
+        hi = jnp.where(bad, 1.0, jnp.where(jnp.isfinite(hi), hi, 1.0))
+    else:
+        lo = jnp.min(xyz, axis=1, keepdims=True)
+        hi = jnp.max(xyz, axis=1, keepdims=True)
     scale = side / jnp.maximum(hi - lo, 1e-9)
     q = jnp.clip((xyz - lo) * scale, 0, side).astype(jnp.int32)
 

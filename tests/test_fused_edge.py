@@ -312,6 +312,125 @@ def test_knn_fused_matches_separate():
                                    rtol=2e-4, atol=1e-5)
 
 
+def _mostly_close(a, b, rtol=2e-4, atol=1e-5, frac=1e-2, max_abs=0.05):
+    """Tight allclose on >(1-frac) of elements; the rest bounded by
+    max_abs (kNN distance-tie flips perturb isolated rows; a real
+    accumulator bug perturbs ~every element by O(1), far past both
+    bounds)."""
+    a, b = np.asarray(a), np.asarray(b)
+    bad = ~np.isclose(a, b, rtol=rtol, atol=atol)
+    assert bad.mean() <= frac, (bad.mean(), frac)
+    if bad.any():
+        assert np.abs(a - b)[bad].max() <= max_abs
+
+
+def test_knn_fused_multitile_matches_separate():
+    """Multi-tile regression for the psum re-zeroing bug: at
+    n=512/f=256 the _call_eknn_f1 budget math gives mt=256 → nt=2, so
+    the BN-sum accumulator must survive across query tiles (the round-1
+    2-D grid version re-zeroed it on every batch-0 tile, corrupting the
+    train-mode statistics at every production DGCNN shape)."""
+    from pointcloudlib_tpu.ops import knn
+    from pointcloudlib_tpu.ops.pallas.fused_edge import (
+        fused_edge_conv_knn, fused_edge_eval_knn,
+    )
+
+    rng = np.random.default_rng(11)
+    b, n, k, c, f = 2, 512, 8, 16, 256
+    x = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+    wa = jnp.asarray(rng.standard_normal((c, f)) * 0.3, jnp.float32)
+    wb = jnp.asarray(rng.standard_normal((c, f)) * 0.3, jnp.float32)
+    gamma = jnp.asarray(rng.uniform(0.5, 1.5, (f,)), jnp.float32)
+    beta = jnp.asarray(rng.standard_normal((f,)) * 0.1, jnp.float32)
+    q = jnp.dot(x.astype(jnp.bfloat16), wa.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+    off = jnp.dot(x.astype(jnp.bfloat16), (wa - wb).astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)
+
+    # confirm the shape really is multi-tile, or the test is vacuous
+    from pointcloudlib_tpu.ops.pallas.fused_sa import _block_tile
+    per_row = 2 * (k * f * 2 + k * 4 + f * 4) + n * 4
+    budget = (5 << 20) - 4 * n * (c + f)
+    assert n // _block_tile(n, max(8, budget // per_row)) > 1
+
+    def run_sep(q, off, gamma, beta):
+        _, idx = knn(x, x, k)
+        out, stats = fused_edge_conv(q, off, idx, gamma, beta, 0.2,
+                                     True, None, 1)
+        return jnp.sum(out * out), (out, stats)
+
+    def run_knn(q, off, gamma, beta):
+        out, stats = fused_edge_conv_knn(x, q, off, gamma, beta, k,
+                                         0.2, True, None, 1)
+        return jnp.sum(out * out), (out, stats)
+
+    (_, (o0, s0)), g0 = jax.value_and_grad(
+        run_sep, argnums=(0, 1, 2, 3), has_aux=True)(q, off, gamma, beta)
+    (_, (o1, s1)), g1 = jax.value_and_grad(
+        run_knn, argnums=(0, 1, 2, 3), has_aux=True)(q, off, gamma, beta)
+    # at this shape the two paths compute d2 with different f32
+    # reduction orders; a near-equidistant k-th neighbor can flip,
+    # perturbing a handful of rows — require tight agreement on
+    # >99.9% of elements with small bounded outliers
+    _mostly_close(o0, o1, rtol=1e-5, atol=1e-5)
+    for a, b_ in zip(jax.tree_util.tree_leaves((s0, g0)),
+                     jax.tree_util.tree_leaves((s1, g1))):
+        _mostly_close(a, b_)
+
+    # eval variant at the same multi-tile shape
+    stats = EdgeStats(
+        jnp.asarray(rng.standard_normal((f,)) * 0.1, jnp.float32),
+        jnp.asarray(rng.uniform(0.5, 2.0, (f,)), jnp.float32))
+    _, idx = knn(x, x, k)
+    want = fused_edge_eval(q, off, idx, gamma, beta, stats, 0.2, True)
+    got = fused_edge_eval_knn(x, q, off, gamma, beta, stats, k, 0.2,
+                              True)
+    _mostly_close(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_knn_fused_edge2_multitile_matches_separate():
+    """Two-layer variant at a forced-multi-tile shape (same regression
+    class as test_knn_fused_multitile_matches_separate)."""
+    from pointcloudlib_tpu.ops import knn
+    from pointcloudlib_tpu.ops.pallas.fused_edge import (
+        fused_edge2_conv, fused_edge2_conv_knn,
+    )
+
+    rng = np.random.default_rng(12)
+    b, n, k, c, f1, f2 = 2, 512, 8, 12, 256, 64
+    x = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+    wa = jnp.asarray(rng.standard_normal((c, f1)) * 0.3, jnp.float32)
+    wb = jnp.asarray(rng.standard_normal((c, f1)) * 0.3, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((f1, f2)) * 0.3, jnp.float32)
+    g1, b1 = jnp.ones((f1,)), jnp.zeros((f1,))
+    g2, b2 = jnp.ones((f2,)), jnp.zeros((f2,))
+    q = jnp.dot(x.astype(jnp.bfloat16), wa.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+    off = jnp.dot(x.astype(jnp.bfloat16), (wa - wb).astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)
+
+    def run_sep(q, off, w2, g1, b1, g2, b2):
+        _, idx = knn(x, x, k)
+        out, stats = fused_edge2_conv(q, off, idx, w2, g1, b1, g2, b2,
+                                      0.2, True, None, 1)
+        return jnp.sum(out * out), (out, stats)
+
+    def run_knn(q, off, w2, g1, b1, g2, b2):
+        out, stats = fused_edge2_conv_knn(x, q, off, w2, g1, b1, g2,
+                                          b2, k, 0.2, True, None, 1)
+        return jnp.sum(out * out), (out, stats)
+
+    args = (q, off, w2, g1, b1, g2, b2)
+    (_, (o0, s0)), g0 = jax.value_and_grad(
+        run_sep, argnums=tuple(range(7)), has_aux=True)(*args)
+    (_, (o1, s1)), g1_ = jax.value_and_grad(
+        run_knn, argnums=tuple(range(7)), has_aux=True)(*args)
+    _mostly_close(o0, o1, rtol=1e-5, atol=1e-5)
+    for a, b_ in zip(jax.tree_util.tree_leaves((s0, g0)),
+                     jax.tree_util.tree_leaves((s1, g1_))):
+        _mostly_close(a, b_, rtol=1e-3, atol=1e-3)
+
+
 def test_knn_fused_eval_matches_separate():
     from pointcloudlib_tpu.ops import knn
     from pointcloudlib_tpu.ops.pallas.fused_edge import (

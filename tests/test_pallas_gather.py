@@ -31,6 +31,36 @@ def test_shadow_sentinel_zero():
     np.testing.assert_array_equal(got[:, :, 1], 0.0)
 
 
+def test_index_points_pads_non_lane_sources(monkeypatch):
+    """index_points routes N % 128 != 0 sources to the Pallas gather by
+    zero-padding rows up to the next lane tile (round-1 regression:
+    KPConv's calibrated caps are multiples of 8 and silently fell back
+    to the ~100x-slower XLA gather)."""
+    import pointcloudlib_tpu.ops.dispatch as dispatch
+    import pointcloudlib_tpu.ops.pallas.gather as gather_mod
+    from pointcloudlib_tpu.ops.geometry import index_points
+
+    monkeypatch.setattr(dispatch, "USE_PALLAS", True)
+    real = gather_mod.gather_neighbors
+    seen = {}
+
+    def fake(pts, idx, **kw):
+        seen["n"] = pts.shape[1]
+        return real(pts, idx, interpret=True)
+
+    monkeypatch.setattr(gather_mod, "gather_neighbors", fake)
+    rng = np.random.default_rng(2)
+    b, n, c, m, k = 2, 136, 5, 24, 3
+    pts = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, n, (b, m, k)), jnp.int32)
+    got = index_points(pts, idx)
+    assert seen["n"] == 256, seen  # padded to a whole lane tile
+    want = jnp.take_along_axis(
+        pts, idx.reshape(b, -1, 1), axis=1).reshape(b, m, k, c)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_vjp_matches_xla():
     rng = np.random.default_rng(1)
     pts = jnp.asarray(rng.standard_normal((2, 48, 6)), jnp.float32)

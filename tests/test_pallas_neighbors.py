@@ -36,8 +36,11 @@ def test_ball_query_empty_rows():
     "sorted_cloud", [False, True], ids=["random", "canonicalized"]
 )
 def test_ball_query_block_sparse_matches_xla(sorted_cloud):
-    """n >= 1024 routes to the block-sparse kernel (Hilbert-sorted
-    centers + per-block skip conds) — must be exact either way."""
+    """ball_query_pallas exactness vs the XLA path at n=1024, on both
+    random and Hilbert-canonicalized clouds. (A block-sparse routing
+    variant was prototyped and rejected on measured perf — see
+    docs/DESIGN.md; there is no n-dependent routing in
+    ball_query_pallas.)"""
     rng = np.random.default_rng(7)
     b, m, n, k, r = 2, 64, 1024, 16, 0.3
     pts = rng.standard_normal((b, n, 3)).astype(np.float32)

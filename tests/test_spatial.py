@@ -26,6 +26,24 @@ class TestHilbertKeys:
         steps = np.abs(np.diff(path, axis=0)).sum(axis=1)
         assert np.all(steps == 1), f"non-adjacent step(s): {steps.max()}"
 
+    def test_mask_excludes_padding_from_box(self):
+        """Far-coordinate padding inflates the quantization box and
+        collapses real points into a few cells; with the validity mask
+        the keys must match the unpadded cloud's keys exactly."""
+        rng = np.random.default_rng(3)
+        real = rng.standard_normal((1, 64, 3)).astype(np.float32)
+        pad = np.full((1, 64, 3), 1e6, np.float32)
+        x = jnp.asarray(np.concatenate([real, pad], axis=1))
+        mask = jnp.asarray(
+            np.concatenate([np.ones((1, 64)), np.zeros((1, 64))],
+                           axis=1).astype(bool))
+        masked = np.asarray(hilbert_keys(x, mask=mask))[0, :64]
+        want = np.asarray(hilbert_keys(jnp.asarray(real)))[0]
+        np.testing.assert_array_equal(masked, want)
+        # without the mask the real points collapse to few distinct keys
+        unmasked = np.asarray(hilbert_keys(x))[0, :64]
+        assert len(np.unique(unmasked)) < len(np.unique(want))
+
     def test_locality_beats_random_order(self):
         """Spatial neighbors should be near in key order."""
         rng = np.random.default_rng(0)

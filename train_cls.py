@@ -172,7 +172,7 @@ def main(argv=None):
     rng = jax.random.key(args.seed)
     sample = next(cls_batches(train_ds, args.batch_size,
                               with_normals=with_normals))
-    if args.model == "kpconv" and args.optimizer == "sgd":
+    if is_kpconv and args.optimizer == "sgd":
         # the reference KPConv recipe (datasets/ModelNet40.py:1392-1402):
         # lr 1e-2, momentum 0.98, 0.1^(1/100) decay per epoch, clip 100
         steps_per_epoch = args.steps_per_epoch or max(
