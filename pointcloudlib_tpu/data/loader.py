@@ -97,6 +97,7 @@ def kpconv_cls_batches(
     augment: bool = True,
     rotation: str = "none",
     drop_last: bool = True,
+    bucket_of=None,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """KPConv epoch iterator: potential-sampled indices + per-cloud
     KPConv augmentation.
@@ -108,29 +109,61 @@ def kpconv_cls_batches(
     (kpconv_loader.py:415-491; Modelnet40Config defaults: no rotation,
     scale 0.8–1.2, all symmetries, noise 0.001). ``sampler`` is a
     :class:`pointcloudlib_tpu.data.sampler.PotentialSampler`.
+
+    ``bucket_of`` (a ``BucketedCalibration.bucket_of``-style callable
+    on the augmented cloud) enables occupancy-bucketed batching — the
+    static-shape equivalent of the reference's point-budget batching
+    (kpconv_loader.py:704): clouds accumulate per bucket and a batch is
+    emitted (with a ``"bucket"`` key) whenever one fills, so each batch
+    runs the pyramid shapes its occupancy class calibrated.
     """
     from pointcloudlib_tpu.data.sampler import kpconv_augment
 
     n = epoch_n if epoch_n is not None else len(dataset)
     order = sampler.sample(n)
-    for start in range(0, len(order), batch_size):
-        chunk = order[start : start + batch_size]
-        if len(chunk) < batch_size and drop_last:
-            return
-        pts, lab = [], []
-        for i in chunk:
-            p, _nrm, l = dataset[int(i)]
-            if augment:
-                p = kpconv_augment(p, rng, rotation=rotation)
-            pts.append(p.astype(np.float32))
-            lab.append(l)
+
+    def emit(items, bucket=None):
+        pts = [p for p, _ in items]
+        lab = [l for _, l in items]
         xyz, valid = _pad_to(pts, batch_size)
         labels, _ = _pad_to(lab, batch_size)
-        yield {
+        out = {
             "xyz": xyz.astype(np.float32),
             "label": labels.astype(np.int32),
             "valid": valid,
         }
+        if bucket is not None:
+            out["bucket"] = bucket
+        return out
+
+    if bucket_of is None:
+        for start in range(0, len(order), batch_size):
+            chunk = order[start : start + batch_size]
+            if len(chunk) < batch_size and drop_last:
+                return
+            items = []
+            for i in chunk:
+                p, _nrm, l = dataset[int(i)]
+                if augment:
+                    p = kpconv_augment(p, rng, rotation=rotation)
+                items.append((p.astype(np.float32), l))
+            yield emit(items)
+        return
+
+    pend: Dict[int, list] = {}
+    for i in order:
+        p, _nrm, l = dataset[int(i)]
+        if augment:
+            p = kpconv_augment(p, rng, rotation=rotation)
+        p = p.astype(np.float32)
+        b = bucket_of(p)
+        pend.setdefault(b, []).append((p, l))
+        if len(pend[b]) == batch_size:
+            yield emit(pend.pop(b), bucket=b)
+    if not drop_last:
+        for b, items in sorted(pend.items()):
+            if items:
+                yield emit(items, bucket=b)
 
 
 def seg_batches(

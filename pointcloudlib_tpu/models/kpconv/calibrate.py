@@ -122,3 +122,83 @@ def calibrate_pyramid(
         max_occupancy=tuple(max_occ),
         mean_neighbors=tuple(mean_nb),
     )
+
+
+# ------------------------------------------------------------------
+# Occupancy-bucketed batch shapes (round 2).
+#
+# One global calibration caps every layer at the max observed occupancy
+# × margin, so a typical batch runs mostly padding: measured on the
+# synthetic ModelNet proxy, mean valid-point fraction per layer is
+# [0.75, 0.47, 0.30, 0.24, 0.24] (docs/DESIGN.md "KPConv batch
+# padding"). The reference solves this with dynamic point-budget
+# batching (kpconv_loader.py:704,709-794) — impossible with static XLA
+# shapes. The TPU-correct equivalent: split clouds into a few occupancy
+# buckets, calibrate caps per bucket, and compile one program per
+# bucket (SURVEY §7). Parameters are shape-independent, so all bucket
+# programs share one train state.
+
+
+def occupancy_np(cloud: np.ndarray, dl: float) -> int:
+    """Host-side occupied-voxel count — replicates pyramid.occupancy's
+    key convention exactly so bucket assignment at batch time agrees
+    with calibration."""
+    grid = 1024
+    origin_cell = np.floor(cloud.min(0) / dl)
+    v = np.clip((np.floor(cloud / dl) - origin_cell).astype(np.int64),
+                0, grid - 1)
+    key = (v[:, 0] * grid + v[:, 1]) * grid + v[:, 2]
+    return int(np.unique(key).size)
+
+
+@dataclasses.dataclass(frozen=True)
+class BucketedCalibration:
+    """Per-bucket pyramid shapes + the layer-0 occupancy bounds that
+    route a cloud to its bucket."""
+
+    buckets: Tuple[PyramidCalibration, ...]
+    bounds: Tuple[int, ...]   # upper bounds, len == n_buckets - 1
+    first_dl: float
+
+    def bucket_of(self, cloud: np.ndarray) -> int:
+        o = occupancy_np(cloud, self.first_dl)
+        for b, hi in enumerate(self.bounds):
+            if o <= hi:
+                return b
+        return len(self.buckets) - 1
+
+    def describe(self) -> str:
+        parts = [
+            f"bucket {b} (occ<= {'inf' if b >= len(self.bounds) else self.bounds[b]}): "
+            f"caps={list(c.caps)}"
+            for b, c in enumerate(self.buckets)
+        ]
+        return "; ".join(parts)
+
+
+def calibrate_buckets(
+    clouds: np.ndarray,
+    first_dl: float,
+    conv_radius: float,
+    deform_radius: float,
+    architecture: Sequence[str],
+    n_buckets: int = 2,
+    **kw,
+) -> BucketedCalibration:
+    """Quantile-split the sample by layer-0 occupancy and calibrate
+    each bucket independently. ``n_buckets=1`` degenerates to one
+    global calibration."""
+    clouds = np.asarray(clouds, np.float32)
+    occ = np.array([occupancy_np(c, first_dl) for c in clouds])
+    qs = [int(np.quantile(occ, i / n_buckets))
+          for i in range(1, n_buckets)]
+    assign = np.searchsorted(qs, occ, side="left")
+    cals = []
+    for b in range(n_buckets):
+        sel = clouds[assign == b]
+        if len(sel) < 4:  # degenerate bucket: calibrate on everything
+            sel = clouds
+        cals.append(calibrate_pyramid(
+            sel, first_dl, conv_radius, deform_radius, architecture,
+            **kw))
+    return BucketedCalibration(tuple(cals), tuple(qs), first_dl)

@@ -97,32 +97,43 @@ def index_points(points: Array, idx: Array) -> Array:
     """
     from pointcloudlib_tpu.ops.dispatch import USE_PALLAS  # lazy: no cycle
 
+    n = points.shape[1] if points.ndim == 3 else 0
+    pad = -n % 128
+    # Routing, from the round-2 v5e slope A/B (docs/DESIGN.md "Generic
+    # gather routing"): XLA's batched row gather costs ~6 µs per 1k
+    # gathered rows regardless of width; the one-hot matmul costs
+    # ~3.5 ms per 1e9 row·lane compares plus ~1 ms of grid overhead.
+    # Pallas pays off only when total rows B·M·K clears the crossover
+    # for this N — SA1-scale gathers (2.1M rows, N=1024) win 1.8x,
+    # KPConv's calibrated layers (~320k rows, N≈904) lose slightly.
+    # Lane-aligned sources keep the round-1 behavior (always Pallas) so
+    # the canonicalize/take_rows path is unchanged; non-aligned sources
+    # are zero-padded into the kernel only when the model says it pays
+    # (indices are < n by contract, so pad rows are never selected).
     if (
         USE_PALLAS
         and points.dtype == jnp.float32
         and idx.ndim in (2, 3)
         and points.ndim == 3
-        # tiny support sets take the XLA path (fast enough there)
-        and points.shape[1] >= 128
+        and n >= 128
     ):
-        from pointcloudlib_tpu.ops.pallas.gather import gather_neighbors
+        rows = 1
+        for d in idx.shape:
+            rows *= int(d)
+        benefit = rows * (6e-6 - 3.5e-9 * (n + pad))
+        if pad == 0 or benefit > 1.0:
+            from pointcloudlib_tpu.ops.pallas.gather import (
+                gather_neighbors,
+            )
 
-        n = points.shape[1]
-        pad = -n % 128
-        if pad:
-            # Mosaic wants a whole lane tile for the one-hot lane dim.
-            # Zero-pad the source rows instead of falling back: indices
-            # are < n by contract, so pad rows are never selected.
-            # (Round-1 regression: KPConv's calibrated caps are
-            # multiples of 8, which silently dropped every big-layer
-            # gather onto the ~100x-slower XLA path.)
-            points = jnp.concatenate(
-                [points,
-                 jnp.zeros((points.shape[0], pad, points.shape[2]),
-                           points.dtype)], axis=1)
-        idx3 = idx[:, :, None] if idx.ndim == 2 else idx
-        out = gather_neighbors(points, idx3)
-        return out[:, :, 0, :] if idx.ndim == 2 else out
+            if pad:
+                points = jnp.concatenate(
+                    [points,
+                     jnp.zeros((points.shape[0], pad, points.shape[2]),
+                               points.dtype)], axis=1)
+            idx3 = idx[:, :, None] if idx.ndim == 2 else idx
+            out = gather_neighbors(points, idx3)
+            return out[:, :, 0, :] if idx.ndim == 2 else out
     return jnp.take_along_axis(
         points,
         idx.reshape(idx.shape[0], -1, 1),

@@ -126,3 +126,59 @@ def test_kpconv_augment_semantics():
     z_ratio = np.abs(out[:, 2]) / np.maximum(np.abs(pts[:, 2]), 1e-6)
     med = np.median(z_ratio)
     assert 0.7 < med < 1.3  # scale range 0.8–1.2 (+noise)
+
+
+def test_bucketed_calibration_and_batches():
+    """Occupancy-bucketed batch shapes (the static-shape equivalent of
+    the reference's point-budget batching, kpconv_loader.py:704):
+    calibrate_buckets splits by layer-0 occupancy, the iterator routes
+    each augmented cloud to its bucket's batch, and the small bucket's
+    caps are genuinely smaller (that is the padding win)."""
+    import jax
+
+    from pointcloudlib_tpu.models.kpconv.calibrate import (
+        calibrate_buckets, occupancy_np,
+    )
+
+    cfg = KPConvConfig()
+    # clouds with very different occupancy: tight blobs vs full spheres
+    rng = np.random.default_rng(5)
+    small = rng.standard_normal((8, 256, 3)).astype(np.float32) * 0.1
+    big = rng.standard_normal((8, 256, 3)).astype(np.float32)
+    big /= np.linalg.norm(big, axis=-1, keepdims=True)
+    clouds = np.concatenate([small, big])
+    bcal = calibrate_buckets(clouds, 0.1, cfg.conv_radius,
+                             cfg.deform_radius, cfg.architecture,
+                             n_buckets=2)
+    assert len(bcal.buckets) == 2 and len(bcal.bounds) == 1
+    # the small bucket needs fewer voxels at layer 0
+    assert bcal.buckets[0].caps[0] < bcal.buckets[1].caps[0]
+    # assignment agrees with the device-side occupancy convention
+    for c in clouds:
+        o_host = occupancy_np(c, 0.1)
+        o_dev = int(occupancy(
+            np.asarray(c)[None], np.ones((1, len(c)), bool), dl=0.1)[0])
+        assert o_host == o_dev, (o_host, o_dev)
+    assert bcal.bucket_of(small[0]) == 0
+    assert bcal.bucket_of(big[0]) == 1
+
+    # the iterator emits uniform-bucket batches tagged with the bucket
+    class _DS:
+        def __len__(self):
+            return len(clouds)
+
+        def __getitem__(self, i):
+            return clouds[i], None, i % 4
+
+    sampler = PotentialSampler(len(clouds), seed=0)
+    batches = list(kpconv_cls_batches(
+        _DS(), 4, sampler, np.random.default_rng(0), epoch_n=16,
+        augment=False, bucket_of=bcal.bucket_of))
+    assert batches, "no batches emitted"
+    seen = set()
+    for b in batches:
+        assert "bucket" in b
+        seen.add(b["bucket"])
+        for cloud in b["xyz"]:
+            assert bcal.bucket_of(cloud) == b["bucket"]
+    assert seen == {0, 1}

@@ -32,10 +32,11 @@ def test_shadow_sentinel_zero():
 
 
 def test_index_points_pads_non_lane_sources(monkeypatch):
-    """index_points routes N % 128 != 0 sources to the Pallas gather by
-    zero-padding rows up to the next lane tile (round-1 regression:
-    KPConv's calibrated caps are multiples of 8 and silently fell back
-    to the ~100x-slower XLA gather)."""
+    """index_points routes N % 128 != 0 sources to the Pallas gather —
+    zero-padding rows up to the next lane tile — when the measured cost
+    model says the one-hot matmul beats XLA's row gather (large total
+    row count); small gathers stay on XLA. See docs/DESIGN.md "Generic
+    gather routing" for the v5e measurements behind the model."""
     import pointcloudlib_tpu.ops.dispatch as dispatch
     import pointcloudlib_tpu.ops.pallas.gather as gather_mod
     from pointcloudlib_tpu.ops.geometry import index_points
@@ -50,7 +51,8 @@ def test_index_points_pads_non_lane_sources(monkeypatch):
 
     monkeypatch.setattr(gather_mod, "gather_neighbors", fake)
     rng = np.random.default_rng(2)
-    b, n, c, m, k = 2, 136, 5, 24, 3
+    # rows = 8*512*64 = 262k > the ~196k crossover at N_pad=256
+    b, n, c, m, k = 8, 136, 5, 512, 64
     pts = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
     idx = jnp.asarray(rng.integers(0, n, (b, m, k)), jnp.int32)
     got = index_points(pts, idx)
@@ -59,6 +61,16 @@ def test_index_points_pads_non_lane_sources(monkeypatch):
         pts, idx.reshape(b, -1, 1), axis=1).reshape(b, m, k, c)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+    # below the crossover the non-aligned source stays on XLA
+    seen.clear()
+    small = index_points(pts, idx[:, :8, :4])
+    assert "n" not in seen
+    np.testing.assert_allclose(
+        np.asarray(small),
+        np.asarray(jnp.take_along_axis(
+            pts, idx[:, :8, :4].reshape(b, -1, 1), axis=1
+        ).reshape(b, 8, 4, c)), rtol=1e-5, atol=1e-5)
 
 
 def test_vjp_matches_xla():

@@ -54,6 +54,12 @@ def parse_args(argv=None):
     p.add_argument("--synthetic-size", type=int, default=512)
     p.add_argument("--steps-per-epoch", type=int, default=None,
                    help="cap steps per epoch (smoke tests)")
+    p.add_argument("--kp-buckets", type=int, default=2,
+                   help="KPConv occupancy buckets: calibrate pyramid "
+                        "shapes per occupancy class and compile one "
+                        "program each — the static-shape equivalent of "
+                        "the reference's point-budget batching "
+                        "(kpconv_loader.py:704); 1 = single shape")
     p.add_argument("--n-devices", type=int, default=None,
                    help="devices in the data mesh (default: all)")
     p.add_argument("--debug", action="store_true",
@@ -129,7 +135,7 @@ def main(argv=None):
     )
 
     model_kw = {}
-    kp_sampler = kp_rng = None
+    kp_sampler = kp_rng = kp_bcal = None
     if is_kpconv:
         # reference KPConv pipeline: potential-based epoch sampling +
         # per-cloud augmentation (kpconv_loader.py:709-794, 415-491) and
@@ -157,11 +163,27 @@ def main(argv=None):
         cal_clouds = np.stack([
             kpconv_augment(train_ds[i][0], kp_rng) for i in range(n_cal)
         ])
-        calib = calibrate_pyramid(
-            cal_clouds, KPConvCls.first_subsampling_dl,
-            base.conv_radius, base.deform_radius, arch,
-        )
-        print(f"kpconv calibration ({n_cal} clouds): {calib.describe()}")
+        if args.kp_buckets > 1:
+            from pointcloudlib_tpu.models.kpconv.calibrate import (
+                calibrate_buckets,
+            )
+
+            kp_bcal = calibrate_buckets(
+                cal_clouds, KPConvCls.first_subsampling_dl,
+                base.conv_radius, base.deform_radius, arch,
+                n_buckets=args.kp_buckets,
+            )
+            calib = kp_bcal.buckets[-1]  # widest shapes: init + eval
+            print(f"kpconv calibration ({n_cal} clouds, "
+                  f"{args.kp_buckets} buckets): {kp_bcal.describe()}")
+        else:
+            kp_bcal = None
+            calib = calibrate_pyramid(
+                cal_clouds, KPConvCls.first_subsampling_dl,
+                base.conv_radius, base.deform_radius, arch,
+            )
+            print(f"kpconv calibration ({n_cal} clouds): "
+                  f"{calib.describe()}")
         model_kw = dict(
             caps=calib.caps,
             neighborhood_limits=calib.neighborhood_limits,
@@ -202,6 +224,18 @@ def main(argv=None):
 
     train_step = make_cls_train_step(model, mesh)
     eval_step = make_cls_eval_step(model, mesh)
+    bucket_steps = None
+    if kp_bcal is not None:
+        # one compiled program per occupancy bucket; parameters are
+        # shape-independent, so every bucket shares the same state
+        bucket_models = [
+            get_cls_model(args.model, n_classes=40, **dict(
+                model_kw, caps=c.caps,
+                neighborhood_limits=c.neighborhood_limits))
+            for c in kp_bcal.buckets[:-1]
+        ] + [model]
+        bucket_steps = [make_cls_train_step(m, mesh)
+                        for m in bucket_models[:-1]] + [train_step]
     ckpt = CheckpointManager(Path(args.checkpoint_dir) / args.model)
     from pointcloudlib_tpu.utils.logging import MetricsLogger
 
@@ -362,6 +396,7 @@ def main(argv=None):
             batches = kpconv_cls_batches(
                 train_ds, args.batch_size, kp_sampler, kp_rng,
                 epoch_n=min(epoch_n, len(train_ds)),
+                bucket_of=kp_bcal.bucket_of if kp_bcal else None,
             )
         else:
             batches = cls_batches(
@@ -372,9 +407,13 @@ def main(argv=None):
         for i, batch in enumerate(prefetch(batches)):
             if args.steps_per_epoch and i >= args.steps_per_epoch:
                 break
+            b_idx = batch.pop("bucket", None)
             batch = shard_batch(mesh, batch)
             rng, sub = jax.random.split(rng)
-            state, metrics = train_step(state, batch, sub)
+            step_fn = (bucket_steps[b_idx]
+                       if bucket_steps is not None and b_idx is not None
+                       else train_step)
+            state, metrics = step_fn(state, batch, sub)
             pending = metrics  # fetch later — no per-step sync
             seen += args.batch_size
             step_count += 1
