@@ -1,7 +1,7 @@
 # Convenience targets. Tests run on a virtual 8-device CPU mesh;
 # bench needs the TPU chip.
 
-.PHONY: test test-fast bench native smoke multichip
+.PHONY: test test-fast bench native smoke multichip accuracy
 
 test:
 	PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python -m pytest tests/ -q
@@ -23,3 +23,6 @@ smoke:
 
 multichip:
 	python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+accuracy:
+	python scripts/accuracy_ladder.py

@@ -58,9 +58,54 @@ def _optimize_dispositions(
     return pts.astype(np.float32)
 
 
+def _ball_uniform(rng, n: int, dim: int) -> np.ndarray:
+    """n points uniform in the unit ball (direction × r^(1/dim))."""
+    v = rng.standard_normal((n, dim))
+    v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+    return v * rng.uniform(0.0, 1.0, (n, 1)) ** (1.0 / dim)
+
+
+def _lloyd_dispositions(
+    k: int,
+    dim: int = 3,
+    n_samples: int = 20000,
+    n_iter: int = 200,
+    momentum: float = 0.9,
+    seed: int = 42,
+) -> np.ndarray:
+    """Centroidal-Voronoi layout by Monte-Carlo Lloyd relaxation — the
+    reference's generator for dense layouts (spherical_Lloyd, reference
+    kernel_points.py:371-548; load_kernels switches to it for K > 30,
+    kernel_points.py:709-710). Fresh vectorized implementation: each
+    iteration draws fresh uniform-ball samples, assigns them to the
+    nearest kernel point, and low-pass filters each point toward its
+    Voronoi cell's centroid; the center point stays pinned. Unlike the
+    repulsive optimizer there is NO 0.66 radius renormalization — a
+    volume-filling CVT's spread is what the dense layouts want (the
+    reference Lloyd path likewise returns unnormalized cells)."""
+    rng = np.random.default_rng(seed)
+    pts = _ball_uniform(rng, k, dim)
+    pts[0] = 0.0
+    for _ in range(n_iter):
+        s = _ball_uniform(rng, n_samples, dim)
+        d2 = ((s[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+        assign = np.argmin(d2, axis=1)
+        cnt = np.bincount(assign, minlength=k).astype(np.float64)
+        sums = np.zeros((k, dim))
+        np.add.at(sums, assign, s)
+        cent = np.where(cnt[:, None] > 0, sums / np.maximum(
+            cnt[:, None], 1.0), pts)
+        pts = momentum * pts + (1.0 - momentum) * cent
+        pts[0] = 0.0
+    return pts.astype(np.float32)
+
+
 def kernel_dispositions(k: int, dim: int = 3) -> np.ndarray:
     """Unit-scale kernel point layout ``[k, dim]``, cached on disk as
-    .ply (same cache format as the reference's kernels/dispositions)."""
+    .ply (same cache format as the reference's kernels/dispositions).
+    K <= 30 uses the repulsive-potential optimizer; larger K switches
+    to the spherical-Lloyd CVT like the reference (kernel_points.py:
+    709-710 — repulsion degrades and Lloyd scales better there)."""
     _CACHE_DIR.mkdir(exist_ok=True)
     cache = _CACHE_DIR / f"k_{k:03d}_center_{dim}D.ply"
     if cache.exists():
@@ -68,7 +113,10 @@ def kernel_dispositions(k: int, dim: int = 3) -> np.ndarray:
         return np.vstack([d[c] for c in ("x", "y", "z")[:dim]]).T.astype(
             np.float32
         )
-    pts = _optimize_dispositions(k, dim)
+    if k > 30:
+        pts = _lloyd_dispositions(k, dim)
+    else:
+        pts = _optimize_dispositions(k, dim)
     write_ply(cache, {"xyz": pts})
     return pts
 

@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Synthetic convergence ladder: every model family trains a fixed
+short budget on the procedural synthetic datasets and must clear a
+per-family accuracy floor.
+
+This is the regression net for training DYNAMICS (round-1 VERDICT item
+7): logits-parity and kernel tests catch math bugs, but a silent
+optimizer/BN/schedule regression that merely slows convergence would
+pass them — and would show up here as a missed floor. The floors are
+measured values minus a margin (see FLOORS below; re-baseline with
+``--record`` after intentional changes).
+
+Usage:
+    python scripts/accuracy_ladder.py            # assert floors
+    python scripts/accuracy_ladder.py --record   # print measured table
+    make accuracy
+
+Results land in accuracy_ladder.jsonl (one line per model per run).
+The de-facto integration test this replaces is the reference's README
+accuracy table (README.md:56-98) — unreachable here (zero egress), so
+the synthetic proxy is the budget-bounded stand-in.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+# (task, model, extra CLI args, floor %) — floors are round-2 measured
+# values minus ~20% relative margin (synthetic data, seed 0, budget
+# below). None = record-only (no assertion yet).
+LADDER = [
+    ("cls", "pointnet", [], 35.0),
+    ("cls", "pointnet2", [], 45.0),
+    ("cls", "pointnet2_msg", [], 45.0),
+    ("cls", "dgcnn", [], 35.0),
+    ("cls", "pointcnn", [], 30.0),
+    ("cls", "pointconv", [], 35.0),
+    ("cls", "kpconv", [], 25.0),
+    ("cls", "kpconv_deform", [], 25.0),
+    ("seg", "pointnet", [], 55.0),
+    ("seg", "pointnet2", [], 60.0),
+    ("seg", "dgcnn", [], 55.0),
+    ("seg", "pointcnn", [], 50.0),
+    ("seg", "pointconv", [], 55.0),
+]
+
+CLS_BUDGET = ["--synthetic", "--synthetic-size", "512", "--epochs", "5",
+              "--batch_size", "32", "--num_points", "512"]
+SEG_BUDGET = ["--synthetic", "--synthetic-size", "256", "--epochs", "5",
+              "--batch_size", "16", "--num_points", "1024"]
+
+
+def run_one(task: str, model: str, extra) -> float:
+    cli = "train_cls.py" if task == "cls" else "train_partseg.py"
+    budget = CLS_BUDGET if task == "cls" else SEG_BUDGET
+    cmd = [sys.executable, str(ROOT / cli), "--model", model,
+           *budget, *extra]
+    out = subprocess.run(
+        cmd, cwd=ROOT, capture_output=True, text=True, timeout=3600
+    )
+    text = out.stdout + out.stderr
+    pat = r"best (?:OA|IoU): ([0-9.]+)%"
+    m = re.findall(pat, text)
+    if out.returncode != 0 or not m:
+        tail = "\n".join(text.strip().splitlines()[-15:])
+        raise RuntimeError(f"{task}/{model} failed:\n{tail}")
+    return float(m[-1])
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--record", action="store_true",
+                    help="measure and print; do not assert floors")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated model filter")
+    args = ap.parse_args()
+
+    only = set(args.only.split(",")) if args.only else None
+    log = ROOT / "accuracy_ladder.jsonl"
+    failures = []
+    for task, model, extra, floor in LADDER:
+        if only and model not in only:
+            continue
+        t0 = time.time()
+        try:
+            acc = run_one(task, model, extra)
+        except Exception as e:
+            failures.append(f"{task}/{model}: {e}")
+            print(f"{task:3s} {model:16s} ERROR ({e})", flush=True)
+            continue
+        dt = time.time() - t0
+        ok = args.record or floor is None or acc >= floor
+        print(f"{task:3s} {model:16s} {acc:6.2f}%"
+              f"  floor={floor}  [{'ok' if ok else 'FAIL'}]"
+              f"  ({dt:.0f}s)", flush=True)
+        with log.open("a") as f:
+            f.write(json.dumps({
+                "ts": time.time(), "task": task, "model": model,
+                "metric": acc, "floor": floor, "seconds": round(dt, 1),
+            }) + "\n")
+        if not ok:
+            failures.append(f"{task}/{model}: {acc:.2f} < floor {floor}")
+    if failures and not args.record:
+        print("FAILURES:\n  " + "\n  ".join(failures))
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -82,3 +82,46 @@ def test_ply_cache_roundtrip(tmp_path, monkeypatch):
     assert (tmp_path / "k_015_center_3D.ply").exists()
     b = kp.kernel_dispositions(15)  # second call reads the ply cache
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+class TestSphericalLloyd:
+    """The K>30 generator (reference spherical_Lloyd,
+    kernel_points.py:371-548): a Monte-Carlo centroidal-Voronoi layout
+    in the unit ball, center pinned, no 0.66 renormalization."""
+
+    def test_lloyd_layout_properties(self, tmp_path, monkeypatch):
+        import pointcloudlib_tpu.models.kpconv.kernel_points as kpmod
+
+        monkeypatch.setattr(kpmod, "_CACHE_DIR", tmp_path)
+        pts = kernel_dispositions(40)
+        assert pts.shape == (40, 3)
+        assert np.isfinite(pts).all()
+        np.testing.assert_allclose(pts[0], 0.0, atol=1e-7)  # pinned
+        r = np.linalg.norm(pts, axis=1)
+        assert r.max() <= 1.0 + 1e-5
+        # volume-filling CVT: mean non-center radius near E[r] of a
+        # uniform ball partition (≈0.75 for dim 3), NOT the repulsive
+        # optimizer's 0.66 shell normalization
+        assert 0.55 < r[1:].mean() < 0.9, r[1:].mean()
+        # cells are even: nearest-neighbor spacings cluster tightly
+        d = np.linalg.norm(pts[:, None] - pts[None], axis=-1)
+        np.fill_diagonal(d, np.inf)
+        nn = d.min(axis=1)
+        assert nn.min() > 0.15, nn.min()       # no collapsed cells
+        assert nn.std() / nn.mean() < 0.35     # near-uniform CVT
+        # deterministic: regeneration reproduces the cached layout
+        (tmp_path / "k_040_center_3D.ply").unlink()
+        pts2 = kernel_dispositions(40)
+        np.testing.assert_allclose(pts, pts2, atol=1e-6)
+
+    def test_load_kernels_routes_and_scales(self, tmp_path, monkeypatch):
+        import pointcloudlib_tpu.models.kpconv.kernel_points as kpmod
+
+        monkeypatch.setattr(kpmod, "_CACHE_DIR", tmp_path)
+        kpmod.load_kernels.cache_clear()
+        k1 = load_kernels(1.0, 40)
+        k2 = load_kernels(2.0, 40)
+        assert k1.shape == (40, 3)
+        np.testing.assert_allclose(k2, 2 * k1, rtol=1e-5)
+        np.testing.assert_allclose(k1[0], 0.0, atol=1e-7)
+        kpmod.load_kernels.cache_clear()
