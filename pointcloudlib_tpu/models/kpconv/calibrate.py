@@ -141,13 +141,15 @@ def calibrate_pyramid(
 
 def occupancy_np(cloud: np.ndarray, dl: float) -> int:
     """Host-side occupied-voxel count — replicates pyramid.occupancy's
-    key convention exactly so bucket assignment at batch time agrees
-    with calibration."""
-    grid = 1024
+    key convention exactly (same grid constant, same origin-cell
+    shift) so bucket assignment at batch time agrees with calibration
+    (parity asserted in tests/test_kpconv_pipeline.py)."""
+    from pointcloudlib_tpu.models.kpconv.pyramid import _GRID
+
     origin_cell = np.floor(cloud.min(0) / dl)
     v = np.clip((np.floor(cloud / dl) - origin_cell).astype(np.int64),
-                0, grid - 1)
-    key = (v[:, 0] * grid + v[:, 1]) * grid + v[:, 2]
+                0, _GRID - 1)
+    key = (v[:, 0] * _GRID + v[:, 1]) * _GRID + v[:, 2]
     return int(np.unique(key).size)
 
 

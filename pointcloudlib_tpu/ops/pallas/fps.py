@@ -89,6 +89,17 @@ def fps_pallas(
     else:
         elig = jnp.ones((b, n), jnp.float32)
 
+    # Mosaic mis-legalizes the in-kernel argmax when the lane dim is a
+    # single 128 tile (n <= 128 → an f32→i32 unrealized cast; hit by
+    # PointConv-partseg's 64→36 SA layer). Pad the lane dim to >= 256
+    # with ineligible points — they sit at -1 in the min-distance cache
+    # and never win the argmax, so indices are unchanged.
+    pad_n = (256 - n) if n < 256 else (-n) % 128
+    if pad_n:
+        padl = lambda a: jnp.pad(a, ((0, 0), (0, pad_n)))
+        x, y, z, elig = padl(x), padl(y), padl(z), padl(elig)
+        n += pad_n
+
     # batch tile: 5 live [Bt, N] f32 buffers + the index tile
     bt = max(8, min(b, _VMEM_BUDGET // max(1, n * 4 * 5) // 8 * 8))
     bt = min(bt, 512)
