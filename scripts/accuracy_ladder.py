@@ -52,9 +52,9 @@ LADDER = [
     ("seg", "pointconv", [], 55.0),
 ]
 
-CLS_BUDGET = ["--synthetic", "--synthetic-size", "512", "--epochs", "5",
+CLS_BUDGET = ["--synthetic", "--synthetic-size", "512", "--epochs", "10",
               "--batch_size", "32", "--num_points", "512"]
-SEG_BUDGET = ["--synthetic", "--synthetic-size", "256", "--epochs", "5",
+SEG_BUDGET = ["--synthetic", "--synthetic-size", "256", "--epochs", "10",
               "--batch_size", "16", "--num_points", "1024"]
 
 

@@ -35,7 +35,7 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--num_points", type=int, default=1024)
     p.add_argument("--epochs", type=int, default=200)
-    p.add_argument("--lr", type=float, default=0.1)
+    p.add_argument("--lr", type=float, default=0.02)
     p.add_argument("--momentum", type=float, default=0.9)
     p.add_argument("--optimizer", default="sgd", choices=["sgd", "adam"])
     p.add_argument("--eval", action="store_true")
@@ -54,6 +54,15 @@ def parse_args(argv=None):
     p.add_argument("--synthetic-size", type=int, default=512)
     p.add_argument("--steps-per-epoch", type=int, default=None,
                    help="cap steps per epoch (smoke tests)")
+    p.add_argument("--deform-lr-factor", type=float, default=0.0,
+                   help="lr multiplier on kpconv_deform offset params. "
+                        "Default 0.0 = frozen offsets, matching the "
+                        "reference (train_cls.py:406 drops 'offset' "
+                        "params from SGD). 0.1 is the original KPConv "
+                        "paper recipe (datasets/ModelNet40.py:1084) — "
+                        "measured unstable on the synthetic ladder "
+                        "(offsets run away, reg loss grows 7->32 in "
+                        "120 steps)")
     p.add_argument("--kp-buckets", type=int, default=2,
                    help="KPConv occupancy buckets: calibrate pyramid "
                         "shapes per occupancy class and compile one "
@@ -89,7 +98,6 @@ def main(argv=None):
         make_cls_eval_step,
         make_cls_train_step,
         sgd_momentum,
-        step_decay,
     )
     from pointcloudlib_tpu.utils.checkpoint import CheckpointManager
 
@@ -208,11 +216,38 @@ def main(argv=None):
             optax.clip_by_global_norm(100.0),
             optax.sgd(sched, momentum=0.98),
         )
+        if args.model == "kpconv_deform":
+            # Offset-param treatment. The reference drops 'offset'
+            # params from SGD entirely (train_cls.py:406) — frozen
+            # offsets — our default (factor 0.0). The original KPConv
+            # recipe trains them at deform_lr_factor=0.1
+            # (datasets/ModelNet40.py:1084); available via
+            # --deform-lr-factor 0.1, but measured unstable here.
+            def _offset_mask(params):
+                return jax.tree_util.tree_map_with_path(
+                    lambda path, _: any(
+                        "offset" in str(getattr(k, "key", k)) for k in path
+                    ),
+                    params,
+                )
+
+            tx = optax.chain(
+                tx,
+                optax.masked(
+                    optax.scale(args.deform_lr_factor), _offset_mask
+                ),
+            )
     elif args.optimizer == "sgd":
-        # reference schedule counts samples; we count steps
-        sched = step_decay(args.lr,
-                           decay_step=max(1, 15000 // args.batch_size))
-        tx = sgd_momentum(sched, momentum=args.momentum)
+        # The reference calls LRScheduler.step(len(loader)*batch_size)
+        # with the SAME argument every epoch (train_cls.py:475, the
+        # scheduler is misc/utils.py:8-19) — so its lr is constant:
+        # base * max(0.6^int(n_train/15000), 2e-5). ModelNet40's 9840
+        # train clouds put that decade count at 0, i.e. the published
+        # accuracies were trained at a flat base lr. Reproduce the
+        # computation, not the apparent intent.
+        n_batches = -(-len(train_ds) // args.batch_size)
+        decay = max(0.6 ** int(n_batches * args.batch_size / 15000), 2e-5)
+        tx = sgd_momentum(args.lr * decay, momentum=args.momentum)
     else:
         tx = optax.adam(args.lr)
     state = create_train_state(
