@@ -5,7 +5,11 @@ from pointcloudlib_tpu.train.losses import (
     cross_entropy_seg,
     soft_cross_entropy,
 )
-from pointcloudlib_tpu.train.schedules import cosine_with_warmup, step_decay
+from pointcloudlib_tpu.train.schedules import (
+    cosine_with_warmup,
+    reference_flat_lr,
+    step_decay,
+)
 from pointcloudlib_tpu.train.state import (
     TrainState,
     create_train_state,
@@ -24,6 +28,7 @@ __all__ = [
     "cross_entropy_seg",
     "make_cls_eval_step",
     "make_cls_train_step",
+    "reference_flat_lr",
     "sgd_momentum",
     "soft_cross_entropy",
     "step_decay",

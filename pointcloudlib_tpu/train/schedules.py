@@ -14,9 +14,11 @@ def step_decay(
 ) -> optax.Schedule:
     """``lr = base * max(decay^floor(step/decay_step), floor_factor)``.
 
-    The reference LRScheduler (misc/utils.py:8-19). There ``step`` counts
-    *samples* (train_cls.py:475 passes epoch*len*batch_size); callers here
-    step per batch and scale ``decay_step`` by the batch size to match.
+    The reference LRScheduler's *formula* (misc/utils.py:8-19), with
+    ``step`` counting samples; callers stepping per batch scale
+    ``decay_step`` by the batch size to match. NOTE: the reference CLIs
+    never actually drive this formula with a growing step — see
+    :func:`reference_flat_lr` for the schedule they effectively run.
     """
 
     def schedule(step):
@@ -24,6 +26,25 @@ def step_decay(
         return base_lr * jnp.maximum(factor, floor_factor)
 
     return schedule
+
+
+def reference_flat_lr(
+    base_lr: float, n_train: int, batch_size: int
+) -> float:
+    """The lr the reference CLIs *effectively* train at: a constant.
+
+    Both reference training loops step their LRScheduler with the same
+    argument every epoch (train_cls.py:475, train_partseg.py:86:
+    ``lr_scheduler.step(len(loader) * batch_size)``), so the decay
+    exponent ``int(n/15000)`` never grows. For ModelNet40 (9840 train
+    clouds) and ShapeNetPart trainval (14007) it is 0 — every published
+    non-KPConv accuracy was trained at a flat base lr. This reproduces
+    the computation (including the >=15000-sample dataset case) rather
+    than the scheduler's apparent intent.
+    """
+    n_batches = -(-n_train // batch_size)
+    decay = 0.6 ** int(n_batches * batch_size / 15000)
+    return base_lr * max(decay, 2e-5)
 
 
 def cosine_with_warmup(

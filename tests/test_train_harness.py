@@ -56,6 +56,26 @@ class TestStepDecay:
         assert float(sched(45000)) == pytest.approx(0.1 * 0.6**3)
         assert float(sched(10_000_000)) == pytest.approx(0.1 * 2e-5)
 
+    def test_reference_flat_lr(self):
+        """The reference CLIs step the scheduler with a constant
+        argument (train_cls.py:475, train_partseg.py:86), so the
+        effective lr is flat: base * max(0.6^int(n/15000), 2e-5).
+        Both shipped datasets sit below one decade."""
+        from pointcloudlib_tpu.train import reference_flat_lr
+
+        # ModelNet40: 9840 train clouds, B=32 -> flat base lr
+        assert reference_flat_lr(0.02, 9840, 32) == pytest.approx(0.02)
+        # ShapeNetPart trainval: 14007, B=16 -> still decade 0
+        assert reference_flat_lr(0.01, 14007, 16) == pytest.approx(0.01)
+        # a >=15000-sample dataset crosses one decade
+        assert reference_flat_lr(0.02, 16000, 32) == pytest.approx(
+            0.02 * 0.6
+        )
+        # the 2e-5 floor engages for absurd sizes
+        assert reference_flat_lr(
+            0.02, 15000 * 25, 32
+        ) == pytest.approx(0.02 * 2e-5)
+
 
 class TestConfigIO:
     def test_roundtrip(self, tmp_path):

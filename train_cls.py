@@ -97,6 +97,7 @@ def main(argv=None):
         create_train_state,
         make_cls_eval_step,
         make_cls_train_step,
+        reference_flat_lr,
         sgd_momentum,
     )
     from pointcloudlib_tpu.utils.checkpoint import CheckpointManager
@@ -238,16 +239,10 @@ def main(argv=None):
                 ),
             )
     elif args.optimizer == "sgd":
-        # The reference calls LRScheduler.step(len(loader)*batch_size)
-        # with the SAME argument every epoch (train_cls.py:475, the
-        # scheduler is misc/utils.py:8-19) — so its lr is constant:
-        # base * max(0.6^int(n_train/15000), 2e-5). ModelNet40's 9840
-        # train clouds put that decade count at 0, i.e. the published
-        # accuracies were trained at a flat base lr. Reproduce the
-        # computation, not the apparent intent.
-        n_batches = -(-len(train_ds) // args.batch_size)
-        decay = max(0.6 ** int(n_batches * args.batch_size / 15000), 2e-5)
-        tx = sgd_momentum(args.lr * decay, momentum=args.momentum)
+        # the reference's effective schedule is a constant lr — see
+        # reference_flat_lr (train/schedules.py) for the full story
+        lr = reference_flat_lr(args.lr, len(train_ds), args.batch_size)
+        tx = sgd_momentum(lr, momentum=args.momentum)
     else:
         tx = optax.adam(args.lr)
     state = create_train_state(

@@ -76,7 +76,11 @@ def main(argv=None):
     from pointcloudlib_tpu.data.shapenet import make_shapenet
     from pointcloudlib_tpu.models import get_seg_model
     from pointcloudlib_tpu.parallel import make_mesh, replicate, shard_batch
-    from pointcloudlib_tpu.train import create_train_state, sgd_momentum
+    from pointcloudlib_tpu.train import (
+        create_train_state,
+        reference_flat_lr,
+        sgd_momentum,
+    )
     from pointcloudlib_tpu.train.metrics import shape_ious
     from pointcloudlib_tpu.train.trainer import (
         make_seg_eval_step,
@@ -130,17 +134,12 @@ def main(argv=None):
             feats=sample.get("feats"),
         )
         if args.optimizer == "sgd":
-            # The reference's scheduler is stepped with a constant
-            # argument every epoch (train_partseg.py:86), so its lr is
-            # flat: base * max(0.6^int(n_train/15000), 2e-5) —
-            # ShapeNetPart trainval (14007) keeps the decade count at
-            # 0. Reproduce that, plus the reference's weight_decay=1e-4
-            # (train_partseg.py:76).
-            n_batches = -(-len(train_ds) // args.batch_size)
-            decay = max(
-                0.6 ** int(n_batches * args.batch_size / 15000), 2e-5
+            # constant lr (see reference_flat_lr) + the reference's
+            # weight_decay=1e-4 (train_partseg.py:76)
+            lr = reference_flat_lr(
+                args.lr, len(train_ds), args.batch_size
             )
-            tx = sgd_momentum(args.lr * decay, momentum=args.momentum,
+            tx = sgd_momentum(lr, momentum=args.momentum,
                               weight_decay=1e-4)
         else:
             tx = optax.adam(args.lr)
