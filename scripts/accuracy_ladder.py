@@ -33,23 +33,26 @@ from pathlib import Path
 
 ROOT = Path(__file__).resolve().parent.parent
 
-# (task, model, extra CLI args, floor %) — floors are round-2 measured
-# values minus ~20% relative margin (synthetic data, seed 0, budget
-# below). None = record-only (no assertion yet).
+# (task, model, extra CLI args, floor %) — floors are the round-2
+# recorded sweep (accuracy_ladder.jsonl, 10-epoch budgets, flat
+# reference lr, seed 0) minus ~20% relative margin. None = record-only.
 LADDER = [
-    ("cls", "pointnet", [], 35.0),
-    ("cls", "pointnet2", [], 45.0),
-    ("cls", "pointnet2_msg", [], 45.0),
-    ("cls", "dgcnn", [], 35.0),
-    ("cls", "pointcnn", [], 30.0),
-    ("cls", "pointconv", [], 35.0),
-    ("cls", "kpconv", [], 25.0),
-    ("cls", "kpconv_deform", [], 25.0),
-    ("seg", "pointnet", [], 55.0),
-    ("seg", "pointnet2", [], 60.0),
-    ("seg", "dgcnn", [], 55.0),
-    ("seg", "pointcnn", [], 50.0),
-    ("seg", "pointconv", [], 55.0),
+    ("cls", "pointnet", [], 32.0),        # measured 40.62
+    ("cls", "pointnet2", [], 30.0),       # measured 38.28
+    ("cls", "pointnet2_msg", [], 34.0),   # measured 42.97
+    ("cls", "dgcnn", [], 36.0),           # measured 46.09
+    ("cls", "pointcnn", [], 38.0),        # measured 47.66
+    ("cls", "pointconv", [], 33.0),       # measured 42.19
+    ("cls", "kpconv", [], 38.0),          # measured 47.66
+    ("cls", "kpconv_deform", [], 36.0),   # measured 45.31 (frozen offsets)
+    ("seg", "pointnet", [], 38.0),        # measured 48.51
+    ("seg", "pointnet2", [], 70.0),       # measured 87.51
+    ("seg", "dgcnn", [], 59.0),           # measured 74.00
+    ("seg", "pointcnn", [], 34.0),        # measured 42.68
+    # pointconv partseg converges ~1 IoU-point/epoch (deepest
+    # encoder/decoder; overfit-probe clean) — it gets a longer budget
+    # so the floor means something (measured 44.75 at 40 epochs)
+    ("seg", "pointconv", ["--epochs", "40"], 35.0),
 ]
 
 CLS_BUDGET = ["--synthetic", "--synthetic-size", "512", "--epochs", "10",
