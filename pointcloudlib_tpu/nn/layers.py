@@ -230,10 +230,15 @@ class FusedSetAbstraction(nn.Module):
         # to the chunked [cm*k,N] one-hot (measured: MSG's k=128 scale)
         fuse_bq = (nidx is None and _window_width(n) is None
                    and n % 128 == 0 and self.n_samples <= 64)
+        ncnt = None
         if not fuse_bq:
             if nidx is None:
-                nidx, _ = ball_query(new_xyz, xyz, self.radius,
-                                     self.n_samples)
+                # cnt feeds the slot-capped fused passes (fused_sa.py
+                # _kc_variants): padding-replica slots are accounted
+                # for analytically when max(cnt) allows
+                nidx, ncnt = ball_query(new_xyz, xyz, self.radius,
+                                        self.n_samples)
+                ncnt = jax.lax.stop_gradient(ncnt)
             nidx = jax.lax.stop_gradient(nidx)
 
         if feats is None:
@@ -295,7 +300,7 @@ class FusedSetAbstraction(nn.Module):
             else:
                 out, stats = fused_sa_train(
                     q, off, nidx, params, interpret, self.axis_name,
-                    self.world)
+                    self.world, ncnt)
             if not self.is_initializing():
                 mom = self.bn_momentum
                 batch = [(stats.m1, stats.v1), (stats.m2, stats.v2),

@@ -244,16 +244,22 @@ def _bn_bwd_row(dz2d, xhat2d, st_ref, s_ref, r: float):
     return sc * (dz2d - u1 - xhat2d * u2)
 
 
-def _maxpool_dz(h3_2d, dout2d, st_ref, cm: int, k: int):
+def _maxpool_dz(h3_2d, dout2d, st_ref, cm: int, k: int, e: int = 0):
     """Per-row gradient at z3 = BN(h3): max-pool (even tie split,
     matching jnp.max) then relu mask. h3_2d is a [cm·k, C] chunk,
-    dout2d the matching [cm, C] rows."""
+    dout2d the matching [cm, C] rows. With the slot dim capped (e > 0)
+    the e unread replicas of slot 0 join the tie count whenever slot 0
+    ties the max — their (identical) shares are added back analytically
+    by the callers' slot-0 weighting."""
     c = h3_2d.shape[-1]
     y, z = _bn_relu2(h3_2d, st_ref, with_z=True)
     a = y.reshape(cm, k, c)
     amax = jnp.max(a, axis=1, keepdims=True)
     ties = (a == amax).astype(jnp.float32)
-    da = dout2d[:, None, :] * ties / jnp.sum(ties, axis=1, keepdims=True)
+    tsum = jnp.sum(ties, axis=1, keepdims=True)
+    if e:
+        tsum = tsum + float(e) * ties[:, 0:1, :]
+    da = dout2d[:, None, :] * ties / tsum
     return jnp.where(z > 0, da.reshape(cm * k, c), 0.0)
 
 
@@ -270,6 +276,70 @@ def _acc2(acc, x2d):
 
 def _zeros2(c):
     return (jnp.zeros((1, c), jnp.float32), jnp.zeros((1, c), jnp.float32))
+
+
+# ------------------------------------------------- slot capping (round 2)
+#
+# Ball-query slabs are mostly repeat-padding: every slot j >= cnt(row)
+# replicates the row's slot 0 (misc/ops.py:321-326), and measured
+# occupancies are far below k (headline SA1 r=.2/k=64: mean cnt ~10;
+# MSG r=.4/k=128: mean ~41, max 66 — scripts/profile_sa_k128.py). All
+# replica rows have IDENTICAL forward values and, because the max-pool
+# tie split and every later op is row-local given the global BN sums,
+# identical backward values too. So whenever max(cnt) <= kc the passes
+# after the gather may process only the first kc slots and account for
+# the k-kc unread replicas in closed form: weight each row's slot 0 by
+# (1+e), e = k-kc, in every row-sum, and add e*(slot0 ties) to the
+# max-pool tie denominator. e = 0 recovers the full computation — one
+# parameterized kernel set serves both, selected by lax.cond on
+# max(cnt) (pmax'd over the DP axis so shards agree on the branch).
+
+
+def _kc_variants(k: int):
+    """Static slot caps to compile: ascending, k last (the fallback).
+
+    Quarter-multiples of k (8-row aligned for the sublane tile; kc
+    need not divide k — the h1 BlockSpec always reads slot block 0).
+    Measured occupancies sit well below k with a thin tail (MSG
+    r=.4/k=128: mean 41, max ~66 → the 3k/4 rung), so three rungs
+    cover the distribution without blowing up compile time (each rung
+    compiles 5 kernels)."""
+    out = []
+    for kc in (k // 4, k // 2, 3 * k // 4):
+        if kc >= 8 and kc % 8 == 0 and kc < k and kc not in out:
+            out.append(kc)
+    return out + [k]
+
+
+def _slot_w(cm: int, kc: int, e: int):
+    """[cm*kc, 1] per-row weight: 1+e on each row's slot 0, else 1."""
+    i = lax.broadcasted_iota(jnp.int32, (cm * kc, 1), 0)
+    return jnp.where(i % kc == 0, float(1 + e), 1.0)
+
+
+def _slot0(x2d, cm: int, kc: int):
+    """The slot-0 rows (i % kc == 0) of a [cm*kc, c] chunk, [cm, c].
+
+    bf16 contractions account for the e capped-away replicas as
+    ``dot(x, y) + e * dot(slot0(x), slot0(y))`` — slicing the SAME
+    bf16 operands keeps every product bit-identical to the full-k
+    path (weighting an operand by 1+e before the bf16 cast would
+    round differently: bf16((1+e)x) != (1+e)bf16(x))."""
+    return x2d.reshape(cm, kc, x2d.shape[-1])[:, 0, :]
+
+
+def _cond_chain(maxcnt, variants, fn):
+    """fn(kc) for the smallest compiled kc with maxcnt <= kc; fn(k)
+    when none fits (variants[-1] == k, always valid)."""
+    def chain(i):
+        if i == len(variants) - 1:
+            return functools.partial(fn, variants[i])
+        return lambda: lax.cond(
+            maxcnt <= variants[i],
+            functools.partial(fn, variants[i]),
+            chain(i + 1),
+        )
+    return chain(0)()
 
 
 # ------------------------------------------------------------ fwd kernels
@@ -348,38 +418,49 @@ def _k_f1w(s_ref, nb_ref, q_ref, idx_ref, off_ref, h1_ref, psum_ref,
     psum_ref[0] += jnp.concatenate([sm, ss], axis=0)
 
 
-def _k_stats2(h1_ref, st1_ref, w2_ref, psum_ref, *, cm: int):
-    """Σ/Σ² of h2 = relu(BN1(h1))·W2 (nothing written but the sums)."""
-    mt, k, c1 = h1_ref.shape[1], h1_ref.shape[2], h1_ref.shape[3]
+def _k_stats2(h1_ref, st1_ref, w2_ref, psum_ref, *, cm: int, e: int = 0):
+    """Σ/Σ² of h2 = relu(BN1(h1))·W2 (nothing written but the sums).
+    The block's slot dim may be capped at kc < k; each row's slot 0
+    then carries weight 1+e for the e unread replicas (see the slot
+    capping note above _kc_variants)."""
+    mt, kc, c1 = h1_ref.shape[1], h1_ref.shape[2], h1_ref.shape[3]
     c2 = w2_ref.shape[1]
     _psum_init(psum_ref)
+    w = _slot_w(cm, kc, e) if e else None
 
     def body(i, acc):
         h1 = h1_ref[0, pl.ds(i * cm, cm), :, :]
-        h1 = h1.astype(jnp.float32).reshape(cm * k, c1)
+        h1 = h1.astype(jnp.float32).reshape(cm * kc, c1)
         y1 = _bn_relu2(h1, st1_ref)
         h2 = jnp.dot(y1.astype(jnp.bfloat16), w2_ref[:, :],
                      preferred_element_type=jnp.float32)
-        return _acc2(acc, h2)
+        h2w = h2 * w if e else h2
+        s, ss = acc
+        return (s + jnp.sum(h2w, axis=0, keepdims=True),
+                ss + jnp.sum(h2w * h2, axis=0, keepdims=True))
 
     s, ss = lax.fori_loop(0, mt // cm, body, _zeros2(c2))
     psum_ref[0] += jnp.concatenate([s, ss], axis=0)
 
 
 def _k_stats3(h1_ref, st1_ref, st2_ref, w2_ref, w3_ref, psum_ref,
-              *, cm: int):
-    """Σ/Σ² of h3, recomputed from h1."""
-    mt, k, c1 = h1_ref.shape[1], h1_ref.shape[2], h1_ref.shape[3]
+              *, cm: int, e: int = 0):
+    """Σ/Σ² of h3, recomputed from h1 (slot-capped like _k_stats2)."""
+    mt, kc, c1 = h1_ref.shape[1], h1_ref.shape[2], h1_ref.shape[3]
     c3 = w3_ref.shape[1]
     _psum_init(psum_ref)
+    w = _slot_w(cm, kc, e) if e else None
 
     def body(i, acc):
         h1 = h1_ref[0, pl.ds(i * cm, cm), :, :]
-        h1 = h1.astype(jnp.float32).reshape(cm * k, c1)
+        h1 = h1.astype(jnp.float32).reshape(cm * kc, c1)
         _, _, y2 = _fwd_to(h1, st1_ref, st2_ref, w2_ref)
         h3 = jnp.dot(y2.astype(jnp.bfloat16), w3_ref[:, :],
                      preferred_element_type=jnp.float32)
-        return _acc2(acc, h3)
+        h3w = h3 * w if e else h3
+        s, ss = acc
+        return (s + jnp.sum(h3w, axis=0, keepdims=True),
+                ss + jnp.sum(h3w * h3, axis=0, keepdims=True))
 
     s, ss = lax.fori_loop(0, mt // cm, body, _zeros2(c3))
     psum_ref[0] += jnp.concatenate([s, ss], axis=0)
@@ -480,8 +561,11 @@ def _k_evalw(s_ref, nb_ref, q_ref, idx_ref, off_ref, st1_ref, st2_ref,
 
 
 def _k_p1(h1_ref, dout_ref, st1_ref, st2_ref, st3_ref, w2_ref, w3_ref,
-          ps3_ref, ps2_ref, mats_ref, *, cm: int):
-    """Backward pass 1: S3 sums + the 6 row-contraction accumulators."""
+          ps3_ref, ps2_ref, mats_ref, *, cm: int, e: int = 0):
+    """Backward pass 1: S3 sums + the 6 row-contraction accumulators.
+    Slot-capped blocks (e > 0) weight each row's slot 0 by 1+e in every
+    row sum — the replica rows' contributions are identical to slot
+    0's (see the note above _kc_variants)."""
     mt, k, c1 = h1_ref.shape[1], h1_ref.shape[2], h1_ref.shape[3]
     c2 = w2_ref.shape[1]
     c3 = w3_ref.shape[1]
@@ -493,6 +577,7 @@ def _k_p1(h1_ref, dout_ref, st1_ref, st2_ref, st3_ref, w2_ref, w3_ref,
         mats_ref[0] = jnp.zeros_like(mats_ref[0])
 
     contract = (((0,), (0,)), ((), ()))
+    w = _slot_w(cm, k, e) if e else None
 
     def body(i, acc):
         s, ss, vecs, mats = acc
@@ -505,18 +590,25 @@ def _k_p1(h1_ref, dout_ref, st1_ref, st2_ref, st3_ref, w2_ref, w3_ref,
         y2, z2 = _bn_relu2(h2, st2_ref, with_z=True)
         h3 = jnp.dot(y2.astype(jnp.bfloat16), w3_ref[:, :],
                      preferred_element_type=jnp.float32)
-        dz3 = _maxpool_dz(h3, dout, st3_ref, cm, k)
+        dz3 = _maxpool_dz(h3, dout, st3_ref, cm, k, e)
         xh3 = _xhat(h3, st3_ref)
         m2 = (z2 > 0).astype(jnp.float32)
         xh2 = _xhat(h2, st2_ref)
         left = jnp.concatenate([y2, m2, m2 * xh2], axis=1)   # [rows, 3C2]
         right = jnp.concatenate([dz3, xh3], axis=1)          # [rows, 2C3]
+        dz3w = dz3 * w if e else dz3
+        leftw = left * w if e else left
+        leftb = left.astype(jnp.bfloat16)
+        rightb = right.astype(jnp.bfloat16)
         mats = mats + lax.dot_general(
-            left.astype(jnp.bfloat16), right.astype(jnp.bfloat16),
-            contract, preferred_element_type=jnp.float32)
-        return (s + jnp.sum(dz3, axis=0, keepdims=True),
-                ss + jnp.sum(dz3 * xh3, axis=0, keepdims=True),
-                vecs + jnp.sum(left, axis=0, keepdims=True),
+            leftb, rightb, contract, preferred_element_type=jnp.float32)
+        if e:
+            mats = mats + float(e) * lax.dot_general(
+                _slot0(leftb, cm, k), _slot0(rightb, cm, k), contract,
+                preferred_element_type=jnp.float32)
+        return (s + jnp.sum(dz3w, axis=0, keepdims=True),
+                ss + jnp.sum(dz3w * xh3, axis=0, keepdims=True),
+                vecs + jnp.sum(leftw, axis=0, keepdims=True),
                 mats)
 
     s, ss, vecs, mats = lax.fori_loop(
@@ -530,10 +622,15 @@ def _k_p1(h1_ref, dout_ref, st1_ref, st2_ref, st3_ref, w2_ref, w3_ref,
 
 def _k_p2(h1_ref, dout_ref, idx_ref, st1_ref, st2_ref, st3_ref,
           w2_ref, w3_ref, wt3_ref, wt2_ref, us3_ref, us2_ref,
-          dw2_ref, ps1_ref, scat_ref, d1_ref, d2_ref, *, cm: int):
+          dw2_ref, ps1_ref, scat_ref, d1_ref, d2_ref, *, cm: int,
+          e: int = 0):
     """Backward pass 2: dW2, S1 sums, and the dQ/dOff scatter pieces.
-    us3/us2 are the pre-divided BN sums (Σ/R)."""
-    mt, k, c1 = h1_ref.shape[1], h1_ref.shape[2], h1_ref.shape[3]
+    us3/us2 are the pre-divided BN sums (Σ/R). Slot-capped blocks
+    (e > 0): h1 carries kc slots, idx stays k-wide and is sliced; slot
+    0 is weighted 1+e in every row sum and in the scatter — padded
+    replicas scatter to the same column (idx[:, 0]) with identical
+    values, so the weighting is exact."""
+    mt, kc, c1 = h1_ref.shape[1], h1_ref.shape[2], h1_ref.shape[3]
     c2 = w2_ref.shape[1]
     n = scat_ref.shape[1]
 
@@ -547,51 +644,64 @@ def _k_p2(h1_ref, dout_ref, idx_ref, st1_ref, st2_ref, st3_ref,
         scat_ref[0] = jnp.zeros_like(scat_ref[0])
 
     contract = (((0,), (0,)), ((), ()))
-    lane = lax.broadcasted_iota(jnp.int32, (cm, k, n), 2)
-    ones8 = jnp.ones((cm * k, 8), jnp.bfloat16)
+    lane = lax.broadcasted_iota(jnp.int32, (cm, kc, n), 2)
+    wrow = _slot_w(cm, kc, e) if e else None
+    ones8 = jnp.ones((cm * kc, 8), jnp.bfloat16)
 
     def body(i, acc):
         dw2, s, ss = acc
         h1 = h1_ref[0, pl.ds(i * cm, cm), :, :]
-        h1 = h1.astype(jnp.float32).reshape(cm * k, c1)
+        h1 = h1.astype(jnp.float32).reshape(cm * kc, c1)
         dout = dout_ref[0, pl.ds(i * cm, cm), :]
-        idx = idx_ref[0, pl.ds(i * cm, cm), :]
+        idx = idx_ref[0, pl.ds(i * cm, cm), :][:, :kc]
         y1, z1 = _bn_relu2(h1, st1_ref, with_z=True)
         h2 = jnp.dot(y1.astype(jnp.bfloat16), w2_ref[:, :],
                      preferred_element_type=jnp.float32)
         y2, z2 = _bn_relu2(h2, st2_ref, with_z=True)
         h3 = jnp.dot(y2.astype(jnp.bfloat16), w3_ref[:, :],
                      preferred_element_type=jnp.float32)
-        dz3 = _maxpool_dz(h3, dout, st3_ref, cm, k)
+        dz3 = _maxpool_dz(h3, dout, st3_ref, cm, kc, e)
         dh3 = _bn_bwd_row(dz3, _xhat(h3, st3_ref), st3_ref, us3_ref, 1.0)
         dy2 = jnp.dot(dh3.astype(jnp.bfloat16), wt3_ref[:, :],
                       preferred_element_type=jnp.float32)
         dz2 = jnp.where(z2 > 0, dy2, 0.0)
         dh2 = _bn_bwd_row(dz2, _xhat(h2, st2_ref), st2_ref, us2_ref, 1.0)
+        y1b = y1.astype(jnp.bfloat16)
+        dh2b = dh2.astype(jnp.bfloat16)
         dw2 = dw2 + lax.dot_general(
-            y1.astype(jnp.bfloat16), dh2.astype(jnp.bfloat16), contract,
-            preferred_element_type=jnp.float32)
+            y1b, dh2b, contract, preferred_element_type=jnp.float32)
+        if e:
+            dw2 = dw2 + float(e) * lax.dot_general(
+                _slot0(y1b, cm, kc), _slot0(dh2b, cm, kc), contract,
+                preferred_element_type=jnp.float32)
         dy1 = jnp.dot(dh2.astype(jnp.bfloat16), wt2_ref[:, :],
                       preferred_element_type=jnp.float32)
         dz1 = jnp.where(z1 > 0, dy1, 0.0)
         xh1 = _xhat(h1, st1_ref)
+        dz1w = dz1 * wrow if e else dz1
+        xh1w = xh1 * wrow if e else xh1
 
         d1_ref[0, pl.ds(i * cm, cm), :] = jnp.sum(
-            dz1.reshape(cm, k, c1), axis=1)
+            dz1w.reshape(cm, kc, c1), axis=1)
         d2_ref[0, pl.ds(i * cm, cm), :] = jnp.sum(
-            xh1.reshape(cm, k, c1), axis=1)
+            xh1w.reshape(cm, kc, c1), axis=1)
         onehot = (lane == idx[:, :, None]).astype(jnp.bfloat16)
-        onehot = onehot.reshape(cm * k, n)
+        onehot = onehot.reshape(cm * kc, n)
         right = jnp.concatenate(
             [dz1.astype(jnp.bfloat16), xh1.astype(jnp.bfloat16), ones8],
             axis=1)
         # accumulate straight into the (VMEM-resident) output block —
         # an [N, 2C1+8] loop carry would double the footprint
-        scat_ref[0] += lax.dot_general(
+        scat = lax.dot_general(
             onehot, right, contract, preferred_element_type=jnp.float32)
+        if e:
+            scat = scat + float(e) * lax.dot_general(
+                _slot0(onehot, cm, kc), _slot0(right, cm, kc), contract,
+                preferred_element_type=jnp.float32)
+        scat_ref[0] += scat
         return (dw2,
-                s + jnp.sum(dz1, axis=0, keepdims=True),
-                ss + jnp.sum(dz1 * xh1, axis=0, keepdims=True))
+                s + jnp.sum(dz1w, axis=0, keepdims=True),
+                ss + jnp.sum(dz1w * xh1, axis=0, keepdims=True))
 
     c2_ = w2_ref.shape[1]
     dw2, s, ss = lax.fori_loop(
@@ -604,12 +714,12 @@ def _k_p2(h1_ref, dout_ref, idx_ref, st1_ref, st2_ref, st3_ref,
 def _k_p2w(s_ref, nb_ref, h1_ref, dout_ref, idx_ref, st1_ref, st2_ref,
            st3_ref, w2_ref, w3_ref, wt3_ref, wt2_ref, us3_ref, us2_ref,
            dw2_ref, ps1_ref, scat_ref, d1_ref, d2_ref, *, cm: int,
-           w: int):
+           w: int, e: int = 0):
     """Windowed backward pass 2 (see _k_f1w): the scatter one-hot is
     built per w-wide block and accumulated into that slice of the
     resident scatter block — one block for narrow chunks, all for
-    wide ones."""
-    mt, k, c1 = h1_ref.shape[1], h1_ref.shape[2], h1_ref.shape[3]
+    wide ones. Slot capping as in _k_p2."""
+    mt, kc, c1 = h1_ref.shape[1], h1_ref.shape[2], h1_ref.shape[3]
     nch = mt // cm
     nt = pl.num_programs(1)
     pid = pl.program_id(0) * nt + pl.program_id(1)
@@ -624,22 +734,23 @@ def _k_p2w(s_ref, nb_ref, h1_ref, dout_ref, idx_ref, st1_ref, st2_ref,
         scat_ref[0] = jnp.zeros_like(scat_ref[0])
 
     contract = (((0,), (0,)), ((), ()))
-    lane = lax.broadcasted_iota(jnp.int32, (cm, k, w), 2)
-    ones8 = jnp.ones((cm * k, 8), jnp.bfloat16)
+    lane = lax.broadcasted_iota(jnp.int32, (cm, kc, w), 2)
+    wrow = _slot_w(cm, kc, e) if e else None
+    ones8 = jnp.ones((cm * kc, 8), jnp.bfloat16)
 
     def body(i, acc):
         dw2, sa, ss = acc
         h1 = h1_ref[0, pl.ds(i * cm, cm), :, :]
-        h1 = h1.astype(jnp.float32).reshape(cm * k, c1)
+        h1 = h1.astype(jnp.float32).reshape(cm * kc, c1)
         dout = dout_ref[0, pl.ds(i * cm, cm), :]
-        idx = idx_ref[0, pl.ds(i * cm, cm), :]
+        idx = idx_ref[0, pl.ds(i * cm, cm), :][:, :kc]
         y1, z1 = _bn_relu2(h1, st1_ref, with_z=True)
         h2 = jnp.dot(y1.astype(jnp.bfloat16), w2_ref[:, :],
                      preferred_element_type=jnp.float32)
         y2, z2 = _bn_relu2(h2, st2_ref, with_z=True)
         h3 = jnp.dot(y2.astype(jnp.bfloat16), w3_ref[:, :],
                      preferred_element_type=jnp.float32)
-        dz3 = _maxpool_dz(h3, dout, st3_ref, cm, k)
+        dz3 = _maxpool_dz(h3, dout, st3_ref, cm, kc, e)
         dh3 = _bn_bwd_row(dz3, _xhat(h3, st3_ref), st3_ref, us3_ref,
                           1.0)
         dy2 = jnp.dot(dh3.astype(jnp.bfloat16), wt3_ref[:, :],
@@ -647,21 +758,29 @@ def _k_p2w(s_ref, nb_ref, h1_ref, dout_ref, idx_ref, st1_ref, st2_ref,
         dz2 = jnp.where(z2 > 0, dy2, 0.0)
         dh2 = _bn_bwd_row(dz2, _xhat(h2, st2_ref), st2_ref, us2_ref,
                           1.0)
+        y1b = y1.astype(jnp.bfloat16)
+        dh2b = dh2.astype(jnp.bfloat16)
         dw2 = dw2 + lax.dot_general(
-            y1.astype(jnp.bfloat16), dh2.astype(jnp.bfloat16),
-            contract, preferred_element_type=jnp.float32)
+            y1b, dh2b, contract, preferred_element_type=jnp.float32)
+        if e:
+            dw2 = dw2 + float(e) * lax.dot_general(
+                _slot0(y1b, cm, kc), _slot0(dh2b, cm, kc), contract,
+                preferred_element_type=jnp.float32)
         dy1 = jnp.dot(dh2.astype(jnp.bfloat16), wt2_ref[:, :],
                       preferred_element_type=jnp.float32)
         dz1 = jnp.where(z1 > 0, dy1, 0.0)
         xh1 = _xhat(h1, st1_ref)
+        dz1w = dz1 * wrow if e else dz1
+        xh1w = xh1 * wrow if e else xh1
 
         d1_ref[0, pl.ds(i * cm, cm), :] = jnp.sum(
-            dz1.reshape(cm, k, c1), axis=1)
+            dz1w.reshape(cm, kc, c1), axis=1)
         d2_ref[0, pl.ds(i * cm, cm), :] = jnp.sum(
-            xh1.reshape(cm, k, c1), axis=1)
+            xh1w.reshape(cm, kc, c1), axis=1)
         right = jnp.concatenate(
             [dz1.astype(jnp.bfloat16), xh1.astype(jnp.bfloat16),
              ones8], axis=1)
+        right0 = _slot0(right, cm, kc) if e else None
         s = s_ref[pid * nch + i]
         nb = nb_ref[pid * nch + i]
         n = scat_ref.shape[1]
@@ -669,9 +788,15 @@ def _k_p2w(s_ref, nb_ref, h1_ref, dout_ref, idx_ref, st1_ref, st2_ref,
         def blk(base):
             onehot = (lane == (idx - base)[:, :, None]).astype(
                 jnp.bfloat16)
-            scat_ref[0, pl.ds(base, w), :] += lax.dot_general(
-                onehot.reshape(cm * k, w), right, contract,
+            oh = onehot.reshape(cm * kc, w)
+            acc = lax.dot_general(
+                oh, right, contract,
                 preferred_element_type=jnp.float32)
+            if e:
+                acc = acc + float(e) * lax.dot_general(
+                    _slot0(oh, cm, kc), right0, contract,
+                    preferred_element_type=jnp.float32)
+            scat_ref[0, pl.ds(base, w), :] += acc
 
         @pl.when(nb == 1)
         def _():
@@ -682,8 +807,8 @@ def _k_p2w(s_ref, nb_ref, h1_ref, dout_ref, idx_ref, st1_ref, st2_ref,
             for j in range(n // w):
                 blk(j * w)
         return (dw2,
-                sa + jnp.sum(dz1, axis=0, keepdims=True),
-                ss + jnp.sum(dz1 * xh1, axis=0, keepdims=True))
+                sa + jnp.sum(dz1w, axis=0, keepdims=True),
+                ss + jnp.sum(dz1w * xh1, axis=0, keepdims=True))
 
     c2_ = w2_ref.shape[1]
     dw2, sa, ss = lax.fori_loop(
@@ -729,7 +854,7 @@ def _bq_setup(c_ref, p_ref, r2_ref):
 
 
 def _k_bqf1(r2_ref, c_ref, p_ref, q_ref, off_ref, idx_ref, h_ref,
-            psum_ref, *, k: int):
+            cnt_ref, psum_ref, *, k: int):
     """Fused ball query + gather + BN stats. The extraction mask
     ``ramp == j+1`` IS the one-hot gather row, and the adaptive slot
     bound (no tile row has more than max(cnt) in-radius points) caps
@@ -779,6 +904,7 @@ def _k_bqf1(r2_ref, c_ref, p_ref, q_ref, off_ref, idx_ref, h_ref,
 
     first = idx_out[:, 0:1]
     idx_ref[0] = jnp.where(kcol < cntc, idx_out, first)
+    cnt_ref[0] = cntc
     psum_ref[0] += jnp.concatenate([s, ss], axis=0)
 
 
@@ -790,7 +916,7 @@ def _call_bqf1(new_xyz, pts, q, off, radius, k, interpret):
     mt = _block_tile(m, max(8, budget // per_row))
     r2 = jnp.full((1,), radius * radius, jnp.float32)
     nt = m // mt
-    idx, h, psum = pl.pallas_call(
+    idx, h, cnt, psum = pl.pallas_call(
         functools.partial(_k_bqf1, k=k),
         # flat grid: _psum_init zeroes at program_id(0)==0 exactly once
         grid=(b * nt,),
@@ -805,17 +931,19 @@ def _call_bqf1(new_xyz, pts, q, off, radius, k, interpret):
             pl.BlockSpec((1, mt, k), lambda i: (i // nt, i % nt, 0)),
             pl.BlockSpec((1, k, mt, c1),
                          lambda i: (i // nt, 0, i % nt, 0)),
+            pl.BlockSpec((1, mt, 1), lambda i: (i // nt, i % nt, 0)),
             _ps_spec(c1),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, m, k), jnp.int32),
             jax.ShapeDtypeStruct((b, k, m, c1), jnp.bfloat16),
+            jax.ShapeDtypeStruct((b, m, 1), jnp.int32),
             jax.ShapeDtypeStruct((1, 2, c1), jnp.float32),
         ],
         interpret=interpret,
     )(r2, new_xyz.astype(jnp.float32), pts.astype(jnp.float32),
       q.astype(jnp.bfloat16), off.astype(jnp.float32))
-    return idx, jnp.swapaxes(h, 1, 2), psum
+    return idx, jnp.swapaxes(h, 1, 2), cnt[..., 0], psum
 
 
 def _k_bqeval(r2_ref, c_ref, p_ref, q_ref, off_ref, st1_ref, st2_ref,
@@ -859,18 +987,33 @@ def _bq_fwd_impl(new_xyz, pts, q, off, params: SAParams, radius, k,
     b, n, _ = q.shape
     m = new_xyz.shape[1]
     r = float(b * m * k * world)
-    idx, h1, p1 = _call_bqf1(new_xyz, pts, q, off, radius, k, interpret)
+    idx, h1, cnt, p1 = _call_bqf1(new_xyz, pts, q, off, radius, k,
+                                  interpret)
     m1, v1 = _moments(_psum(p1[0], axis_name), r)
     st1 = _stack_stats(m1, v1, params.g1, params.b1)
-    p2 = _call_stats2(h1, st1, params.w2, interpret)
-    m2, v2 = _moments(_psum(p2[0], axis_name), r)
-    st2 = _stack_stats(m2, v2, params.g2, params.b2)
-    p3 = _call_stats3(h1, st1, st2, params.w2, params.w3, interpret)
-    m3, v3 = _moments(_psum(p3[0], axis_name), r)
-    st3 = _stack_stats(m3, v3, params.g3, params.b3)
-    out = _call_out(h1, st1, st2, st3, params.w2, params.w3, interpret)
+
+    def tail(kc):
+        p2 = _call_stats2(h1, st1, params.w2, interpret, kc=kc)
+        m2, v2 = _moments(_psum(p2[0], axis_name), r)
+        st2 = _stack_stats(m2, v2, params.g2, params.b2)
+        p3 = _call_stats3(h1, st1, st2, params.w2, params.w3,
+                          interpret, kc=kc)
+        m3, v3 = _moments(_psum(p3[0], axis_name), r)
+        st3 = _stack_stats(m3, v3, params.g3, params.b3)
+        out = _call_out(h1, st1, st2, st3, params.w2, params.w3,
+                        interpret, kc=kc)
+        return out, (m2, v2, m3, v3), st2, st3
+
+    variants = _kc_variants(k)
+    if len(variants) == 1:
+        out, (m2, v2, m3, v3), st2, st3 = tail(k)
+        maxcnt = None
+    else:
+        maxcnt = _maxcnt_pred(cnt, k, axis_name)
+        out, (m2, v2, m3, v3), st2, st3 = _cond_chain(
+            maxcnt, variants, tail)
     stats = SAStats(m1, v1, m2, v2, m3, v3)
-    return out, stats, (idx, h1, st1, st2, st3)
+    return out, stats, (idx, h1, st1, st2, st3, maxcnt)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
@@ -889,15 +1032,16 @@ def fused_sa_bq_train(new_xyz, pts, q, off, params: SAParams, radius,
 
 def _bq_train_fwd(new_xyz, pts, q, off, params, radius, k, interpret,
                   axis_name, world):
-    out, stats, (idx, h1, st1, st2, st3) = _bq_fwd_impl(
+    out, stats, (idx, h1, st1, st2, st3, maxcnt) = _bq_fwd_impl(
         new_xyz, pts, q, off, params, radius, k, interpret, axis_name,
         world)
-    res = (idx, h1, st1, st2, st3, params, q.shape[1], None, None)
+    res = (idx, h1, st1, st2, st3, params, q.shape[1], None, None,
+           maxcnt)
     return (out, stats), res
 
 
 def _bq_train_bwd(radius, k, interpret, axis_name, world, res, cts):
-    dq, doff, _, dparams = _fused_train_bwd(
+    dq, doff, _, dparams, _ = _fused_train_bwd(
         interpret, axis_name, world, res, cts)
     return None, None, dq, doff, dparams
 
@@ -1019,14 +1163,15 @@ def _call_f1(q, idx, off, interpret):
     return h1, psum
 
 
-def _call_stats2(h1, st1, w2, interpret):
+def _call_stats2(h1, st1, w2, interpret, kc=None):
     b, m, k, c1 = h1.shape
+    kc = k if kc is None else kc
     c2 = w2.shape[1]
-    mt = _m_tile(m, k, bf16_widths=c1)
+    mt = _m_tile(m, kc, bf16_widths=c1)
     psum = pl.pallas_call(
-        functools.partial(_k_stats2, cm=_chunk(mt, k)),
+        functools.partial(_k_stats2, cm=_chunk(mt, kc), e=k - kc),
         grid=(b * (m // mt),),
-        in_specs=[_flat(m, mt, (k, c1)), _st_spec(c1), _w_spec(w2)],
+        in_specs=[_flat(m, mt, (kc, c1)), _st_spec(c1), _w_spec(w2)],
         out_specs=_ps_spec(c2),
         out_shape=jax.ShapeDtypeStruct((1, 2, c2), jnp.float32),
         interpret=interpret,
@@ -1034,14 +1179,15 @@ def _call_stats2(h1, st1, w2, interpret):
     return psum
 
 
-def _call_stats3(h1, st1, st2, w2, w3, interpret):
+def _call_stats3(h1, st1, st2, w2, w3, interpret, kc=None):
     b, m, k, c1 = h1.shape
+    kc = k if kc is None else kc
     c3 = w3.shape[1]
-    mt = _m_tile(m, k, bf16_widths=c1)
+    mt = _m_tile(m, kc, bf16_widths=c1)
     psum = pl.pallas_call(
-        functools.partial(_k_stats3, cm=_chunk(mt, k)),
+        functools.partial(_k_stats3, cm=_chunk(mt, kc), e=k - kc),
         grid=(b * (m // mt),),
-        in_specs=[_flat(m, mt, (k, c1)), _st_spec(c1), _st_spec(w2.shape[1]),
+        in_specs=[_flat(m, mt, (kc, c1)), _st_spec(c1), _st_spec(w2.shape[1]),
                   _w_spec(w2), _w_spec(w3)],
         out_specs=_ps_spec(c3),
         out_shape=jax.ShapeDtypeStruct((1, 2, c3), jnp.float32),
@@ -1050,14 +1196,15 @@ def _call_stats3(h1, st1, st2, w2, w3, interpret):
     return psum
 
 
-def _call_out(h1, st1, st2, st3, w2, w3, interpret):
+def _call_out(h1, st1, st2, st3, w2, w3, interpret, kc=None):
     b, m, k, c1 = h1.shape
+    kc = k if kc is None else kc
     c3 = w3.shape[1]
-    mt = _m_tile(m, k, bf16_widths=c1)
+    mt = _m_tile(m, kc, bf16_widths=c1)
     return pl.pallas_call(
-        functools.partial(_k_out, cm=_chunk(mt, k)),
+        functools.partial(_k_out, cm=_chunk(mt, kc)),
         grid=(b * (m // mt),),
-        in_specs=[_flat(m, mt, (k, c1)), _st_spec(c1),
+        in_specs=[_flat(m, mt, (kc, c1)), _st_spec(c1),
                   _st_spec(w2.shape[1]), _st_spec(c3),
                   _w_spec(w2), _w_spec(w3)],
         out_specs=_flat(m, mt, (c3,)),
@@ -1070,8 +1217,18 @@ def _psum(x, axis_name):
     return lax.psum(x, axis_name) if axis_name else x
 
 
+def _maxcnt_pred(cnt, k, axis_name):
+    """max(cnt) clamped at k, pmax'd over the DP axis so every shard
+    takes the same cond branch (collectives inside diverging branches
+    would deadlock)."""
+    mc = jnp.minimum(jnp.max(cnt), k).astype(jnp.int32)
+    if axis_name is not None:
+        mc = lax.pmax(mc, axis_name)
+    return mc
+
+
 def _fused_fwd_impl(q, off, idx, params: SAParams, interpret,
-                    axis_name=None, world=1):
+                    axis_name=None, world=1, cnt=None):
     b, n, _ = q.shape
     _, m, k = idx.shape
     r = float(b * m * k * world)
@@ -1089,24 +1246,35 @@ def _fused_fwd_impl(q, off, idx, params: SAParams, interpret,
     m1, v1 = _moments(_psum(p1[0], axis_name), r)
     st1 = _stack_stats(m1, v1, params.g1, params.b1)
 
-    p2 = _call_stats2(h1, st1, params.w2, interpret)
-    m2, v2 = _moments(_psum(p2[0], axis_name), r)
-    st2 = _stack_stats(m2, v2, params.g2, params.b2)
+    def tail(kc):
+        p2 = _call_stats2(h1, st1, params.w2, interpret, kc=kc)
+        m2, v2 = _moments(_psum(p2[0], axis_name), r)
+        st2 = _stack_stats(m2, v2, params.g2, params.b2)
+        p3 = _call_stats3(h1, st1, st2, params.w2, params.w3,
+                          interpret, kc=kc)
+        m3, v3 = _moments(_psum(p3[0], axis_name), r)
+        st3 = _stack_stats(m3, v3, params.g3, params.b3)
+        out = _call_out(h1, st1, st2, st3, params.w2, params.w3,
+                        interpret, kc=kc)
+        return out, (m2, v2, m3, v3), st2, st3
 
-    p3 = _call_stats3(h1, st1, st2, params.w2, params.w3, interpret)
-    m3, v3 = _moments(_psum(p3[0], axis_name), r)
-    st3 = _stack_stats(m3, v3, params.g3, params.b3)
-
-    out = _call_out(h1, st1, st2, st3, params.w2, params.w3, interpret)
+    variants = _kc_variants(k)
+    if cnt is None or len(variants) == 1:
+        out, (m2, v2, m3, v3), st2, st3 = tail(k)
+        maxcnt = None
+    else:
+        maxcnt = _maxcnt_pred(cnt, k, axis_name)
+        out, (m2, v2, m3, v3), st2, st3 = _cond_chain(
+            maxcnt, variants, tail)
     if sigma is not None:
         out = _take_rows(out, inv)
     stats = SAStats(m1, v1, m2, v2, m3, v3)
-    return out, stats, (h1, st1, st2, st3, idx, sigma, inv)
+    return out, stats, (h1, st1, st2, st3, idx, sigma, inv, maxcnt)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def fused_sa_train(q, off, idx, params: SAParams, interpret=False,
-                   axis_name=None, world=1):
+                   axis_name=None, world=1, cnt=None):
     """Train-mode fused SA MLP.
 
     ``q [B,N,C1]`` = points ⋅ W1 (the first Dense pre-applied in XLA so
@@ -1117,6 +1285,12 @@ def fused_sa_train(q, off, idx, params: SAParams, interpret=False,
     ``(out [B,M,C3], SAStats)``; the stats outputs feed the running BN
     update and are not differentiated.
 
+    ``cnt [B,M]`` (optional) = the ball query's per-center in-radius
+    counts: when given, the stats/out/backward passes run slot-capped
+    variants chosen at runtime by max(cnt) (see _kc_variants) — exact,
+    because capped-away slots are repeat-padding replicas accounted for
+    in closed form.
+
     Data parallelism: call inside ``shard_map`` with the batch sharded
     and ``axis_name``/``world`` set. BN statistics (forward moments and
     the backward dstat sums) are psum'd across the axis — sync-BN, the
@@ -1125,25 +1299,29 @@ def fused_sa_train(q, off, idx, params: SAParams, interpret=False,
     them at the replicated-input boundary.
     """
     out, stats, _ = _fused_fwd_impl(q, off, idx, params, interpret,
-                                    axis_name, world)
+                                    axis_name, world, cnt)
     return out, stats
 
 
-def _fused_train_fwd(q, off, idx, params, interpret, axis_name, world):
-    out, stats, (h1, st1, st2, st3, idx_s, sigma, inv) = _fused_fwd_impl(
-        q, off, idx, params, interpret, axis_name, world)
-    res = (idx_s, h1, st1, st2, st3, params, q.shape[1], sigma, inv)
+def _fused_train_fwd(q, off, idx, params, interpret, axis_name, world,
+                     cnt=None):
+    out, stats, (h1, st1, st2, st3, idx_s, sigma, inv, maxcnt) = (
+        _fused_fwd_impl(q, off, idx, params, interpret, axis_name,
+                        world, cnt))
+    res = (idx_s, h1, st1, st2, st3, params, q.shape[1], sigma, inv,
+           maxcnt)
     return (out, stats), res
 
 
-def _call_p1(h1, dout, st1, st2, st3, w2, w3, interpret):
+def _call_p1(h1, dout, st1, st2, st3, w2, w3, interpret, kc=None):
     b, m, k, c1 = h1.shape
+    kc = k if kc is None else kc
     c2, c3 = w2.shape[1], w3.shape[1]
-    mt = _m_tile(m, k, bf16_widths=c1, f32_widths=c3 // k + 1)
+    mt = _m_tile(m, kc, bf16_widths=c1, f32_widths=c3 // kc + 1)
     return pl.pallas_call(
-        functools.partial(_k_p1, cm=_chunk(mt, k)),
+        functools.partial(_k_p1, cm=_chunk(mt, kc), e=k - kc),
         grid=(b * (m // mt),),
-        in_specs=[_flat(m, mt, (k, c1)), _flat(m, mt, (c3,)),
+        in_specs=[_flat(m, mt, (kc, c1)), _flat(m, mt, (c3,)),
                   _st_spec(c1), _st_spec(c2), _st_spec(c3),
                   _w_spec(w2), _w_spec(w3)],
         out_specs=[_ps_spec(c3),
@@ -1193,16 +1371,17 @@ def _combine_p1(ps3, vecs, mats, st3_folded, w3, r, axis_name=None):
 
 
 def _call_p2(h1, dout, idx, st1, st2, st3, w2, w3, us3, us2, n,
-             interpret):
+             interpret, kc=None):
     b, m, k, c1 = h1.shape
+    kc = k if kc is None else kc
     c2, c3 = w2.shape[1], w3.shape[1]
     # the [N, 2C1+8] scatter accumulator (output block + loop carry)
     # lives in VMEM regardless of the row tile
-    mt = _m_tile(m, k, bf16_widths=c1, f32_widths=c3 // k + 1,
+    mt = _m_tile(m, kc, bf16_widths=c1, f32_widths=c3 // kc + 1,
                  fixed_bytes=8 * n * (2 * c1 + 8))
     w = _window_width(n)
     in_specs = [
-        pl.BlockSpec((1, mt, k, c1), lambda i, j: (i, j, 0, 0)),
+        pl.BlockSpec((1, mt, kc, c1), lambda i, j: (i, j, 0, 0)),
         pl.BlockSpec((1, mt, c3), lambda i, j: (i, j, 0)),
         pl.BlockSpec((1, mt, k), lambda i, j: (i, j, 0)),
         _st_spec(c1), _st_spec(c2), _st_spec(c3),
@@ -1231,7 +1410,7 @@ def _call_p2(h1, dout, idx, st1, st2, st3, w2, w3, us3, us2, n,
             jnp.swapaxes(w2, 0, 1).astype(jnp.bfloat16), us3, us2)
     if w is None:
         dw2, ps1, scat, d1, d2 = pl.pallas_call(
-            functools.partial(_k_p2, cm=_gchunk(mt, k, n)),
+            functools.partial(_k_p2, cm=_gchunk(mt, kc, n), e=k - kc),
             grid=(b, m // mt),
             in_specs=in_specs,
             out_specs=out_specs,
@@ -1239,10 +1418,10 @@ def _call_p2(h1, dout, idx, st1, st2, st3, w2, w3, us3, us2, n,
             interpret=interpret,
         )(*args)
         return dw2[0], ps1, scat, d1, d2
-    cm = _gchunk(mt, k, n)
+    cm = _gchunk(mt, kc, n)
     starts, nblocks = _window_plan(idx, cm, w, n)
     dw2, ps1, scat, d1, d2 = pl.pallas_call(
-        functools.partial(_k_p2w, cm=cm, w=w),
+        functools.partial(_k_p2w, cm=cm, w=w, e=k - kc),
         grid=(b, m // mt),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs,
@@ -1255,7 +1434,7 @@ def _call_p2(h1, dout, idx, st1, st2, st3, w2, w3, us3, us2, n,
 
 def _fused_train_bwd(interpret, axis_name, world, res, cts):
     (dout, _dstats) = cts  # stats feed running updates only
-    idx, h1, st1, st2, st3, params, n, sigma, inv = res
+    idx, h1, st1, st2, st3, params, n, sigma, inv, maxcnt = res
     b, m, k, c1 = h1.shape
     r = float(b * m * k * world)
     w2, w3 = params.w2, params.w3
@@ -1263,15 +1442,25 @@ def _fused_train_bwd(interpret, axis_name, world, res, cts):
     if sigma is not None:
         dout = _take_rows(dout, sigma)  # rows ride in σ order (as h1)
 
-    ps3, vecs, mats = _call_p1(h1, dout, st1, st2, st3, w2, w3,
-                               interpret)
-    dw3, s2_g, ps3_g = _combine_p1(ps3, vecs, mats, st3, w3, r,
-                                   axis_name)
+    def passes(kc):
+        ps3, vecs, mats = _call_p1(h1, dout, st1, st2, st3, w2, w3,
+                                   interpret, kc=kc)
+        dw3, s2_g, ps3_g = _combine_p1(ps3, vecs, mats, st3, w3, r,
+                                       axis_name)
+        us3 = ps3_g / r
+        us2 = s2_g / r
+        dw2, ps1, scat, d1, d2 = _call_p2(
+            h1, dout, idx, st1, st2, st3, w2, w3, us3, us2, n,
+            interpret, kc=kc)
+        return ps3, vecs, mats, dw3, s2_g, ps3_g, dw2, ps1, scat, d1, d2
 
-    us3 = ps3_g / r
-    us2 = s2_g / r
-    dw2, ps1, scat, d1, d2 = _call_p2(
-        h1, dout, idx, st1, st2, st3, w2, w3, us3, us2, n, interpret)
+    variants = _kc_variants(k)
+    if maxcnt is None or len(variants) == 1:
+        (ps3, vecs, mats, dw3, s2_g, ps3_g, dw2, ps1, scat, d1,
+         d2) = passes(k)
+    else:
+        (ps3, vecs, mats, dw3, s2_g, ps3_g, dw2, ps1, scat, d1,
+         d2) = _cond_chain(maxcnt, variants, passes)
 
     # dQ / dOff are affine in the (now known, global) BN1 sums
     ps1_g = _psum(ps1, axis_name)
@@ -1318,7 +1507,7 @@ def _fused_train_bwd(interpret, axis_name, world, res, cts):
         g2=g2_grad, b2=b2_grad,
         g3=ps3[0, 1], b3=ps3[0, 0],
     )
-    return dq, doff, None, dparams
+    return dq, doff, None, dparams, None  # None cnt cotangent
 
 
 fused_sa_train.defvjp(_fused_train_fwd, _fused_train_bwd)

@@ -59,6 +59,14 @@ def sweep_sa():
                 fused_sa_train(q, off, idx, p)[0]), argnums=(0, 1, 2)))
         out = g(q, off, params)
         jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+        # cnt-fed: lax.cond compiles EVERY slot-cap rung (_kc_variants)
+        cnt = jnp.asarray(rng.integers(1, k + 1, (b, m)), jnp.int32)
+        gc = jax.jit(jax.grad(
+            lambda q, off, p: jnp.sum(
+                fused_sa_train(q, off, idx, p, False, None, 1,
+                               cnt)[0]), argnums=(0, 1, 2)))
+        out = gc(q, off, params)
+        jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])
         ev = fused_sa_eval(q, off, idx, params, SAStats(
             jnp.zeros(c1), jnp.ones(c1), jnp.zeros(c2), jnp.ones(c2),
             jnp.zeros(c3), jnp.ones(c3)))
@@ -156,8 +164,48 @@ def sweep_gather_odd():
         print(f"gather ok  B={b} N={n} M={m} K={k} C={c}", flush=True)
 
 
+def sweep_bq():
+    """In-kernel ball-query route (the headline path at k <= 64) —
+    its tail passes slot-cap via the kernel's own cnt output."""
+    from pointcloudlib_tpu.ops.pallas.fused_sa import (
+        SAParams, fused_sa_bq_train,
+    )
+
+    rng = np.random.default_rng(2)
+    # (B, N, M, K, C1, C2, C3, r) — SSG SA1/SA2, MSG small scales
+    for (b, n, m, k, c1, c2, c3, r) in [
+        (8, 1024, 512, 32, 64, 64, 128, 0.2),
+        (8, 512, 128, 64, 128, 128, 256, 0.4),
+        (8, 1024, 512, 16, 32, 32, 64, 0.1),
+    ]:
+        xyz = rng.standard_normal((b, n, 3)).astype(np.float32)
+        xyz /= np.linalg.norm(xyz, axis=-1, keepdims=True)
+        xyz = jnp.asarray(xyz)
+        new_xyz = xyz[:, :m]
+        q = jnp.asarray(rng.standard_normal((b, n, c1)), jnp.float32)
+        off = jnp.asarray(rng.standard_normal((b, m, c1)) * .1,
+                          jnp.float32)
+        params = SAParams(
+            w2=jnp.asarray(rng.standard_normal((c1, c2)) * .2,
+                           jnp.float32),
+            w3=jnp.asarray(rng.standard_normal((c2, c3)) * .2,
+                           jnp.float32),
+            g1=jnp.ones(c1), b1=jnp.zeros(c1),
+            g2=jnp.ones(c2), b2=jnp.zeros(c2),
+            g3=jnp.ones(c3), b3=jnp.zeros(c3),
+        )
+        g = jax.jit(jax.grad(
+            lambda q, off, p: jnp.sum(fused_sa_bq_train(
+                new_xyz, xyz, q, off, p, r, k)[0]), argnums=(0, 1, 2)))
+        out = g(q, off, params)
+        jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+        print(f"bq ok  B={b} N={n} M={m} K={k} C=({c1},{c2},{c3})",
+              flush=True)
+
+
 if __name__ == "__main__":
     sweep_sa()
     sweep_edge()
     sweep_gather_odd()
+    sweep_bq()
     print("sweep complete")

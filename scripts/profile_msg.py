@@ -80,6 +80,36 @@ def main():
     f_bq = jax.jit(lambda c, x: ball_query(c, x, 0.4, 128)[0])
     print(f"standalone ball_query k=128: {bench(f_bq, new_xyz, xyz):.2f} ms")
 
+    # unfused XLA route for the same k=128 scale, for comparison
+    from pointcloudlib_tpu.nn.layers import PointMLP
+    from pointcloudlib_tpu.ops import group_points
+
+    r, k, mlp = SA1[2]
+
+    class UnfusedScale(nn.Module):
+        @nn.compact
+        def __call__(self, xyz, feats, new_xyz, training=False):
+            nidx, _ = ball_query(new_xyz, xyz, r, k)
+            nidx = jax.lax.stop_gradient(nidx)
+            grouped = group_points(xyz, feats, new_xyz, nidx, True)
+            h = PointMLP(list(mlp))(grouped, training)
+            return jnp.max(h, axis=2)
+
+    umod = UnfusedScale()
+    uv = umod.init(jax.random.key(0), xyz, feats, new_xyz,
+                   training=False)
+
+    def ufwd(v, xyz, feats, new_xyz):
+        out, _ = umod.apply(v, xyz, feats, new_xyz, training=True,
+                            mutable=["batch_stats"])
+        return out.sum()
+
+    ub = jax.jit(lambda v, x, f, nx: jax.grad(
+        lambda vv: ufwd(vv, x, f, nx))(v))
+    print(f"unfused XLA scale k=128: fwd "
+          f"{bench(jax.jit(ufwd), uv, xyz, feats, new_xyz):.2f} ms   "
+          f"fwd+bwd {bench(ub, uv, xyz, feats, new_xyz):.2f} ms")
+
     # --- full model step ---
     from pointcloudlib_tpu.models import get_cls_model
 
@@ -90,7 +120,8 @@ def main():
     def loss_fn(params, bs):
         out, upd = model.apply(
             {"params": params, "batch_stats": bs}, xyz, feats,
-            training=True, mutable=["batch_stats"])
+            training=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.key(1)})
         l = optax.softmax_cross_entropy_with_integer_labels(
             out, labels).mean()
         return l, upd

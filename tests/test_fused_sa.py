@@ -454,3 +454,82 @@ def test_bq_fused_matches_separate():
                               radius, k, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_slot_capped_passes_match_full():
+    """Slot capping (fused_sa.py _kc_variants): with max(cnt) far below
+    k, the stats/out/backward passes run on kc < k slots and account
+    for the k-kc padding replicas in closed form. Must reproduce the
+    full-k computation: the bf16 contraction operands are identical
+    (the replica correction is e * a slot-0-rows contraction, sliced
+    from the same bf16 tensors — see _slot0), so the only differences
+    are f32 accumulation order."""
+    from pointcloudlib_tpu.ops import ball_query, fps, index_points
+    from pointcloudlib_tpu.ops.pallas import fused_sa as fs
+
+    b, n, m, k = 2, 256, 64, 32
+    c1, c2, c3 = 16, 16, 32
+    rng = np.random.default_rng(3)
+    xyz = rng.standard_normal((b, n, 3)).astype(np.float32)
+    xyz /= np.linalg.norm(xyz, axis=-1, keepdims=True)
+    xyz = jnp.asarray(xyz)
+    new_xyz = index_points(xyz, fps(xyz, m))
+    nidx, cnt = ball_query(new_xyz, xyz, 0.2, k)  # tight: cnt << k
+    assert int(jnp.max(cnt)) < k // 2, "radius too wide for this test"
+    assert fs._kc_variants(k) != [k]
+
+    q = jnp.asarray(rng.standard_normal((b, n, c1)), jnp.float32)
+    off = jnp.asarray(rng.standard_normal((b, m, c1)), jnp.float32)
+    params = fs.SAParams(
+        w2=jnp.asarray(rng.standard_normal((c1, c2)) * 0.1, jnp.float32),
+        w3=jnp.asarray(rng.standard_normal((c2, c3)) * 0.1, jnp.float32),
+        g1=jnp.ones(c1), b1=jnp.zeros(c1), g2=jnp.ones(c2),
+        b2=jnp.zeros(c2), g3=jnp.ones(c3), b3=jnp.zeros(c3))
+
+    def loss(q, off, params, c):
+        out, stats = fs.fused_sa_train(q, off, nidx, params, True,
+                                       None, 1, c)
+        w = jnp.cos(jnp.arange(out.size, dtype=jnp.float32)
+                    ).reshape(out.shape)
+        return jnp.sum(out * w), (out, stats)
+
+    (l0, (o0, s0)), g0 = jax.value_and_grad(
+        loss, argnums=(0, 1, 2), has_aux=True)(q, off, params, None)
+    (l1, (o1, s1)), g1 = jax.value_and_grad(
+        loss, argnums=(0, 1, 2), has_aux=True)(q, off, params, cnt)
+
+    # BN stats are plain f32 sums either way
+    for a, b_ in zip(jax.tree_util.tree_leaves(s0),
+                     jax.tree_util.tree_leaves(s1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1),
+                               rtol=1e-4, atol=1e-4)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g0),
+                     jax.tree_util.tree_leaves(g1)):
+        a, b_ = np.asarray(a), np.asarray(b_)
+        np.testing.assert_allclose(a, b_, rtol=2e-3, atol=2e-3)
+
+    # an inflated cnt forces the 3k/4 rung (kc = 24, which does NOT
+    # divide k = 32 — the h1 BlockSpec reads slot block 0 only, so
+    # divisibility is not required); still exact since kc >= max(cnt)
+    kc34 = 3 * k // 4
+    assert kc34 in fs._kc_variants(k)
+    cnt34 = jnp.full_like(cnt, kc34 - 2)
+    (_, (o34, s34)), g34 = jax.value_and_grad(
+        loss, argnums=(0, 1, 2), has_aux=True)(q, off, params, cnt34)
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o34),
+                               rtol=1e-4, atol=1e-4)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g0),
+                     jax.tree_util.tree_leaves(g34)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-3, atol=2e-3)
+
+    # a wide radius keeps the full-k branch: results must be identical
+    nidx2, cnt2 = ball_query(new_xyz, xyz, 1.5, k)
+    assert int(jnp.min(cnt2)) >= k  # every slot live
+    o2, _ = fs.fused_sa_train(q, off, nidx2, params, True, None, 1,
+                              None)
+    o3, _ = fs.fused_sa_train(q, off, nidx2, params, True, None, 1,
+                              cnt2)
+    np.testing.assert_array_equal(np.asarray(o2), np.asarray(o3))
