@@ -39,7 +39,12 @@ def main():
 
     B, N = 64, 1024
     rng = np.random.default_rng(0)
-    xyz = jnp.asarray(rng.standard_normal((B, N, 3)), jnp.float32)
+    xyz = rng.standard_normal((B, N, 3)).astype(np.float32)
+    # unit sphere like bench.py — unnormalized Gaussians have ~4x
+    # sparser r=0.2 neighborhoods, which flatters the slot-capped
+    # kernels (deeper kc rungs than real data would take)
+    xyz /= np.linalg.norm(xyz, axis=-1, keepdims=True)
+    xyz = jnp.asarray(xyz)
     feats = jnp.asarray(rng.standard_normal((B, N, 3)), jnp.float32)
     label = jnp.asarray(np.arange(B) % 40, jnp.int32)
     batch = {"xyz": xyz, "feats": feats, "label": label}
