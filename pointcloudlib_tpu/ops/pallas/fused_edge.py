@@ -179,8 +179,44 @@ def _ke_bwd(h_ref, dout_ref, idx_ref, st_ref, ps_ref, scat_ref,
     ps_ref[0] += jnp.concatenate([s, ss], axis=0)
 
 
+def _knn_slots(ranks, q2d, k: int, ck: int, want_idx: bool):
+    """Iterate slot chunks of a bisect-selected graph: yields
+    ``(j0, g [ck, mt, c], idx [mt, ck] | None)`` per chunk, where g is
+    the gathered Q rows (slot-major). The rank mask ``ranks == j+1``
+    IS the one-hot gather row; chunking batches ck slots into one MXU
+    call. idx rides a bf16 byte-split matvec and a first-dim-contract
+    identity transpose (both exact)."""
+    from pointcloudlib_tpu.ops.pallas.neighbors import _lane_bytes
+
+    mt, n = ranks.shape
+    c = q2d.shape[1]
+    lmat = _lane_bytes(n) if want_idx else None
+    eye = None
+    if want_idx:
+        eye = (lax.broadcasted_iota(jnp.int32, (ck, ck), 0)
+               == lax.broadcasted_iota(jnp.int32, (ck, ck), 1)
+               ).astype(jnp.float32)
+    contract0 = (((0,), (0,)), ((), ()))
+    for j0 in range(0, k, ck):
+        sid = (j0 + 1 + lax.broadcasted_iota(jnp.int32, (ck, 1, 1), 0))
+        t = (ranks[None, :, :] == sid).astype(jnp.bfloat16)
+        t2 = t.reshape(ck * mt, n)
+        g = jnp.dot(t2, q2d, preferred_element_type=jnp.float32)
+        g = g.reshape(ck, mt, c)
+        idx = None
+        if want_idx:
+            ic = jnp.dot(t2, lmat, preferred_element_type=jnp.float32)
+            ic = ic.reshape(ck, mt, 8)
+            idxf = ic[:, :, 0] + 256.0 * ic[:, :, 1]       # [ck, mt]
+            idx = lax.dot_general(
+                idxf, eye, contract0,
+                precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)         # [mt, ck]
+        yield j0, g, idx
+
+
 def _ke_knn_f1(x_ref, q_ref, off_ref, idx_ref, h_ref, psum_ref,
-               *, k: int, nt: int):
+               *, k: int, nt: int, bisect: bool = False):
     """Fused kNN + gather: the argmin round's selection mask
     ``lane == best`` IS the one-hot gather row, so the separate gather
     kernel's one-hot build (rows·k·N compares) disappears — each round
@@ -188,7 +224,12 @@ def _ke_knn_f1(x_ref, q_ref, off_ref, idx_ref, h_ref, psum_ref,
     (for the backward scatter), the h = Q[idx] − Off bf16 checkpoint,
     and the BN Σ/Σ² sums. Runs on a FLAT grid (b·nt,) so _psum_init
     zeroes the accumulator exactly once (program_id(0)==0), never per
-    batch-0 tile."""
+    batch-0 tile.
+
+    ``bisect``: replace the k argmin rounds with bisection top-k
+    selection (neighbors._knn_select — same SET, slots in index order
+    instead of distance order; EdgeConv is slot-order-invariant) and
+    batched chunk extraction — ~2× fewer VPU passes at k ≥ 20."""
     n, c = q_ref.shape[1], q_ref.shape[2]
     mt = off_ref.shape[1]
     lane = lax.broadcasted_iota(jnp.int32, (mt, n), 1)
@@ -204,6 +245,30 @@ def _ke_knn_f1(x_ref, q_ref, off_ref, idx_ref, h_ref, psum_ref,
                             preferred_element_type=jnp.float32)
     d2 = jnp.maximum(x2 - 2.0 * inner + p2.T, 0.0)
     off = off_ref[0]
+
+    if bisect:
+        from pointcloudlib_tpu.ops.pallas.neighbors import (
+            _knn_select, _slot_chunk,
+        )
+
+        _, ranks = _knn_select(d2, k)
+        ck = _slot_chunk(k, cap=4 if n >= 2048 else 8)
+        idx_out = jnp.zeros((mt, k), jnp.int32)
+        s, ss = _zeros2(c)
+        for j0, g, idxt in _knn_slots(ranks, q_ref[0], k, ck, True):
+            h = g - off[None]                            # [ck, mt, c]
+            h_ref[0, j0:j0 + ck, :, :] = h.astype(jnp.bfloat16)
+            h2 = h.reshape(ck * mt, c)
+            s = s + jnp.sum(h2, axis=0, keepdims=True)
+            ss = ss + jnp.sum(h2 * h2, axis=0, keepdims=True)
+            place = jnp.concatenate(
+                [jnp.zeros((mt, j0), jnp.float32), idxt,
+                 jnp.zeros((mt, k - j0 - ck), jnp.float32)], axis=1)
+            idx_out = jnp.where((kcol >= j0) & (kcol < j0 + ck),
+                                place.astype(jnp.int32), idx_out)
+        idx_ref[0] = idx_out
+        psum_ref[0] += jnp.concatenate([s, ss], axis=0)
+        return
 
     def body(j, carry):
         d2cur, idx_out, s, ss = carry
@@ -230,9 +295,10 @@ def _ke_knn_f1(x_ref, q_ref, off_ref, idx_ref, h_ref, psum_ref,
 
 
 def _ke_knn_eval(x_ref, q_ref, off_ref, st_ref, out_ref, *, k: int,
-                 slope: float):
-    """Eval: kNN rounds + gather + BN + LeakyReLU + running max over
-    the k rounds — no h checkpoint at all."""
+                 slope: float, bisect: bool = False):
+    """Eval: kNN selection + gather + BN + LeakyReLU + running max —
+    no h checkpoint at all. ``bisect`` as in _ke_knn_f1 (max over the
+    neighbor set is slot-order-invariant)."""
     n, c = q_ref.shape[1], q_ref.shape[2]
     mt = off_ref.shape[1]
     lane = lax.broadcasted_iota(jnp.int32, (mt, n), 1)
@@ -246,6 +312,22 @@ def _ke_knn_eval(x_ref, q_ref, off_ref, st_ref, out_ref, *, k: int,
                             preferred_element_type=jnp.float32)
     d2 = jnp.maximum(x2 - 2.0 * inner + p2.T, 0.0)
     off = off_ref[0]
+
+    if bisect:
+        from pointcloudlib_tpu.ops.pallas.neighbors import (
+            _knn_select, _slot_chunk,
+        )
+
+        _, ranks = _knn_select(d2, k)
+        ck = _slot_chunk(k, cap=4 if n >= 2048 else 8)
+        macc = jnp.full((mt, c), -jnp.inf, jnp.float32)
+        for _, g, _idx in _knn_slots(ranks, q_ref[0], k, ck, False):
+            y = _bn_leaky((g - off[None]).reshape(ck * mt, c),
+                          st_ref, slope)
+            macc = jnp.maximum(macc, jnp.max(
+                y.reshape(ck, mt, c), axis=0))
+        out_ref[0] = macc
+        return
 
     def body(j, carry):
         d2cur, macc = carry
@@ -264,6 +346,29 @@ def _ke_knn_eval(x_ref, q_ref, off_ref, st_ref, out_ref, *, k: int,
     out_ref[0] = macc
 
 
+def _use_bisect(n: int, k: int) -> bool:
+    """Bisection selection pays when the k argmin rounds dominate —
+    large n (per-pass cost) and k ≥ 16 (round count). Env override
+    ``POINTCLOUDLIB_KNN_BISECT=0/1`` for A/B.
+
+    DEFAULT OFF until the Mosaic lowering is compile-validated and
+    measured on chip (interpret parity is green; the TPU tunnel was
+    down when this landed — flip the default after scripts/
+    compile_sweep.py and a slope bench pass on hardware)."""
+    import os
+
+    v = os.environ.get("POINTCLOUDLIB_KNN_BISECT")
+    if v is not None:
+        return v == "1"
+    return False  # TODO(bisect): n >= 1024 and k >= 16 once validated
+
+
+def _bisect_row_bytes(n: int) -> int:
+    """Extra per-row VMEM for the bisect path: the [ck, mt, n] bf16
+    one-hot chunk plus d2i/cand/member/ranks i32 planes."""
+    return n * 28
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "slope", "interpret")
 )
@@ -274,13 +379,17 @@ def fused_edge_eval_knn(x, q, off, gamma, beta, stats: EdgeStats,
     b, n, cf = x.shape
     c = q.shape[2]
     st = _stack_stats(stats.mean, stats.var, gamma, beta)
+    bisect = _use_bisect(n, k)
     per_row = 2 * (c * 4 * 2) + n * 4
+    if bisect:
+        per_row += _bisect_row_bytes(n)
     budget = (5 << 20) - 4 * n * (cf + c)
     from pointcloudlib_tpu.ops.pallas.fused_sa import _block_tile
 
     mt = _block_tile(n, max(8, budget // per_row))
     return pl.pallas_call(
-        functools.partial(_ke_knn_eval, k=k, slope=slope),
+        functools.partial(_ke_knn_eval, k=k, slope=slope,
+                          bisect=bisect),
         grid=(b, n // mt),
         in_specs=[
             pl.BlockSpec((1, n, cf), lambda i, j: (i, 0, 0)),
@@ -301,14 +410,17 @@ def _call_eknn_f1(x, q, off, k, interpret):
     c = q.shape[2]
     # per-row blocks: h [k,c] bf16 + idx [k] i32 + off [c] f32, double
     # buffered; d2 [mt, n] f32 is a live temporary; x/q stay resident
+    bisect = _use_bisect(n, k)
     per_row = 2 * (k * c * 2 + k * 4 + c * 4) + n * 4
+    if bisect:
+        per_row += _bisect_row_bytes(n)
     budget = (5 << 20) - 4 * n * (cf + c)
     from pointcloudlib_tpu.ops.pallas.fused_sa import _block_tile
 
     mt = _block_tile(n, max(8, budget // per_row))
     nt = n // mt
     idx, h, psum = pl.pallas_call(
-        functools.partial(_ke_knn_f1, k=k, nt=nt),
+        functools.partial(_ke_knn_f1, k=k, nt=nt, bisect=bisect),
         # flat grid: _psum_init zeroes at program_id(0)==0 exactly once
         grid=(b * nt,),
         in_specs=[
@@ -966,8 +1078,9 @@ fused_edge2_conv_knn.defvjp(_e2_knn_fwd_rule, _e2_knn_bwd_rule)
 
 
 def _ke2_knn_eval(x_ref, q_ref, off_ref, st1_ref, st2_ref, w2_ref,
-                  out_ref, *, k: int, slope: float):
-    """Two-layer eval with in-kernel kNN rounds + running max."""
+                  out_ref, *, k: int, slope: float,
+                  bisect: bool = False):
+    """Two-layer eval with in-kernel kNN selection + running max."""
     n, c1 = q_ref.shape[1], q_ref.shape[2]
     mt = off_ref.shape[1]
     c2 = w2_ref.shape[1]
@@ -982,6 +1095,25 @@ def _ke2_knn_eval(x_ref, q_ref, off_ref, st1_ref, st2_ref, w2_ref,
                             preferred_element_type=jnp.float32)
     d2 = jnp.maximum(x2 - 2.0 * inner + p2.T, 0.0)
     off = off_ref[0]
+
+    if bisect:
+        from pointcloudlib_tpu.ops.pallas.neighbors import (
+            _knn_select, _slot_chunk,
+        )
+
+        _, ranks = _knn_select(d2, k)
+        ck = _slot_chunk(k, cap=4 if n >= 2048 else 8)
+        macc = jnp.full((mt, c2), -jnp.inf, jnp.float32)
+        for _, g, _idx in _knn_slots(ranks, q_ref[0], k, ck, False):
+            y1 = _bn_leaky((g - off[None]).reshape(ck * mt, c1),
+                           st1_ref, slope)
+            h2 = jnp.dot(y1.astype(jnp.bfloat16), w2_ref[:, :],
+                         preferred_element_type=jnp.float32)
+            y2 = _bn_leaky(h2, st2_ref, slope)
+            macc = jnp.maximum(macc, jnp.max(
+                y2.reshape(ck, mt, c2), axis=0))
+        out_ref[0] = macc
+        return
 
     def body(j, carry):
         d2cur, macc = carry
@@ -1014,13 +1146,17 @@ def fused_edge2_eval_knn(x, q, off, w2, g1, b1, g2, b2,
     c2 = w2.shape[1]
     st1 = _stack_stats(stats.m1, stats.v1, g1, b1)
     st2 = _stack_stats(stats.m2, stats.v2, g2, b2)
+    bisect = _use_bisect(n, k)
     per_row = 2 * ((c1 + c2) * 4 * 2) + n * 4
+    if bisect:
+        per_row += _bisect_row_bytes(n)
     budget = (5 << 20) - 4 * n * (cf + c1)
     from pointcloudlib_tpu.ops.pallas.fused_sa import _block_tile
 
     mt = _block_tile(n, max(8, budget // per_row))
     return pl.pallas_call(
-        functools.partial(_ke2_knn_eval, k=k, slope=slope),
+        functools.partial(_ke2_knn_eval, k=k, slope=slope,
+                          bisect=bisect),
         grid=(b, n // mt),
         in_specs=[
             pl.BlockSpec((1, n, cf), lambda i, j: (i, 0, 0)),
