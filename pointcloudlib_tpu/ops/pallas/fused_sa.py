@@ -846,7 +846,16 @@ def _bq_setup(c_ref, p_ref, r2_ref):
                             preferred_element_type=jnp.float32)
     d2 = jnp.maximum(c2 - 2.0 * inner + p2.T, 0.0)
     maski = (d2 < r2_ref[0]).astype(jnp.int32)
-    rank = _cumsum_lanes_sa(maski)
+    # MXU cumsum (exact integer counts; neighbors._cumsum_matmul) —
+    # the log-roll shift-adds were ~10 VPU passes at n=1024
+    from pointcloudlib_tpu.ops.pallas.neighbors import (
+        _cumsum_matmul, _mxu_cumsum,
+    )
+
+    if n >= 256 and _mxu_cumsum():
+        rank = _cumsum_matmul(maski)
+    else:
+        rank = _cumsum_lanes_sa(maski)
     ramp = maski * rank
     cnt = rank[:, n - 1]
     lane = lax.broadcasted_iota(jnp.int32, (mt, n), 1)

@@ -60,6 +60,16 @@ def _cumsum_lanes(x: Array) -> Array:
     return x
 
 
+def _mxu_cumsum() -> bool:
+    """Gate for the MXU cumsum in the default-path kernels. DEFAULT
+    OFF until compile-validated on hardware (the tunnel was down when
+    this landed); POINTCLOUDLIB_MXU_CUMSUM=1 to enable, =0 to force
+    the rolls. Flip the default with the bisect gate."""
+    import os
+
+    return os.environ.get("POINTCLOUDLIB_MXU_CUMSUM") == "1"
+
+
 def _cumsum_matmul(mask: Array, w: int = 512) -> Array:
     """Inclusive lane cumsum of a 0/1 mask via blocked upper-triangular
     bf16 matmuls. EXACT: the operands are 0/1 (bf16-exact) and the MXU
@@ -166,7 +176,10 @@ def _ball_query_kernel(r2_ref, c_ref, p_ref, idx_ref, cnt_ref):
     d2 = _dist2(c_ref[0], p_ref[0])
     mask = d2 < r2_ref[0]
     maski = mask.astype(jnp.int32)
-    rank = _cumsum_lanes(maski)                           # [Mt, N]
+    # MXU cumsum (exact integer counts) — the log-roll shift-adds were
+    # ~10 VPU passes of the kernel at n=1024; small n keeps the rolls
+    rank = (_cumsum_matmul(maski) if n >= 256 and _mxu_cumsum()
+            else _cumsum_lanes(maski))                    # [Mt, N]
     lane = lax.broadcasted_iota(jnp.int32, (mt, n), 1)
     kcol = lax.broadcasted_iota(jnp.int32, (mt, k), 1)
     # ramp is rank on in-radius lanes and 0 elsewhere (rank stays at

@@ -116,3 +116,38 @@ def test_knn_gather_bisect_matches_rounds():
     o1 = np.take_along_axis(
         np.asarray(g1), np.argsort(np.asarray(i1), -1)[..., None], 2)
     np.testing.assert_array_equal(o0, o1)
+
+
+def test_mxu_cumsum_bitexact():
+    """The MXU cumsum path (POINTCLOUDLIB_MXU_CUMSUM=1) must produce
+    bit-identical ball-query results to the log-roll path: counts are
+    exact integers in both (bf16 0/1 operands, f32 accumulate)."""
+    import os
+
+    from pointcloudlib_tpu.ops.pallas.neighbors import (
+        _cumsum_matmul, ball_query_pallas,
+    )
+
+    rng = np.random.default_rng(5)
+    # helper vs numpy oracle at several widths (incl. non-512-mult)
+    for mt, n in [(8, 256), (16, 1024), (8, 2048), (8, 384)]:
+        m = (rng.random((mt, n)) < 0.3).astype(np.int32)
+        b = np.asarray(_cumsum_matmul(jnp.asarray(m)))
+        np.testing.assert_array_equal(np.cumsum(m, axis=1), b)
+
+    xyz = rng.standard_normal((2, 1024, 3)).astype(np.float32)
+    xyz /= np.linalg.norm(xyz, axis=-1, keepdims=True)
+    xyz = jnp.asarray(xyz)
+    c = xyz[:, :256]
+
+    def run(flag):
+        os.environ["POINTCLOUDLIB_MXU_CUMSUM"] = flag
+        try:
+            return ball_query_pallas.__wrapped__(c, xyz, 0.2, 32, True)
+        finally:
+            os.environ.pop("POINTCLOUDLIB_MXU_CUMSUM", None)
+
+    i0, c0 = run("0")
+    i1, c1 = run("1")
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
