@@ -27,14 +27,35 @@ def _use_pallas() -> bool:
         return False
 
 
-USE_PALLAS = _use_pallas()
+# USE_PALLAS is a LAZY module attribute (PEP 562 __getattr__ below):
+# computing it at import time touches jax.default_backend(), which
+# initializes the XLA backend and breaks jax.distributed.initialize on
+# multi-host deployments (any `import pointcloudlib_tpu` before
+# parallel.multihost.initialize_multihost would wedge the pod —
+# caught by tests/test_multihost.py). First ATTRIBUTE ACCESS resolves
+# and caches it instead; POINTCLOUDLIB_KERNELS still short-circuits
+# without a backend probe.
+_USE_PALLAS_CACHE = None
+
+
+def _resolve_use_pallas() -> bool:
+    global _USE_PALLAS_CACHE
+    if _USE_PALLAS_CACHE is None:
+        _USE_PALLAS_CACHE = _use_pallas()
+    return _USE_PALLAS_CACHE
+
+
+def __getattr__(name: str):
+    if name == "USE_PALLAS":
+        return _resolve_use_pallas()
+    raise AttributeError(name)
 
 
 def fps(xyz, n_samples: int, skip_near_origin: bool = True):
     """Farthest-point sampling indices [B, n_samples] — Pallas on TPU,
     lax.scan elsewhere. Both produce bit-identical indices
     (tests/test_pallas_fps.py)."""
-    if USE_PALLAS:
+    if _resolve_use_pallas():
         from pointcloudlib_tpu.ops.pallas.fps import fps_pallas
 
         return fps_pallas(

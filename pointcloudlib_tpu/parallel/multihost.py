@@ -28,12 +28,25 @@ def initialize_multihost(
     """Initialize jax.distributed when running under a multi-host
     launcher. Returns True when a multi-process runtime is active.
 
-    No-op on a single host (the common case in this repo)."""
-    if jax.process_count() > 1:
-        return True
+    No-op on a single host (the common case in this repo).
+
+    Order matters: ``jax.process_count()`` initializes the XLA backend,
+    after which ``jax.distributed.initialize`` refuses to run — so the
+    already-initialized probe must NOT touch the backend (caught by
+    tests/test_multihost.py, which runs a real 2-process cluster)."""
+    try:
+        from jax._src import distributed as _dist
+
+        already = _dist.global_state.client is not None
+    except Exception:  # private-API drift: fall back to the env probe
+        already = False
+    if already:
+        return jax.process_count() > 1
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if addr is None:
-        return False
+        # pod runtimes (TPU_WORKER_HOSTNAMES etc.) auto-initialize on
+        # first backend touch; anything else is single-process
+        return jax.process_count() > 1
     jax.distributed.initialize(
         coordinator_address=addr,
         num_processes=num_processes,
