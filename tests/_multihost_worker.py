@@ -5,6 +5,7 @@ Usage: _multihost_worker.py <coordinator> <num_procs> <pid>
 Prints one line: MH_LOSS <loss> so the parent can compare processes.
 """
 
+import os
 import sys
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
@@ -66,6 +67,26 @@ def main():
             state, metrics = step(state, batch, key)
     loss = float(jax.device_get(metrics["loss"]))
     print(f"MH_LOSS {loss:.8f}", flush=True)
+
+    # The step real multi-chip Pallas training uses: shard_map DP with
+    # sync-BN psums over the global (cross-process) mesh axis, fused
+    # kernels in interpret mode. PointNet++ at tiny shapes, as
+    # __graft_entry__.dryrun_multichip does single-process.
+    os.environ["POINTCLOUDLIB_FUSED_SA"] = "1"
+    fxyz = np.asarray(rng.standard_normal((16, 128, 3)), np.float32)
+    ffeats = np.asarray(rng.standard_normal((16, 128, 3)), np.float32)
+    fbatch = host_local_batch_to_global(
+        mesh, {"xyz": fxyz[lo:hi], "feats": ffeats[lo:hi],
+               "label": glabel[lo:hi]})
+    fmodel = get_cls_model("pointnet2", n_classes=8,
+                           axis_name="data", world=8)
+    fstate = create_train_state(fmodel, key, fxyz[:2], ffeats[:2], tx)
+    fstate = replicate(mesh, fstate)
+    fstep = make_cls_train_step(fmodel, mesh, axis_name="data")
+    with mesh:
+        fstate, fmetrics = fstep(fstate, fbatch, key)
+    floss = float(jax.device_get(fmetrics["loss"]))
+    print(f"MH_FLOSS {floss:.8f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -51,14 +51,18 @@ def test_two_process_dp_matches_single_process():
         )
         for pid in range(2)
     ]
-    outs = []
+    outs, fouts = [], []
     for p in procs:
         out, err = p.communicate(timeout=600)
         assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
         m = re.search(r"MH_LOSS ([0-9.]+)", out)
         assert m, out
         outs.append(float(m.group(1)))
+        m = re.search(r"MH_FLOSS ([0-9.]+)", out)
+        assert m, out
+        fouts.append(float(m.group(1)))
     assert outs[0] == outs[1], outs
+    assert fouts[0] == fouts[1], fouts
 
     # single-process oracle: same global batch on an 8-device mesh
     env1 = dict(env_base)
@@ -72,3 +76,12 @@ def test_two_process_dp_matches_single_process():
     assert m, one.stdout
     np.testing.assert_allclose(outs[0], float(m.group(1)),
                                rtol=1e-5, atol=1e-6)
+    # Fused path: both processes agree bit-exactly (asserted above),
+    # but vs the single-process oracle the psum accumulation order
+    # differs (2-process Gloo all-reduce vs 8-device local reduce) and
+    # the fused kernels' bf16 max-pool tie routing amplifies the f32
+    # BN-stat rounding — the documented parity envelope (ACCURACY.md).
+    # Measured delta ~2e-4 relative.
+    m = re.search(r"MH_FLOSS ([0-9.]+)", one.stdout)
+    assert m, one.stdout
+    np.testing.assert_allclose(fouts[0], float(m.group(1)), rtol=2e-3)
