@@ -39,6 +39,12 @@ _USE_PALLAS_CACHE = None
 
 
 def _resolve_use_pallas() -> bool:
+    # an explicit `dispatch.USE_PALLAS = …` (tests monkeypatch it)
+    # shadows the lazy probe — PEP 562 __getattr__ only fires when
+    # normal lookup misses, so honor the same precedence here
+    override = globals().get("USE_PALLAS")
+    if override is not None:
+        return override
     global _USE_PALLAS_CACHE
     if _USE_PALLAS_CACHE is None:
         _USE_PALLAS_CACHE = _use_pallas()
