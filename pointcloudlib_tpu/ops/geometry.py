@@ -291,7 +291,32 @@ def three_nn_interpolate(query: Array, points: Array, feats: Array) -> Array:
     ``query [B, M, 3]``, ``points [B, N, 3]``, ``feats [B, N, C]`` →
     ``[B, M, C]``. Reference: PointNetFeaturePropagation core,
     misc/ops.py:80-95.
+
+    On TPU this rides the fused kNN+gather kernel — the FP decoders
+    otherwise materialize a [B, M, N] distance matrix in HBM for a
+    k=3 top_k. Coords ride the same gather ([coords‖feats] pads to the
+    128-lane tile anyway), d2 is recomputed from the gathered coords
+    ((q−g)² — exact copies, and MORE accurate than the expansion form
+    the XLA path's knn uses), and the weighted sum is slot-order-
+    invariant, so the kernel's selection order never matters.
     """
+    n = points.shape[1]
+    cv = 3 + feats.shape[-1]
+    from pointcloudlib_tpu.ops.dispatch import USE_PALLAS  # lazy: no cycle
+
+    if (USE_PALLAS and n % 128 == 0 and cv >= 16 and n >= 3
+            and query.dtype == jnp.float32
+            and feats.dtype == jnp.float32):
+        from pointcloudlib_tpu.ops.pallas.neighbors import knn_gather
+
+        values = jnp.concatenate([points, feats], axis=-1)
+        _, g = knn_gather(query, points, values, 3,
+                          jax.default_backend() != "tpu")
+        d2 = jnp.sum(
+            (query[:, :, None, :] - g[..., :3]) ** 2, axis=-1)
+        inv = 1.0 / (d2 + 1e-10)
+        weight = inv / jnp.sum(inv, axis=-1, keepdims=True)
+        return jnp.sum(g[..., 3:] * weight[..., None], axis=2)
     idx, weight = three_nn(query, points)
     gathered = index_points(feats, idx)  # [B, M, 3, C]
     return jnp.sum(gathered * weight[..., None], axis=2)

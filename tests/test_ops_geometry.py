@@ -159,6 +159,33 @@ class TestThreeNN:
         _, w = ops.three_nn(jnp.asarray(q), jnp.asarray(p))
         np.testing.assert_allclose(np.asarray(w).sum(-1), 1.0, atol=1e-5)
 
+    def test_fused_route_matches_xla(self, monkeypatch):
+        """The TPU route (knn_gather kernel, interpret mode here)
+        matches the XLA route: outputs to the weight-rounding
+        tolerance (d2 is recomputed as (q−g)², the XLA path uses the
+        expansion form) and gradients through the feats scatter."""
+        import jax
+
+        from pointcloudlib_tpu.ops import dispatch, geometry
+
+        rng = np.random.default_rng(17)
+        b, n, m, c = 2, 256, 48, 16
+        q = jnp.asarray(rng.standard_normal((b, m, 3)), jnp.float32)
+        p = jnp.asarray(rng.standard_normal((b, n, 3)), jnp.float32)
+        f = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+
+        def loss(f, use):
+            monkeypatch.setattr(dispatch, "USE_PALLAS", use)
+            out = geometry.three_nn_interpolate(q, p, f)
+            return jnp.sum(out * out), out
+
+        (l1, o1), g1 = jax.value_and_grad(loss, has_aux=True)(f, True)
+        (l0, o0), g0 = jax.value_and_grad(loss, has_aux=True)(f, False)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                                   rtol=1e-3, atol=1e-3)
+
 
 class TestGrouping:
     def test_group_points_recenters(self):
