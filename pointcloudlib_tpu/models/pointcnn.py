@@ -153,10 +153,28 @@ class PointCNNLayer(nn.Module):
             fts = None
             c_mid = self.c_out // 2
             dm = 4
-        _, idx = knn(rep, pts, self.k * self.d)
-        idx = idx[..., :: self.d]  # dilated: every D-th rank
-        pts_reg = index_points(pts, idx)
-        fts_reg = index_points(fts, idx) if fts is not None else None
+        n = pts.shape[1]
+        from pointcloudlib_tpu.ops.dispatch import USE_PALLAS
+
+        if (USE_PALLAS and n % 128 == 0 and self.k * self.d <= n
+                and fts is not None and 3 + fts.shape[-1] >= 16
+                and pts.dtype == jnp.float32
+                and fts.dtype == jnp.float32):
+            # fused dilated-kNN + [coords‖feats] gather; ordered=True:
+            # XConv's learned X-transform consumes slots positionally,
+            # so they must stay in ascending-distance (rank) order
+            from pointcloudlib_tpu.ops.pallas.neighbors import knn_gather
+
+            _, g = knn_gather(
+                rep, pts, jnp.concatenate([pts, fts], axis=-1),
+                self.k, jax.default_backend() != "tpu",
+                self.d, True)
+            pts_reg, fts_reg = g[..., :3], g[..., 3:]
+        else:
+            _, idx = knn(rep, pts, self.k * self.d)
+            idx = idx[..., :: self.d]  # dilated: every D-th rank
+            pts_reg = index_points(pts, idx)
+            fts_reg = index_points(fts, idx) if fts is not None else None
         out = XConv(
             c_out=self.c_out, k=self.k, c_mid=c_mid, depth_multiplier=dm
         )(rep, pts_reg, fts_reg, training)

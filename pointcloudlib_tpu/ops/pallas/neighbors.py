@@ -343,7 +343,7 @@ def knn_pallas(
 
 
 def _knn_gather_kernel(c_ref, p_ref, v_ref, idx_ref, g_ref, *, k: int,
-                       bisect: bool = False):
+                       bisect: bool = False, stride: int = 1):
     """Fused kNN + gather: each argmin round's selection mask
     (``lane == best``) doubles as the one-hot gather row, so the
     separate gather's rows·k·N one-hot build and the idx round-trip
@@ -352,7 +352,13 @@ def _knn_gather_kernel(c_ref, p_ref, v_ref, idx_ref, g_ref, *, k: int,
 
     ``bisect`` replaces the k argmin rounds with _knn_select (same
     neighbor SET; slots in index order — the PointConv consumers sum
-    weight·feature pairs per slot, order-invariant)."""
+    weight·feature pairs per slot, order-invariant).
+
+    ``stride`` implements PointCNN's dilated kNN (reference
+    misc/layers.py:354-358: kNN of k·D then every D-th rank): slot s
+    gathers rank s·stride; the skipped ranks advance with argmin+mask
+    rounds only — no gather matmuls. Requires the distance-ordered
+    classic path (slots ARE ranks), so stride > 1 excludes bisect."""
     n = p_ref.shape[1]
     mt = c_ref.shape[1]
     lane = lax.broadcasted_iota(jnp.int32, (mt, n), 1)
@@ -409,6 +415,11 @@ def _knn_gather_kernel(c_ref, p_ref, v_ref, idx_ref, g_ref, *, k: int,
         g_ref[0, pl.ds(j, 1), :, :] = g[None]
         idx_out = jnp.where(kcol == j, best[:, None], idx_out)
         d2cur = jnp.where(ind, jnp.inf, d2cur)
+        # dilated: burn the next stride-1 ranks without gathering
+        # (static unroll — stride is 1 for every non-PointCNN caller)
+        for _ in range(stride - 1):
+            skip = jnp.argmin(d2cur, axis=1).astype(jnp.int32)
+            d2cur = jnp.where(lane == skip[:, None], jnp.inf, d2cur)
         return d2cur, idx_out
 
     _, idx_out = lax.fori_loop(
@@ -416,12 +427,17 @@ def _knn_gather_kernel(c_ref, p_ref, v_ref, idx_ref, g_ref, *, k: int,
     idx_ref[0] = idx_out
 
 
-def _knn_gather_fwd_call(query, points, values, k, interpret):
+def _knn_gather_fwd_call(query, points, values, k, interpret,
+                         stride=1, ordered=False):
     from pointcloudlib_tpu.ops.pallas.fused_edge import _use_bisect
 
     b, m, cf = query.shape
     n, cv = values.shape[1], values.shape[2]
-    bisect = _use_bisect(n, k)
+    assert k * stride <= n, (k, stride, n)
+    # bisect numbers slots in index order; dilation strides by RANK and
+    # `ordered` callers (XConv) consume slots positionally — both need
+    # the distance-ordered classic rounds
+    bisect = stride == 1 and not ordered and _use_bisect(n, k)
     # Mosaic pads block lanes to 128-wide tiles: budget the PADDED
     # double-buffered g block (k × mt × pad(cv)) — the dominant resident
     per_row = 2 * (k * max(cv, 128) * 4 + k * 4 + 128 * 4) + n * 8
@@ -436,7 +452,8 @@ def _knn_gather_fwd_call(query, points, values, k, interpret):
         mt = m
     nt = m // mt
     idx, g = pl.pallas_call(
-        functools.partial(_knn_gather_kernel, k=k, bisect=bisect),
+        functools.partial(_knn_gather_kernel, k=k, bisect=bisect,
+                          stride=stride),
         grid=(b * nt,),
         in_specs=[
             pl.BlockSpec((1, mt, cf), lambda i: (i // nt, i % nt, 0)),
@@ -458,27 +475,36 @@ def _knn_gather_fwd_call(query, points, values, k, interpret):
     return idx, jnp.swapaxes(g, 1, 2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def knn_gather(query, points, values, k, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def knn_gather(query, points, values, k, interpret=False, stride=1,
+               ordered=False):
     """``(idx [B,M,k], grouped [B,M,k,Cv])`` — kNN of ``query`` in
     ``points`` space with ``values`` rows gathered in the same kernel.
     Neighbor selection carries no gradient (discrete, like the
     reference); d_values is the scatter-as-matmul of
     ops/pallas/gather.py. Note: the gather one-hot here is f32·f32
     (exact row pick), so grouped values are EXACT copies — no bf16
-    rounding."""
+    rounding.
+
+    ``stride=D`` returns ranks 0, D, 2D, … (PointCNN dilated kNN,
+    misc/layers.py:354-358); ``ordered=True`` guarantees slots are in
+    ascending-distance order (forces the classic selection even when
+    the bisect gate is on) — required by positional consumers like
+    XConv."""
     idx, grouped = _knn_gather_fwd_call(
         lax.stop_gradient(query), lax.stop_gradient(points),
-        values, k, interpret)
+        values, k, interpret, stride, ordered)
     return idx, grouped
 
 
-def _knn_gather_fwd(query, points, values, k, interpret):
-    idx, grouped = knn_gather(query, points, values, k, interpret)
+def _knn_gather_fwd(query, points, values, k, interpret, stride,
+                    ordered):
+    idx, grouped = knn_gather(query, points, values, k, interpret,
+                              stride, ordered)
     return (idx, grouped), (idx, values.shape[1])
 
 
-def _knn_gather_bwd(k, interpret, res, cts):
+def _knn_gather_bwd(k, interpret, stride, ordered, res, cts):
     _didx, dg = cts
     idx, n = res
     from pointcloudlib_tpu.ops.pallas.gather import _gather_bwd_impl

@@ -80,3 +80,55 @@ def test_knn_gather_matches_separate_ops():
     dv_ref = jax.grad(run_ref)(vals)
     np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_knn_gather_stride_matches_dilated_knn():
+    """stride=D == knn(k·D) + idx[..., ::D] + gather (PointCNN dilated
+    kNN, reference misc/layers.py:354-358) — indices exactly, values to
+    the hi/lo split tolerance; ordered=True keeps ranks ascending."""
+    import jax.numpy as jnp
+
+    from pointcloudlib_tpu.ops.geometry import knn
+    from pointcloudlib_tpu.ops.pallas.neighbors import knn_gather
+
+    rng = np.random.default_rng(5)
+    b, n, m, k, d, cv = 2, 256, 32, 6, 3, 17
+    q = jnp.asarray(rng.standard_normal((b, m, 3)), jnp.float32)
+    pts = jnp.asarray(rng.standard_normal((b, n, 3)), jnp.float32)
+    vals = jnp.asarray(rng.standard_normal((b, n, cv)), jnp.float32)
+
+    idx, g = knn_gather(q, pts, vals, k, True, d, True)
+    _, want_idx = knn(q, pts, k * d)
+    want_idx = want_idx[..., ::d]
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(want_idx))
+    want_g = jnp.take_along_axis(
+        vals, want_idx.reshape(b, m * k)[..., None], axis=1
+    ).reshape(b, m, k, cv)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(want_g),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_pointcnn_layer_fused_route_matches_xla(monkeypatch):
+    """PointCNNLayer through the fused dilated-kNN gather (interpret)
+    == the knn + index_points route, same variables."""
+    import jax
+
+    from pointcloudlib_tpu.models.pointcnn import PointCNNLayer
+    from pointcloudlib_tpu.ops import dispatch
+
+    rng = np.random.default_rng(7)
+    pts = jnp.asarray(rng.standard_normal((2, 128, 3)), jnp.float32)
+    fts = jnp.asarray(rng.standard_normal((2, 128, 32)), jnp.float32)
+    # p=-1: rep = pts, no FPS — forcing USE_PALLAS on CPU would send
+    # the FPS kernel down the compiled (non-interpret) path
+    layer = PointCNNLayer(32, 64, k=4, d=2, p=-1)
+    variables = layer.init(jax.random.key(0), pts, fts)
+
+    monkeypatch.setattr(dispatch, "USE_PALLAS", False)
+    rep0, out0 = layer.apply(variables, pts, fts)
+    monkeypatch.setattr(dispatch, "USE_PALLAS", True)
+    rep1, out1 = layer.apply(variables, pts, fts)
+    np.testing.assert_allclose(np.asarray(rep1), np.asarray(rep0),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out0),
+                               rtol=1e-4, atol=1e-4)
