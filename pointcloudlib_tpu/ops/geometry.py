@@ -21,7 +21,7 @@ Reference semantics reproduced (with citations for the parity judge):
   (reference misc/ops.py:313-327) — max-pool-exact padding.
 * kNN distances are exact squared euclidean; ties resolve to the lower
   index (reference misc/ops.py:504-552 insertion sort is order-stable).
-* Three-NN interpolation uses inverse-distance weights ``1/(d+1e-10)``
+* Three-NN interpolation uses inverse-distance weights ``1/(d2+1e-8)``
   normalised over the 3 neighbors (reference misc/ops.py:86-93).
 """
 
@@ -275,12 +275,13 @@ def three_nn(query: Array, points: Array) -> Tuple[Array, Array]:
     """3 nearest neighbors and inverse-distance weights for interpolation.
 
     Returns ``(idx [B, M, 3], weight [B, M, 3])`` with weights normalised
-    ``(1/(d2+1e-10)) / sum`` — reference misc/ops.py:86-93 semantics
+    ``(1/(d2+1e-8)) / sum`` — reference misc/ops.py:88-92 semantics
     (note: the reference weights by inverse *squared* distance; the
-    epsilon matches its ``1e-10``).
+    epsilon matches its ``1e-8``,
+    misc/ops.py:90 and pointconv_utils.py:300).
     """
     d2, idx = knn(query, points, 3)
-    inv = 1.0 / (d2 + 1e-10)
+    inv = 1.0 / (d2 + 1e-8)
     weight = inv / jnp.sum(inv, axis=-1, keepdims=True)
     return idx, weight
 
@@ -314,7 +315,7 @@ def three_nn_interpolate(query: Array, points: Array, feats: Array) -> Array:
                           jax.default_backend() != "tpu")
         d2 = jnp.sum(
             (query[:, :, None, :] - g[..., :3]) ** 2, axis=-1)
-        inv = 1.0 / (d2 + 1e-10)
+        inv = 1.0 / (d2 + 1e-8)
         weight = inv / jnp.sum(inv, axis=-1, keepdims=True)
         return jnp.sum(g[..., 3:] * weight[..., None], axis=2)
     idx, weight = three_nn(query, points)
