@@ -112,6 +112,90 @@ def pointnet_from_torch(state_dict: Mapping) -> Dict:
     return {"params": params, "batch_stats": stats}
 
 
+def normalize_reference_keys(state_dict: Mapping) -> Dict:
+    """Normalize a reference (jittor) ``state_dict`` to torch-style
+    dotted paths.
+
+    The reference saves ``net.state_dict()`` via ``jt.save``
+    (train_cls.py:455-470); jittor's ``Sequential``/``ModuleList``
+    store children under a ``layers`` dict (the reference itself
+    iterates ``self.mlps.layers.items()``, networks/cls/pointnet2.py),
+    so depending on jittor version the saved keys may carry ``.layers``
+    path segments that torch-style keys don't. Strip them and coerce
+    values to float32 numpy, so every ``*_from_torch`` /
+    ``*_from_reference`` importer accepts either convention:
+
+        ckpt = jt.load("best_chkp.tar")["model_state_dict"]  # their side
+        vars = pointnet2_from_reference(normalize_reference_keys(ckpt))
+    """
+    out: Dict = {}
+    for k, v in state_dict.items():
+        parts = [p for p in k.split(".") if p != "layers"]
+        out[".".join(parts)] = np.asarray(v, np.float32)
+    return out
+
+
+def pointnet2_from_reference(state_dict: Mapping, msg: bool = False) -> Dict:
+    """Map a reference PointNet++-cls ``state_dict`` onto our
+    variables, using the reference's own module tree
+    (networks/cls/pointnet2.py:101-188):
+
+    * ``pointnet_modules.{m}.mlps.{g}.{3i}/{3i+1}`` — build_mlps
+      Sequential(Conv, BN, ReLU) triplets (conv bias=False under BN,
+      pointnet2.py:26);
+    * ``fc_layer.{0,1,3,4,7}`` — Linear/BN head with Dropout at 6.
+
+    ``msg=False`` maps PointNet2_cls (SSG: 3 single-scale modules);
+    ``msg=True`` maps PointNetMSG (2 × 3-scale modules + group-all,
+    pointnet2.py:160-188). Run jittor checkpoints through
+    ``normalize_reference_keys`` first.
+    """
+    sd = dict(state_dict)
+
+    def _stack(prefix: str, n_layers: int):
+        p, s = {}, {}
+        for i in range(n_layers):
+            bnp, bns = _bn(sd, f"{prefix}.{3 * i + 1}")
+            p[f"DenseBNAct_{i}"] = {
+                "Dense_0": _dense(sd, f"{prefix}.{3 * i}"),
+                "BatchNorm_0": bnp,
+            }
+            s[f"DenseBNAct_{i}"] = {"BatchNorm_0": bns}
+        return p, s
+
+    params: Dict = {}
+    stats: Dict = {}
+    if msg:
+        for m in range(2):
+            mp, ms = {}, {}
+            for g in range(3):
+                p, s = _stack(f"pointnet_modules.{m}.mlps.{g}", 3)
+                mp[f"PointMLP_{g}"] = p
+                ms[f"PointMLP_{g}"] = s
+            params[f"SetAbstractionMSG_{m}"] = mp
+            stats[f"SetAbstractionMSG_{m}"] = ms
+        p, s = _stack("pointnet_modules.2.mlps.0", 3)
+        params["SetAbstraction_0"] = {"PointMLP_0": p}
+        stats["SetAbstraction_0"] = {"PointMLP_0": s}
+    else:
+        for m in range(3):
+            p, s = _stack(f"pointnet_modules.{m}.mlps.0", 3)
+            params[f"SetAbstraction_{m}"] = {"PointMLP_0": p}
+            stats[f"SetAbstraction_{m}"] = {"PointMLP_0": s}
+    hp, hs = {}, {}
+    for li, (dpref, bpref) in enumerate(
+        [("fc_layer.0", "fc_layer.1"), ("fc_layer.3", "fc_layer.4")]
+    ):
+        bnp, bns = _bn(sd, bpref)
+        hp[f"DenseBNAct_{li}"] = {"Dense_0": _dense(sd, dpref),
+                                  "BatchNorm_0": bnp}
+        hs[f"DenseBNAct_{li}"] = {"BatchNorm_0": bns}
+    hp["Dense_0"] = _dense(sd, "fc_layer.7")
+    params["_ClsHead_0"] = hp
+    stats["_ClsHead_0"] = hs
+    return {"params": params, "batch_stats": stats}
+
+
 # --------------------------------------------------------------------
 # Fused ↔ unfused parameter-tree conversion.
 #

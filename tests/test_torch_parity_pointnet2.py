@@ -176,3 +176,136 @@ def test_pointnet2_logits_match_torch():
                     training=False)
     )
     np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+
+
+class RefKeyedSA(torch.nn.Module):
+    """One reference PointnetModule(MSG): the EXACT module tree the
+    reference checkpoints carry (networks/cls/pointnet2.py:65-98 —
+    ``mlps.{g}`` = build_mlps Sequential(Conv, BN, ReLU) triplets),
+    with the TorchSA grouping semantics for forward."""
+
+    def __init__(self, in_ch, mlps, n_points=None, radii=None, ks=None):
+        super().__init__()
+        self.n_points, self.radii, self.ks = n_points, radii, ks
+        self.mlps = torch.nn.ModuleList()
+        for mlp in mlps:
+            chans = [in_ch + 3] + list(mlp)
+            layers = []
+            for i in range(len(mlp)):
+                layers += [
+                    torch.nn.Conv2d(chans[i], chans[i + 1], 1, bias=False),
+                    torch.nn.BatchNorm2d(chans[i + 1]),
+                    torch.nn.ReLU(),
+                ]
+            self.mlps.append(torch.nn.Sequential(*layers))
+
+    def forward(self, xyz, feats):
+        if self.n_points is None:
+            grouped = torch.cat([xyz, feats], -1)[:, None]
+            return (torch.zeros(xyz.shape[0], 1, 3),
+                    self._run(self.mlps[0], grouped))
+        fi = torch_fps(xyz, self.n_points)
+        new_xyz = torch.gather(xyz, 1, fi[..., None].expand(-1, -1, 3))
+        outs = []
+        for mlp, r, k in zip(self.mlps, self.radii, self.ks):
+            ni = torch_ball_query(new_xyz, xyz, r, k)
+            flat = ni.reshape(ni.shape[0], -1)
+            gx = torch.gather(
+                xyz, 1, flat[..., None].expand(-1, -1, 3)
+            ).reshape(*ni.shape, 3)
+            gf = torch.gather(
+                feats, 1, flat[..., None].expand(-1, -1, feats.shape[-1])
+            ).reshape(*ni.shape, feats.shape[-1])
+            grouped = torch.cat([gx - new_xyz[:, :, None], gf], -1)
+            outs.append(self._run(mlp, grouped))
+        return new_xyz, torch.cat(outs, -1)
+
+    @staticmethod
+    def _run(mlp, grouped):  # [B,M,K,C] -> [B,M,C']
+        h = mlp(grouped.permute(0, 3, 1, 2))
+        return h.max(dim=-1).values.permute(0, 2, 1)
+
+
+class RefKeyedPointNet2(torch.nn.Module):
+    """Reference PointNet2_cls / PointNetMSG module tree
+    (pointnet_modules + fc_layer, networks/cls/pointnet2.py:101-188)."""
+
+    def __init__(self, n_classes=40, msg=False):
+        super().__init__()
+        if msg:
+            mods = [
+                RefKeyedSA(3, [[32, 32, 64], [64, 64, 128], [64, 96, 128]],
+                           512, [0.1, 0.2, 0.4], [16, 32, 128]),
+                RefKeyedSA(320, [[64, 64, 128], [128, 128, 256],
+                                 [128, 128, 256]],
+                           128, [0.2, 0.4, 0.8], [32, 64, 128]),
+                RefKeyedSA(640, [[256, 512, 1024]]),
+            ]
+        else:
+            mods = [
+                RefKeyedSA(3, [[64, 64, 128]], 512, [0.2], [64]),
+                RefKeyedSA(128, [[128, 128, 256]], 128, [0.4], [64]),
+                RefKeyedSA(256, [[256, 512, 1024]]),
+            ]
+        self.pointnet_modules = torch.nn.ModuleList(mods)
+        self.fc_layer = torch.nn.Sequential(
+            torch.nn.Linear(1024, 512, bias=False),
+            torch.nn.BatchNorm1d(512),
+            torch.nn.ReLU(),
+            torch.nn.Linear(512, 256, bias=False),
+            torch.nn.BatchNorm1d(256),
+            torch.nn.ReLU(),
+            torch.nn.Dropout(0.5),
+            torch.nn.Linear(256, n_classes),
+        )
+
+    def forward(self, xyz, feats):
+        for m in self.pointnet_modules:
+            xyz, feats = m(xyz, feats)
+        return self.fc_layer(feats[:, 0])
+
+
+@pytest.mark.parametrize("msg", [False, True])
+def test_pointnet2_reference_checkpoint_import(msg):
+    """A state_dict with the reference's own key scheme imports via
+    interop.pointnet2_from_reference and reproduces the logits —
+    including through normalize_reference_keys with jittor-style
+    ``.layers`` path segments injected."""
+    from pointcloudlib_tpu.utils.interop import (
+        normalize_reference_keys,
+        pointnet2_from_reference,
+    )
+
+    torch.manual_seed(4)
+    tnet = RefKeyedPointNet2(msg=msg).eval()
+    with torch.no_grad():
+        tnet.train()
+        tnet(torch.randn(4, 512, 3), torch.randn(4, 512, 3))
+        tnet.eval()
+
+    rng = np.random.default_rng(4)
+    pts = rng.standard_normal((2, 512, 3)).astype(np.float32)
+    nrm = rng.standard_normal((2, 512, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tnet(torch.from_numpy(pts), torch.from_numpy(nrm)).numpy()
+
+    # jittor-style keys: Sequential/ModuleList children under .layers
+    sd = {}
+    for k, v in tnet.state_dict().items():
+        parts = []
+        for seg in k.split("."):
+            if seg.isdigit():
+                parts.append(f"layers.{seg}")
+            else:
+                parts.append(seg)
+        sd[".".join(parts)] = v.numpy()
+
+    variables = pointnet2_from_reference(
+        normalize_reference_keys(sd), msg=msg)
+    model = get_cls_model("pointnet2_msg" if msg else "pointnet2",
+                          n_classes=40)
+    got = np.asarray(
+        model.apply(variables, jnp.asarray(pts), jnp.asarray(nrm),
+                    training=False)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
