@@ -196,6 +196,130 @@ def pointnet2_from_reference(state_dict: Mapping, msg: bool = False) -> Dict:
     return {"params": params, "batch_stats": stats}
 
 
+def kpcnn_from_reference(state_dict: Mapping, cfg=None) -> Dict:
+    """Map a reference KPCNN ``state_dict`` onto our KPCNN variables.
+
+    Walks ``cfg.architecture`` exactly as both walkers do (reference
+    networks/cls/kpconv.py:70-110 builds ``block_ops.{i}``; our
+    ``models.kpconv.KPCNN`` auto-numbers ``SimpleBlock_j`` /
+    ``ResnetBottleneckBlock_j`` / ``UnaryBlock_j`` per type in the same
+    order). Reference key shapes (networks/cls/blocks.py):
+
+    * ``…KPConv.weights`` [P, in, out] — copied as-is (same layout);
+      deformable adds ``…KPConv.offset_conv.weights`` and
+      ``…KPConv.offset_bias`` (blocks.py:167-189);
+    * ``…unary*.mlp.weight`` [out, in] — transposed to a Dense kernel;
+      ``unary1`` exists only when ``in_dim != out_dim // 4`` and
+      ``unary_shortcut`` only when ``in_dim != out_dim``
+      (blocks.py:556-589, otherwise ``nn.Identity`` — no keys);
+    * ``…batch_norm.batch_norm.{weight,bias,running_mean,running_var}``
+      (BatchNormBlock wrapping BatchNorm1d, blocks.py:404-435) or, with
+      ``use_bn=False`` (both heads), ``…batch_norm.bias``.
+
+    Run jittor checkpoints through ``normalize_reference_keys`` first.
+    """
+    from pointcloudlib_tpu.models.kpconv.model import KPConvConfig
+
+    cfg = cfg or KPConvConfig()
+    sd = dict(state_dict)
+
+    def _bnorm(prefix: str, use_bn: bool):
+        if not use_bn:
+            return ({"bias": np.asarray(sd[f"{prefix}.bias"],
+                                        np.float32)}, None)
+        return _bn(sd, f"{prefix}.batch_norm")
+
+    def _unary(prefix: str, use_bn: bool):
+        p: Dict = {"Dense_0": _dense(sd, f"{prefix}.mlp")}
+        bp, bs = _bnorm(f"{prefix}.batch_norm", use_bn)
+        p["MaskedBatchNorm_0"] = bp
+        return p, ({"MaskedBatchNorm_0": bs} if bs is not None else None)
+
+    def _kconv(prefix: str, deformable: bool):
+        p: Dict = {"weights": np.asarray(sd[f"{prefix}.weights"],
+                                         np.float32)}
+        if deformable:
+            p["offset_conv"] = {
+                "weights": np.asarray(
+                    sd[f"{prefix}.offset_conv.weights"], np.float32)
+            }
+            p["offset_bias"] = np.asarray(
+                sd[f"{prefix}.offset_bias"], np.float32)
+        return p
+
+    params: Dict = {}
+    stats: Dict = {}
+    counts = {"SimpleBlock": 0, "ResnetBottleneckBlock": 0,
+              "UnaryBlock": 0}
+
+    def _emit(kind: str, p: Dict, s) -> None:
+        name = f"{kind}_{counts[kind]}"
+        counts[kind] += 1
+        params[name] = p
+        if s:
+            stats[name] = s
+
+    in_dim = cfg.in_features_dim
+    out_dim = cfg.first_features_dim
+    bi = 0
+    for block in cfg.architecture:
+        if "global" in block or "upsample" in block:
+            break
+        deform = "deformable" in block
+        ref = f"block_ops.{bi}"
+        bi += 1
+        if "simple" in block:
+            bp, bs = _bnorm(f"{ref}.batch_norm", cfg.use_batch_norm)
+            _emit("SimpleBlock",
+                  {"KPConvOp_0": _kconv(f"{ref}.KPConv", deform),
+                   "MaskedBatchNorm_0": bp},
+                  {"MaskedBatchNorm_0": bs} if bs is not None else None)
+            in_dim = out_dim // 2
+        elif "resnetb" in block:
+            p: Dict = {}
+            s: Dict = {}
+            u = 0
+            if in_dim != out_dim // 4:
+                up, us = _unary(f"{ref}.unary1", cfg.use_batch_norm)
+                p[f"UnaryBlock_{u}"] = up
+                if us:
+                    s[f"UnaryBlock_{u}"] = us
+                u += 1
+            p["KPConvOp_0"] = _kconv(f"{ref}.KPConv", deform)
+            bp, bs = _bnorm(f"{ref}.batch_norm_conv", cfg.use_batch_norm)
+            p["MaskedBatchNorm_0"] = bp
+            if bs is not None:
+                s["MaskedBatchNorm_0"] = bs
+            up, us = _unary(f"{ref}.unary2", cfg.use_batch_norm)
+            p[f"UnaryBlock_{u}"] = up
+            if us:
+                s[f"UnaryBlock_{u}"] = us
+            u += 1
+            if in_dim != out_dim:
+                up, us = _unary(f"{ref}.unary_shortcut",
+                                cfg.use_batch_norm)
+                p[f"UnaryBlock_{u}"] = up
+                if us:
+                    s[f"UnaryBlock_{u}"] = us
+            _emit("ResnetBottleneckBlock", p, s)
+            in_dim = out_dim
+        elif block == "unary":
+            up, us = _unary(ref, cfg.use_batch_norm)
+            _emit("UnaryBlock", up, us)
+            in_dim = out_dim
+        else:
+            raise ValueError(f"unknown block {block!r}")
+        if "strided" in block:
+            out_dim *= 2
+    for head in ("head_mlp", "head_softmax"):
+        up, us = _unary(head, use_bn=False)
+        _emit("UnaryBlock", up, us)
+    out = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    return out
+
+
 # --------------------------------------------------------------------
 # Fused ↔ unfused parameter-tree conversion.
 #
