@@ -196,6 +196,74 @@ def pointnet2_from_reference(state_dict: Mapping, msg: bool = False) -> Dict:
     return {"params": params, "batch_stats": stats}
 
 
+def pointconv_from_reference(state_dict: Mapping) -> Dict:
+    """Map a reference PointConv-cls ``state_dict``
+    (networks/cls/pointconv.py:10-21 — ``sa{1..3}`` =
+    PointConvDensitySetAbstraction, pointconv_utils.py:340-400) onto
+    our ``PointConvDensityCls`` variables.
+
+    Key shapes: every sub-net stores Conv/BN pairs as
+    ``…mlp_convs.{i}`` / ``…mlp_bns.{i}`` (SA stack directly under
+    ``sa{m}``, plus ``sa{m}.weightnet`` / ``sa{m}.densitynet``);
+    ``sa{m}.linear`` + ``sa{m}.bn_linear`` close the layer; the head is
+    ``fc1/bn1/fc2/bn2/fc3``.
+
+    The reference's SA convs carry a (BN-redundant) bias
+    (pointconv_utils.py:349 ``nn.Conv`` default) that our biasless
+    Dense-under-BN drops — it is folded into the BN running mean
+    (``mean' = mean − b``), which is exact: in train mode a pre-BN bias
+    cancels in the batch mean, and in eval mode normalization sees
+    ``(Wx + b) − mean = Wx − (mean − b)``. WeightNet/DensityNet and
+    the linear/fc layers keep their biases (ours have them too).
+    Run jittor checkpoints through ``normalize_reference_keys`` first.
+    """
+    sd = dict(state_dict)
+
+    def _stack(prefix: str, fold_bias: bool):
+        p: Dict = {}
+        s: Dict = {}
+        i = 0
+        while f"{prefix}.mlp_convs.{i}.weight" in sd:
+            d = _dense(sd, f"{prefix}.mlp_convs.{i}")
+            bnp, bns = _bn(sd, f"{prefix}.mlp_bns.{i}")
+            if fold_bias and "bias" in d:
+                bns = dict(bns)
+                bns["mean"] = bns["mean"] - d.pop("bias")
+            p[f"DenseBNAct_{i}"] = {"Dense_0": d, "BatchNorm_0": bnp}
+            s[f"DenseBNAct_{i}"] = {"BatchNorm_0": bns}
+            i += 1
+        assert i, f"no {prefix}.mlp_convs.* keys"
+        return p, s
+
+    params: Dict = {}
+    stats: Dict = {}
+    for m in range(3):
+        ref = f"sa{m + 1}"
+        p: Dict = {}
+        s: Dict = {}
+        for sub, tpref, fold in (
+            ("DensityNet_0", f"{ref}.densitynet", False),
+            ("PointMLP_0", ref, True),
+            ("WeightNet_0", f"{ref}.weightnet", False),
+        ):
+            sp, ss = _stack(tpref, fold)
+            p[sub] = sp
+            s[sub] = ss
+        p["Dense_0"] = _dense(sd, f"{ref}.linear")
+        bnp, bns = _bn(sd, f"{ref}.bn_linear")
+        p["BatchNorm_0"] = bnp
+        s["BatchNorm_0"] = bns
+        params[f"PointConvSA_{m}"] = p
+        stats[f"PointConvSA_{m}"] = s
+    for li, (dpref, bpref) in enumerate([("fc1", "bn1"), ("fc2", "bn2")]):
+        bnp, bns = _bn(sd, bpref)
+        params[f"DenseBNAct_{li}"] = {"Dense_0": _dense(sd, dpref),
+                                      "BatchNorm_0": bnp}
+        stats[f"DenseBNAct_{li}"] = {"BatchNorm_0": bns}
+    params["Dense_0"] = _dense(sd, "fc3")
+    return {"params": params, "batch_stats": stats}
+
+
 def kpcnn_from_reference(state_dict: Mapping, cfg=None) -> Dict:
     """Map a reference KPCNN ``state_dict`` onto our KPCNN variables.
 

@@ -211,3 +211,69 @@ def test_pointconv_logits_match_torch():
         model.apply(variables, jnp.asarray(pts), training=False)
     )
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+
+
+def test_pointconv_reference_checkpoint_import():
+    """A state_dict with the reference's key scheme (mlp_convs/mlp_bns
+    stacks, pointconv_utils.py:340-400, BIASED SA convs like the
+    reference's nn.Conv default) imports via
+    interop.pointconv_from_reference — the SA conv biases fold into the
+    BN running means exactly."""
+    from pointcloudlib_tpu.utils.interop import (
+        normalize_reference_keys,
+        pointconv_from_reference,
+    )
+
+    torch.manual_seed(5)
+    tnet = TorchPointConv()
+    # reference SA convs carry biases (nn.Conv default); the replica's
+    # stack is biasless — swap in biased convs (fresh bias init)
+    for sa in (tnet.sa1, tnet.sa2, tnet.sa3):
+        for i, conv in enumerate(sa.mlp.convs):
+            nc = torch.nn.Conv2d(conv.in_channels, conv.out_channels,
+                                 1, bias=True)
+            with torch.no_grad():
+                nc.weight.copy_(conv.weight)
+            sa.mlp.convs[i] = nc
+    with torch.no_grad():
+        tnet.train()
+        tnet(torch.randn(4, 128, 3))
+        tnet.eval()
+
+    rng = np.random.default_rng(6)
+    pts = rng.standard_normal((2, 128, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tnet(torch.from_numpy(pts)).numpy()
+
+    # rename replica keys -> the reference's scheme
+    sd = {}
+    for k, v in tnet.state_dict().items():
+        k = k.replace(".convs.", ".mlp_convs.")
+        k = k.replace(".bns.", ".mlp_bns.")
+        for n in (1, 2, 3):  # SA-level stack sits directly under sa{n}
+            k = k.replace(f"sa{n}.mlp.mlp_", f"sa{n}.mlp_")
+        sd[k] = v.numpy()
+
+    from pointcloudlib_tpu.models.pointconv import PointConvSA, DenseBNAct
+    import flax.linen as nn
+
+    class SmallPointConv(nn.Module):
+        @nn.compact
+        def __call__(self, xyz, feats=None, training=False):
+            x1, f1 = PointConvSA(mlp=[64, 64, 128], bandwidth=0.1,
+                                 n_points=64, k=16)(xyz, None, training)
+            x2, f2 = PointConvSA(mlp=[128, 128, 256], bandwidth=0.2,
+                                 n_points=16, k=16)(x1, f1, training)
+            _, f3 = PointConvSA(mlp=[256, 512, 1024],
+                                bandwidth=0.4)(x2, f2, training)
+            g = f3[:, 0]
+            g = DenseBNAct(512, use_bias=True)(g, training)
+            g = DenseBNAct(256, use_bias=True)(g, training)
+            return nn.Dense(40)(g)
+
+    variables = pointconv_from_reference(normalize_reference_keys(sd))
+    got = np.asarray(
+        SmallPointConv().apply(variables, jnp.asarray(pts),
+                               training=False)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
