@@ -114,6 +114,14 @@ class XConv(nn.Module):
         )
         h = jnp.einsum("bpkc,ckm->bpcm", h, dw)
         h = h.reshape(*h.shape[:2], c * self.depth_multiplier)
+        # the reference's depthwise conv carries a bias (SepConv's first
+        # nn.Conv, misc/layers.py:151 — torch default); zero-init keeps
+        # fresh training identical, nonzero values arrive via
+        # interop.pointcnn_from_reference checkpoint import
+        h = h + self.param(
+            "depthwise_bias", nn.initializers.zeros,
+            (c * self.depth_multiplier,),
+        )
         h = nn.Dense(self.c_out, use_bias=False)(h)
         h = nn.relu(h)  # reference SepConv: act before BN
         h = nn.BatchNorm(

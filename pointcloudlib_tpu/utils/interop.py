@@ -196,6 +196,103 @@ def pointnet2_from_reference(state_dict: Mapping, msg: bool = False) -> Dict:
     return {"params": params, "batch_stats": stats}
 
 
+def pointcnn_from_reference(state_dict: Mapping) -> Dict:
+    """Map a reference PointCNN-cls ``state_dict``
+    (networks/cls/pointcnn.py:23-38: ``pcnn1`` + ``pcnn2.{0..2}``
+    RandPointCNN stages + ``fcn.{0..2}`` head) onto our
+    ``PointCNNCls`` variables.
+
+    Reference key shapes (misc/layers.py):
+
+    * ``…pointcnn.dense.f`` — the lift Dense_Conv1d behind the
+      EndChannels1d wrapper (``.f``, layers.py:122-130,374);
+    * ``…x_conv.dense{1,2}`` / ``x_trans_{1,2}`` — 1×1 Dense_Conv2d
+      (conv bias kept, ours has one too);
+    * ``…x_conv.x_trans_0.conv`` — a (1,K) Conv over [dims, K]
+      (bias=False under BN): weight [K², dims, 1, K] reshaped to our
+      Dense kernel over the K-major flattened local coords;
+    * ``…x_conv.end_conv.f.conv.0`` — depthwise (1,K) conv with
+      groups=C (weight [C·dm, 1, 1, K] → our ``depthwise`` [C, K, dm];
+      same group-major channel order) + its bias → ``depthwise_bias``;
+      ``conv.1`` — the 1×1 pointwise (bias=False under BN).
+
+    Run jittor checkpoints through ``normalize_reference_keys`` first
+    (it leaves the literal ``.f`` wrapper segment alone).
+    """
+    sd = dict(state_dict)
+
+    def _dense_conv(prefix: str, with_bn: bool = True):
+        p: Dict = {"Dense_0": _dense(sd, f"{prefix}.linear")}
+        s = None
+        if with_bn:
+            bnp, bns = _bn(sd, f"{prefix}.bn")
+            p["BatchNorm_0"] = bnp
+            s = {"BatchNorm_0": bns}
+        return p, s
+
+    def _xconv(prefix: str, dm: int):
+        p: Dict = {}
+        s: Dict = {}
+        for i, sub in enumerate(("dense1", "dense2")):
+            dp, ds = _dense_conv(f"{prefix}.{sub}")
+            p[f"DenseBlock_{i}"] = dp
+            s[f"DenseBlock_{i}"] = ds
+        w = np.asarray(sd[f"{prefix}.x_trans_0.conv.weight"], np.float32)
+        kk, dims, _, k = w.shape
+        kernel = np.ascontiguousarray(
+            w[:, :, 0, :].transpose(2, 1, 0).reshape(k * dims, kk))
+        bnp, bns = _bn(sd, f"{prefix}.x_trans_0.bn")
+        p["DenseBlock_2"] = {
+            "Dense_0": {"kernel": kernel,
+                        "bias": np.zeros((kk,), np.float32)},
+            "BatchNorm_0": bnp,
+        }
+        s["DenseBlock_2"] = {"BatchNorm_0": bns}
+        dp, ds = _dense_conv(f"{prefix}.x_trans_1")
+        p["DenseBlock_3"] = dp
+        s["DenseBlock_3"] = ds
+        dp, _ = _dense_conv(f"{prefix}.x_trans_2", with_bn=False)
+        p["DenseBlock_4"] = dp
+        w0 = np.asarray(sd[f"{prefix}.end_conv.f.conv.0.weight"],
+                        np.float32)
+        cdm, _, _, k = w0.shape
+        c = cdm // dm
+        p["depthwise"] = np.ascontiguousarray(
+            w0[:, 0, 0, :].reshape(c, dm, k).transpose(0, 2, 1))
+        p["depthwise_bias"] = np.asarray(
+            sd[f"{prefix}.end_conv.f.conv.0.bias"], np.float32)
+        p["Dense_0"] = _dense(sd, f"{prefix}.end_conv.f.conv.1")
+        bnp, bns = _bn(sd, f"{prefix}.end_conv.f.bn")
+        p["BatchNorm_0"] = bnp
+        s["BatchNorm_0"] = bns
+        return p, s
+
+    layers = [("pcnn1", 3, 48), ("pcnn2.0", 48, 96),
+              ("pcnn2.1", 96, 192), ("pcnn2.2", 192, 384)]
+    params: Dict = {}
+    stats: Dict = {}
+    for i, (pref, c_in, c_out) in enumerate(layers):
+        dm = -(-c_out // c_in)  # ceil, layers.py:371
+        lp: Dict = {}
+        ls: Dict = {}
+        dp, ds = _dense_conv(f"{pref}.pointcnn.dense.f")
+        lp["DenseBlock_0"] = dp
+        ls["DenseBlock_0"] = ds
+        xp, xs = _xconv(f"{pref}.pointcnn.x_conv", dm)
+        lp["XConv_0"] = xp
+        ls["XConv_0"] = xs
+        params[f"PointCNNLayer_{i}"] = lp
+        stats[f"PointCNNLayer_{i}"] = ls
+    for i, (pref, with_bn) in enumerate(
+        [("fcn.0", True), ("fcn.1", True), ("fcn.2", False)]
+    ):
+        dp, ds = _dense_conv(pref, with_bn)
+        params[f"DenseBlock_{i}"] = dp
+        if ds:
+            stats[f"DenseBlock_{i}"] = ds
+    return {"params": params, "batch_stats": stats}
+
+
 def pointconv_from_reference(state_dict: Mapping) -> Dict:
     """Map a reference PointConv-cls ``state_dict``
     (networks/cls/pointconv.py:10-21 — ``sa{1..3}`` =

@@ -183,6 +183,8 @@ def _xconv_params(m: TXConv):
     for i, sub in enumerate([m.lift1, m.lift2, m.xt0, m.xt1, m.xt2]):
         p[f"DenseBlock_{i}"], s[f"DenseBlock_{i}"] = _dense_params(sub)
     p["depthwise"] = m.depthwise.detach().numpy().astype(np.float32)
+    p["depthwise_bias"] = np.zeros(
+        (p["depthwise"].shape[0] * p["depthwise"].shape[2],), np.float32)
     p["Dense_0"] = {
         "kernel": m.end.weight.detach().numpy().T.astype(np.float32)}
     p["BatchNorm_0"] = {"scale": m.end_bn.weight.detach().numpy(),
@@ -229,6 +231,181 @@ def test_pointcnn_cls_logits_match_torch():
 
     model = PointCNNCls(n_classes=40)
     variables = _convert(tnet)
+    got = np.asarray(model.apply(variables, jnp.asarray(pts),
+                                 training=False))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+# ---- reference-keyed checkpoint import ------------------------------
+# Torch modules below reproduce the reference's EXACT module tree and
+# weight shapes (misc/layers.py): Dense_Conv1d/2d (.linear 1x1 conv
+# with bias + .bn, conv->bn->relu), Conv (.conv (1,K) bias=False +
+# .bn, conv->relu->bn), EndChannels wrappers (.f), SepConv
+# (.conv.0 depthwise (1,K) groups=C WITH bias + .conv.1 pointwise
+# bias=False + .bn, act before bn).
+
+
+class RDense1d(torch.nn.Module):
+    def __init__(self, cin, cout, with_bn=True, act=True):
+        super().__init__()
+        self.linear = torch.nn.Conv1d(cin, cout, 1, bias=True)
+        self.bn = torch.nn.BatchNorm1d(cout) if with_bn else None
+        self.act = act
+
+    def forward(self, x):  # [B, N, C] channel-last
+        h = self.linear(x.transpose(1, 2))
+        if self.bn is not None:
+            h = self.bn(h)
+        if self.act:
+            h = torch.relu(h)
+        return h.transpose(1, 2)
+
+
+class RDense2d(torch.nn.Module):
+    def __init__(self, cin, cout, with_bn=True, act=True):
+        super().__init__()
+        self.linear = torch.nn.Conv2d(cin, cout, 1, bias=True)
+        self.bn = torch.nn.BatchNorm2d(cout) if with_bn else None
+        self.act = act
+
+    def forward(self, x):  # [N, C, P, K] channel-first
+        h = self.linear(x)
+        if self.bn is not None:
+            h = self.bn(h)
+        if self.act:
+            h = torch.relu(h)
+        return h
+
+
+class RConv(torch.nn.Module):
+    def __init__(self, cin, cout, k):
+        super().__init__()
+        self.conv = torch.nn.Conv2d(cin, cout, (1, k), bias=False)
+        self.bn = torch.nn.BatchNorm2d(cout)
+
+    def forward(self, x):  # conv -> act -> bn (layers.py:195-200)
+        return self.bn(torch.relu(self.conv(x)))
+
+
+class _RSepConv(torch.nn.Module):
+    def __init__(self, c, cout, k, dm):
+        super().__init__()
+        self.conv = torch.nn.Sequential(
+            torch.nn.Conv2d(c, c * dm, (1, k), groups=c, bias=True),
+            torch.nn.Conv2d(c * dm, cout, 1, bias=False),
+        )
+        self.bn = torch.nn.BatchNorm2d(cout)
+
+    def forward(self, x):  # act before bn (layers.py:158-169)
+        return self.bn(torch.relu(self.conv(x)))
+
+
+class _RWrap(torch.nn.Module):  # EndChannels / EndChannels1d: .f
+    def __init__(self, f):
+        super().__init__()
+        self.f = f
+
+
+class RXConv(torch.nn.Module):
+    def __init__(self, c_in, c_out, k, c_mid, dm):
+        super().__init__()
+        self.k = k
+        self.dense1 = RDense2d(3, c_mid)
+        self.dense2 = RDense2d(c_mid, c_mid)
+        self.x_trans_0 = RConv(3, k * k, k)
+        self.x_trans_1 = RDense2d(k * k, k * k)
+        self.x_trans_2 = RDense2d(k * k, k * k, with_bn=False, act=False)
+        self.end_conv = _RWrap(_RSepConv(c_mid + c_in, c_out, k, dm))
+
+    def forward(self, rep, pts, fts):  # channel-last ins, as XConv.execute
+        k = self.k
+        local = pts - rep[:, :, None]
+        pl = local.permute(0, 3, 1, 2)            # [N, 3, P, K]
+        lifted = self.dense2(self.dense1(pl))
+        cat = torch.cat([lifted, fts.permute(0, 3, 1, 2)], 1)
+        x = self.x_trans_2(self.x_trans_1(self.x_trans_0(pl)))
+        X = x.permute(0, 2, 3, 1).reshape(
+            x.shape[0], x.shape[2], k, k)
+        fx = torch.matmul(X, cat.permute(0, 2, 3, 1))  # [N, P, K, C]
+        h = self.end_conv.f(fx.permute(0, 3, 1, 2))    # [N, Cout, P, 1]
+        return h.permute(0, 2, 3, 1).squeeze(2)
+
+
+class RLayer(torch.nn.Module):
+    def __init__(self, c_in, c_out, k, d=1, p=-1):
+        super().__init__()
+        self.k, self.d, self.p = k, d, p
+        pc = torch.nn.Module()
+        pc.dense = _RWrap(RDense1d(c_in, c_out // 2))
+        c_mid, dm = c_out // 4, int(math.ceil(c_out / c_in))
+        pc.x_conv = RXConv(c_out // 2, c_out, k, c_mid, dm)
+        self.pointcnn = pc
+
+    def forward(self, pts, fts):
+        if 0 < self.p < pts.shape[1]:
+            rep = gather_pts(pts, torch_fps_skip(pts, self.p))
+        else:
+            rep = pts
+        fts = self.pointcnn.dense.f(fts)
+        d2 = torch.cdist(rep, pts) ** 2
+        idx = d2.topk(self.k * self.d, dim=-1, largest=False).indices
+        idx = idx[..., :: self.d]
+        return rep, self.pointcnn.x_conv(
+            rep, gather_pts(pts, idx), gather_pts(fts, idx))
+
+
+class RPointCNN(torch.nn.Module):
+    def __init__(self, n_classes=40):
+        super().__init__()
+        self.pcnn1 = RLayer(3, 48, 8, 1, -1)
+        self.pcnn2 = torch.nn.ModuleList([
+            RLayer(48, 96, 12, 2, 384),
+            RLayer(96, 192, 16, 2, 128),
+            RLayer(192, 384, 16, 3, 128),
+        ])
+        self.fcn = torch.nn.ModuleList([
+            RDense1d(384, 192),
+            RDense1d(192, 128),
+            RDense1d(128, n_classes, with_bn=False, act=False),
+        ])
+
+    def forward(self, xyz):
+        p, f = self.pcnn1(xyz, xyz)
+        for layer in self.pcnn2:
+            p, f = layer(p, f)
+        for h in self.fcn:
+            f = h(f)
+        return f.mean(1)
+
+
+def test_pointcnn_reference_checkpoint_import():
+    """A state_dict with the reference's exact module tree and conv
+    weight SHAPES ((1,K) x-trans conv, grouped depthwise + bias)
+    imports via interop.pointcnn_from_reference and reproduces the
+    logits."""
+    from pointcloudlib_tpu.utils.interop import (
+        normalize_reference_keys,
+        pointcnn_from_reference,
+    )
+
+    torch.manual_seed(6)
+    tnet = RPointCNN()
+    with torch.no_grad():
+        tnet.train()
+        warm = torch.randn(4, 512, 3) * 0.5
+        warm = warm / warm.norm(dim=-1, keepdim=True)
+        tnet(warm)
+        tnet.eval()
+
+    rng = np.random.default_rng(8)
+    pts = rng.standard_normal((2, 512, 3)).astype(np.float32)
+    pts /= np.linalg.norm(pts, axis=-1, keepdims=True)
+    with torch.no_grad():
+        want = tnet(torch.from_numpy(pts)).numpy()
+
+    sd = {k: v.numpy() for k, v in tnet.state_dict().items()}
+    variables = pointcnn_from_reference(normalize_reference_keys(sd))
+    model = PointCNNCls(n_classes=40)
     got = np.asarray(model.apply(variables, jnp.asarray(pts),
                                  training=False))
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
