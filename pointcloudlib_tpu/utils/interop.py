@@ -196,6 +196,125 @@ def pointnet2_from_reference(state_dict: Mapping, msg: bool = False) -> Dict:
     return {"params": params, "batch_stats": stats}
 
 
+def _fold_dense_bn(sd: Mapping, dpref: str, bpref: str):
+    """(Dense params, BN params, BN stats) for a reference
+    conv/linear-with-bias feeding a BatchNorm, folding the bias into
+    the running mean (exact — see pointconv_from_reference)."""
+    d = _dense(sd, dpref)
+    bnp, bns = _bn(sd, bpref)
+    if "bias" in d:
+        bns = dict(bns)
+        bns["mean"] = bns["mean"] - d.pop("bias")
+    return d, bnp, bns
+
+
+def pointnet_partseg_from_reference(state_dict: Mapping) -> Dict:
+    """Map a reference PointNet_partseg ``state_dict``
+    (networks/seg/pointnet_partseg.py:14-37 + the STN3d/STNkd at
+    misc/layers.py:9-103) onto our ``PointNetPartSeg`` variables.
+
+    Unlike the cls PointNet (bias=False convs), every partseg conv and
+    the STN fc1/fc2 carry default biases under BN — folded into the
+    running means. ``stn.fc3`` / ``fstn.fc3`` / ``convs4`` biases are
+    kept (our Denses have them).
+    Run jittor checkpoints through ``normalize_reference_keys`` first.
+    """
+    sd = dict(state_dict)
+
+    def _blk(dpref: str, bpref: str):
+        d, bnp, bns = _fold_dense_bn(sd, dpref, bpref)
+        return ({"Dense_0": d, "BatchNorm_0": bnp},
+                {"BatchNorm_0": bns})
+
+    def _stn(prefix: str):
+        p: Dict = {"PointMLP_0": {}, "PointMLP_1": {}}
+        s: Dict = {"PointMLP_0": {}, "PointMLP_1": {}}
+        for i in range(3):
+            bp, bs = _blk(f"{prefix}.conv{i + 1}", f"{prefix}.bn{i + 1}")
+            p["PointMLP_0"][f"DenseBNAct_{i}"] = bp
+            s["PointMLP_0"][f"DenseBNAct_{i}"] = bs
+        for i, (d, b) in enumerate([("fc1", "bn4"), ("fc2", "bn5")]):
+            bp, bs = _blk(f"{prefix}.{d}", f"{prefix}.{b}")
+            p["PointMLP_1"][f"DenseBNAct_{i}"] = bp
+            s["PointMLP_1"][f"DenseBNAct_{i}"] = bs
+        p["Dense_0"] = _dense(sd, f"{prefix}.fc3")
+        return p, s
+
+    params: Dict = {}
+    stats: Dict = {}
+    params["STN_0"], stats["STN_0"] = _stn("stn")
+    params["STN_1"], stats["STN_1"] = _stn("fstn")
+    for i in range(4):  # conv1..4 → PointMLP_0..3
+        bp, bs = _blk(f"conv{i + 1}", f"bn{i + 1}")
+        params[f"PointMLP_{i}"] = {"DenseBNAct_0": bp}
+        stats[f"PointMLP_{i}"] = {"DenseBNAct_0": bs}
+    bp, bs = _blk("conv5", "bn5")  # no-relu block
+    params["DenseBNAct_0"] = bp
+    stats["DenseBNAct_0"] = bs
+    hp: Dict = {}
+    hs: Dict = {}
+    for i in range(3):  # convs1..3 → head PointMLP_4
+        bp, bs = _blk(f"convs{i + 1}", f"bns{i + 1}")
+        hp[f"DenseBNAct_{i}"] = bp
+        hs[f"DenseBNAct_{i}"] = bs
+    params["PointMLP_4"] = hp
+    stats["PointMLP_4"] = hs
+    params["Dense_0"] = _dense(sd, "convs4")
+    return {"params": params, "batch_stats": stats}
+
+
+def pointnet2_partseg_from_reference(state_dict: Mapping) -> Dict:
+    """Map a reference PointNet2_partseg ``state_dict``
+    (networks/seg/pointnet2_partseg.py:110-157) onto our
+    ``PointNet2PartSeg`` variables: the same ``pointnet_modules`` SA
+    triplets as cls, ``fp3/fp2/fp1`` PointNetFeaturePropagation stacks
+    (Conv1d WITH bias under BN — folded into the running mean like
+    pointconv, misc/ops.py:61-64), and the ``fc_layer.{0,1,3}`` head
+    (its conv bias is kept — our head Dense has one).
+    Run jittor checkpoints through ``normalize_reference_keys`` first.
+    """
+    sd = dict(state_dict)
+
+    def _stack(prefix: str, n_layers: int):
+        p, s = {}, {}
+        for i in range(n_layers):
+            bnp, bns = _bn(sd, f"{prefix}.{3 * i + 1}")
+            p[f"DenseBNAct_{i}"] = {
+                "Dense_0": _dense(sd, f"{prefix}.{3 * i}"),
+                "BatchNorm_0": bnp,
+            }
+            s[f"DenseBNAct_{i}"] = {"BatchNorm_0": bns}
+        return p, s
+
+    params: Dict = {}
+    stats: Dict = {}
+    for m in range(3):
+        p, s = _stack(f"pointnet_modules.{m}.mlps.0", 3)
+        params[f"SetAbstraction_{m}"] = {"PointMLP_0": p}
+        stats[f"SetAbstraction_{m}"] = {"PointMLP_0": s}
+    for i, ref in enumerate(("fp3", "fp2", "fp1")):
+        p, s = {}, {}
+        j = 0
+        while f"{ref}.mlp_convs.{j}.weight" in sd:
+            d = _dense(sd, f"{ref}.mlp_convs.{j}")
+            bnp, bns = _bn(sd, f"{ref}.mlp_bns.{j}")
+            if "bias" in d:  # Conv1d bias under BN: fold into the mean
+                bns = dict(bns)
+                bns["mean"] = bns["mean"] - d.pop("bias")
+            p[f"DenseBNAct_{j}"] = {"Dense_0": d, "BatchNorm_0": bnp}
+            s[f"DenseBNAct_{j}"] = {"BatchNorm_0": bns}
+            j += 1
+        assert j, f"no {ref}.mlp_convs.* keys"
+        params[f"FeaturePropagation_{i}"] = {"PointMLP_0": p}
+        stats[f"FeaturePropagation_{i}"] = {"PointMLP_0": s}
+    bnp, bns = _bn(sd, "fc_layer.1")
+    params["DenseBNAct_0"] = {"Dense_0": _dense(sd, "fc_layer.0"),
+                              "BatchNorm_0": bnp}
+    stats["DenseBNAct_0"] = {"BatchNorm_0": bns}
+    params["Dense_0"] = _dense(sd, "fc_layer.3")
+    return {"params": params, "batch_stats": stats}
+
+
 def pointcnn_from_reference(state_dict: Mapping) -> Dict:
     """Map a reference PointCNN-cls ``state_dict``
     (networks/cls/pointcnn.py:23-38: ``pcnn1`` + ``pcnn2.{0..2}``

@@ -167,3 +167,83 @@ def test_pointnet_partseg_logits_match_torch():
                     training=False)
     )
     np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+
+
+def test_pointnet_partseg_reference_checkpoint_import():
+    """A state_dict with the reference's key scheme
+    (stn/fstn.conv{i}/bn{i}/fc{i}, conv1..5/bn1..5, convs1..4/bns1..3
+    — networks/seg/pointnet_partseg.py:14-37 with DEFAULT-bias convs)
+    imports via interop.pointnet_partseg_from_reference; all the
+    BN-redundant biases fold into the running means."""
+    import re
+
+    from pointcloudlib_tpu.utils.interop import (
+        normalize_reference_keys,
+        pointnet_partseg_from_reference,
+    )
+
+    torch.manual_seed(11)
+    tnet = TorchPointNetSeg(part_num=50)
+
+    def biased_conv(conv):
+        nc = torch.nn.Conv1d(conv.in_channels, conv.out_channels, 1,
+                             bias=True)
+        with torch.no_grad():
+            nc.weight.copy_(conv.weight)
+        return nc
+
+    def biased_linear(lin):
+        nl = torch.nn.Linear(lin.in_features, lin.out_features,
+                             bias=True)
+        with torch.no_grad():
+            nl.weight.copy_(lin.weight)
+        return nl
+
+    for mod in (tnet.stn, tnet.fstn):
+        for i, c in enumerate(mod.convs):
+            mod.convs[i] = biased_conv(c)
+        mod.fc1 = biased_linear(mod.fc1)
+        mod.fc2 = biased_linear(mod.fc2)
+    for i, c in enumerate(tnet.convs):
+        tnet.convs[i] = biased_conv(c)
+    for i, c in enumerate(tnet.hconvs):
+        tnet.hconvs[i] = biased_conv(c)
+    with torch.no_grad():
+        tnet.train()
+        tnet(torch.randn(4, 3, 64), torch.eye(16)[torch.arange(4)])
+        tnet.eval()
+
+    rng = np.random.default_rng(11)
+    pts = rng.standard_normal((2, 96, 3)).astype(np.float32)
+    onehot = np.eye(16, dtype=np.float32)[[3, 7]]
+    with torch.no_grad():
+        want = tnet(torch.from_numpy(pts.transpose(0, 2, 1)),
+                    torch.from_numpy(onehot)).numpy()
+
+    sd = {}
+    for k, v in tnet.state_dict().items():
+        k = re.sub(r"^(stn|fstn)\.convs\.(\d+)\.",
+                   lambda m: f"{m.group(1)}.conv{int(m.group(2)) + 1}.", k)
+        k = re.sub(r"^(stn|fstn)\.cbns\.(\d+)\.",
+                   lambda m: f"{m.group(1)}.bn{int(m.group(2)) + 1}.", k)
+        k = re.sub(r"^(stn|fstn)\.fbn1\.", r"\1.bn4.", k)
+        k = re.sub(r"^(stn|fstn)\.fbn2\.", r"\1.bn5.", k)
+        k = re.sub(r"^convs\.(\d+)\.",
+                   lambda m: f"conv{int(m.group(1)) + 1}.", k)
+        k = re.sub(r"^bns\.(\d+)\.",
+                   lambda m: f"bn{int(m.group(1)) + 1}.", k)
+        k = re.sub(r"^hconvs\.(\d+)\.",
+                   lambda m: f"convs{int(m.group(1)) + 1}.", k)
+        k = re.sub(r"^hbns\.(\d+)\.",
+                   lambda m: f"bns{int(m.group(1)) + 1}.", k)
+        k = re.sub(r"^final\.", "convs4.", k)
+        sd[k] = v.numpy()
+
+    variables = pointnet_partseg_from_reference(
+        normalize_reference_keys(sd))
+    model = get_seg_model("pointnet", part_num=50)
+    got = np.asarray(
+        model.apply(variables, jnp.asarray(pts), jnp.asarray(onehot),
+                    training=False)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)

@@ -309,3 +309,106 @@ def test_pointnet2_reference_checkpoint_import(msg):
                     training=False)
     )
     np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+
+
+class RefFP(torch.nn.Module):
+    """Reference PointNetFeaturePropagation (misc/ops.py:54-107):
+    3-NN inverse-square-distance upsampling (eps 1e-8) + skip concat +
+    Conv1d(bias)/BN/ReLU stack under mlp_convs/mlp_bns."""
+
+    def __init__(self, in_ch, mlp):
+        super().__init__()
+        chans = [in_ch] + list(mlp)
+        self.mlp_convs = torch.nn.ModuleList(
+            torch.nn.Conv1d(chans[i], chans[i + 1], 1)
+            for i in range(len(mlp)))
+        self.mlp_bns = torch.nn.ModuleList(
+            torch.nn.BatchNorm1d(c) for c in mlp)
+
+    def forward(self, xyz1, xyz2, f1, f2):
+        if xyz2.shape[1] == 1:
+            up = f2.expand(-1, xyz1.shape[1], -1)
+        else:
+            d2 = torch.cdist(xyz1, xyz2) ** 2
+            d2, idx = d2.topk(3, dim=-1, largest=False)
+            w = 1.0 / (d2 + 1e-8)
+            w = w / w.sum(-1, keepdim=True)
+            g = torch.gather(
+                f2, 1, idx.reshape(idx.shape[0], -1, 1).expand(
+                    -1, -1, f2.shape[-1])
+            ).reshape(*idx.shape, f2.shape[-1])
+            up = (g * w[..., None]).sum(2)
+        h = torch.cat([f1, up], -1) if f1 is not None else up
+        h = h.transpose(1, 2)
+        for conv, bn in zip(self.mlp_convs, self.mlp_bns):
+            h = torch.relu(bn(conv(h)))
+        return h.transpose(1, 2)
+
+
+class RefKeyedPointNet2PartSeg(torch.nn.Module):
+    """Reference PointNet2_partseg module tree
+    (networks/seg/pointnet2_partseg.py:110-157)."""
+
+    def __init__(self, part_num=8):
+        super().__init__()
+        self.pointnet_modules = torch.nn.ModuleList([
+            RefKeyedSA(3, [[64, 64, 128]], 128, [0.2], [32]),
+            RefKeyedSA(128, [[128, 128, 256]], 32, [0.4], [32]),
+            RefKeyedSA(256, [[256, 512, 1024]]),
+        ])
+        self.fp3 = RefFP(1280, [256, 256])
+        self.fp2 = RefFP(384, [256, 128])
+        self.fp1 = RefFP(128 + 16 + 6, [128, 128, 128])
+        self.fc_layer = torch.nn.Sequential(
+            torch.nn.Conv1d(128, 128, 1),
+            torch.nn.BatchNorm1d(128),
+            torch.nn.Dropout(0.5),
+            torch.nn.Conv1d(128, part_num, 1),
+        )
+
+    def forward(self, xyz, feats, label):
+        b, n, _ = xyz.shape
+        l1x, l1f = self.pointnet_modules[0](xyz, feats)
+        l2x, l2f = self.pointnet_modules[1](l1x, l1f)
+        l3x, l3f = self.pointnet_modules[2](l2x, l2f)
+        l2f = self.fp3(l2x, l3x, l2f, l3f)
+        l1f = self.fp2(l1x, l2x, l1f, l2f)
+        onehot = label[:, None, :].expand(-1, n, -1)
+        f = self.fp1(xyz, l1x,
+                     torch.cat([onehot, xyz, feats], -1), l1f)
+        return self.fc_layer(f.transpose(1, 2)).transpose(1, 2)
+
+
+def test_pointnet2_partseg_reference_checkpoint_import():
+    from pointcloudlib_tpu.models import get_seg_model
+    from pointcloudlib_tpu.utils.interop import (
+        normalize_reference_keys,
+        pointnet2_partseg_from_reference,
+    )
+
+    torch.manual_seed(9)
+    tnet = RefKeyedPointNet2PartSeg(part_num=8).eval()
+    lab = torch.nn.functional.one_hot(
+        torch.arange(4) % 16, 16).float()
+    with torch.no_grad():
+        tnet.train()
+        tnet(torch.randn(4, 256, 3), torch.randn(4, 256, 3), lab)
+        tnet.eval()
+
+    rng = np.random.default_rng(9)
+    pts = rng.standard_normal((2, 256, 3)).astype(np.float32)
+    nrm = rng.standard_normal((2, 256, 3)).astype(np.float32)
+    lab2 = np.eye(16, dtype=np.float32)[np.arange(2) % 16]
+    with torch.no_grad():
+        want = tnet(torch.from_numpy(pts), torch.from_numpy(nrm),
+                    torch.from_numpy(lab2)).numpy()
+
+    sd = {k: v.numpy() for k, v in tnet.state_dict().items()}
+    variables = pointnet2_partseg_from_reference(
+        normalize_reference_keys(sd))
+    model = get_seg_model("pointnet2", part_num=8)
+    got = np.asarray(
+        model.apply(variables, jnp.asarray(pts), jnp.asarray(lab2),
+                    jnp.asarray(nrm), training=False)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
