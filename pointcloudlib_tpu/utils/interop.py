@@ -263,6 +263,33 @@ def pointnet_partseg_from_reference(state_dict: Mapping) -> Dict:
     return {"params": params, "batch_stats": stats}
 
 
+def dgcnn_partseg_from_reference(state_dict: Mapping) -> Dict:
+    """Map a reference DGCNN_partseg ``state_dict``
+    (networks/seg/dgcnn_partseg.py:36-84: ``conv{1..10}`` =
+    Sequential(bias-free Conv, BN, LeakyReLU) and the bias-free final
+    ``conv11``) onto our UNFUSED ``DGCNNPartSeg`` variables
+    (DenseBNAct_0..9 + Dense_0). The BN lives at Sequential slot 1
+    (``conv{i}.1``; the bare ``bn{i}`` aliases the same tensors).
+
+    Serve the imported checkpoint on the unfused path — the fused
+    Pallas DGCNNPartSeg shifts its head numbering and is not a
+    conversion target (see convert_variables' known limitation).
+    Run jittor checkpoints through ``normalize_reference_keys`` first.
+    """
+    sd = dict(state_dict)
+    params: Dict = {}
+    stats: Dict = {}
+    for i in range(10):
+        bnp, bns = _bn(sd, f"conv{i + 1}.1")
+        params[f"DenseBNAct_{i}"] = {
+            "Dense_0": _dense(sd, f"conv{i + 1}.0"),
+            "BatchNorm_0": bnp,
+        }
+        stats[f"DenseBNAct_{i}"] = {"BatchNorm_0": bns}
+    params["Dense_0"] = _dense(sd, "conv11")
+    return {"params": params, "batch_stats": stats}
+
+
 def pointnet2_partseg_from_reference(state_dict: Mapping) -> Dict:
     """Map a reference PointNet2_partseg ``state_dict``
     (networks/seg/pointnet2_partseg.py:110-157) onto our
@@ -315,6 +342,55 @@ def pointnet2_partseg_from_reference(state_dict: Mapping) -> Dict:
     return {"params": params, "batch_stats": stats}
 
 
+def _pcnn_dense(sd: Mapping, prefix: str, with_bn: bool = True):
+    """Reference Dense_Conv1d/2d (.linear 1x1 conv + .bn) -> DenseBlock."""
+    p: Dict = {"Dense_0": _dense(sd, f"{prefix}.linear")}
+    s = None
+    if with_bn:
+        bnp, bns = _bn(sd, f"{prefix}.bn")
+        p["BatchNorm_0"] = bnp
+        s = {"BatchNorm_0": bns}
+    return p, s
+
+
+def _pcnn_xconv(sd: Mapping, prefix: str, dm: int):
+    """Reference XConv (misc/layers.py:413-517) -> our XConv params."""
+    p: Dict = {}
+    s: Dict = {}
+    for i, sub in enumerate(("dense1", "dense2")):
+        dp, ds = _pcnn_dense(sd, f"{prefix}.{sub}")
+        p[f"DenseBlock_{i}"] = dp
+        s[f"DenseBlock_{i}"] = ds
+    w = np.asarray(sd[f"{prefix}.x_trans_0.conv.weight"], np.float32)
+    kk, dims, _, k = w.shape
+    kernel = np.ascontiguousarray(
+        w[:, :, 0, :].transpose(2, 1, 0).reshape(k * dims, kk))
+    bnp, bns = _bn(sd, f"{prefix}.x_trans_0.bn")
+    p["DenseBlock_2"] = {
+        "Dense_0": {"kernel": kernel,
+                    "bias": np.zeros((kk,), np.float32)},
+        "BatchNorm_0": bnp,
+    }
+    s["DenseBlock_2"] = {"BatchNorm_0": bns}
+    dp, ds = _pcnn_dense(sd, f"{prefix}.x_trans_1")
+    p["DenseBlock_3"] = dp
+    s["DenseBlock_3"] = ds
+    dp, _ = _pcnn_dense(sd, f"{prefix}.x_trans_2", with_bn=False)
+    p["DenseBlock_4"] = dp
+    w0 = np.asarray(sd[f"{prefix}.end_conv.f.conv.0.weight"], np.float32)
+    cdm, _, _, k = w0.shape
+    c = cdm // dm
+    p["depthwise"] = np.ascontiguousarray(
+        w0[:, 0, 0, :].reshape(c, dm, k).transpose(0, 2, 1))
+    p["depthwise_bias"] = np.asarray(
+        sd[f"{prefix}.end_conv.f.conv.0.bias"], np.float32)
+    p["Dense_0"] = _dense(sd, f"{prefix}.end_conv.f.conv.1")
+    bnp, bns = _bn(sd, f"{prefix}.end_conv.f.bn")
+    p["BatchNorm_0"] = bnp
+    s["BatchNorm_0"] = bns
+    return p, s
+
+
 def pointcnn_from_reference(state_dict: Mapping) -> Dict:
     """Map a reference PointCNN-cls ``state_dict``
     (networks/cls/pointcnn.py:23-38: ``pcnn1`` + ``pcnn2.{0..2}``
@@ -339,53 +415,6 @@ def pointcnn_from_reference(state_dict: Mapping) -> Dict:
     (it leaves the literal ``.f`` wrapper segment alone).
     """
     sd = dict(state_dict)
-
-    def _dense_conv(prefix: str, with_bn: bool = True):
-        p: Dict = {"Dense_0": _dense(sd, f"{prefix}.linear")}
-        s = None
-        if with_bn:
-            bnp, bns = _bn(sd, f"{prefix}.bn")
-            p["BatchNorm_0"] = bnp
-            s = {"BatchNorm_0": bns}
-        return p, s
-
-    def _xconv(prefix: str, dm: int):
-        p: Dict = {}
-        s: Dict = {}
-        for i, sub in enumerate(("dense1", "dense2")):
-            dp, ds = _dense_conv(f"{prefix}.{sub}")
-            p[f"DenseBlock_{i}"] = dp
-            s[f"DenseBlock_{i}"] = ds
-        w = np.asarray(sd[f"{prefix}.x_trans_0.conv.weight"], np.float32)
-        kk, dims, _, k = w.shape
-        kernel = np.ascontiguousarray(
-            w[:, :, 0, :].transpose(2, 1, 0).reshape(k * dims, kk))
-        bnp, bns = _bn(sd, f"{prefix}.x_trans_0.bn")
-        p["DenseBlock_2"] = {
-            "Dense_0": {"kernel": kernel,
-                        "bias": np.zeros((kk,), np.float32)},
-            "BatchNorm_0": bnp,
-        }
-        s["DenseBlock_2"] = {"BatchNorm_0": bns}
-        dp, ds = _dense_conv(f"{prefix}.x_trans_1")
-        p["DenseBlock_3"] = dp
-        s["DenseBlock_3"] = ds
-        dp, _ = _dense_conv(f"{prefix}.x_trans_2", with_bn=False)
-        p["DenseBlock_4"] = dp
-        w0 = np.asarray(sd[f"{prefix}.end_conv.f.conv.0.weight"],
-                        np.float32)
-        cdm, _, _, k = w0.shape
-        c = cdm // dm
-        p["depthwise"] = np.ascontiguousarray(
-            w0[:, 0, 0, :].reshape(c, dm, k).transpose(0, 2, 1))
-        p["depthwise_bias"] = np.asarray(
-            sd[f"{prefix}.end_conv.f.conv.0.bias"], np.float32)
-        p["Dense_0"] = _dense(sd, f"{prefix}.end_conv.f.conv.1")
-        bnp, bns = _bn(sd, f"{prefix}.end_conv.f.bn")
-        p["BatchNorm_0"] = bnp
-        s["BatchNorm_0"] = bns
-        return p, s
-
     layers = [("pcnn1", 3, 48), ("pcnn2.0", 48, 96),
               ("pcnn2.1", 96, 192), ("pcnn2.2", 192, 384)]
     params: Dict = {}
@@ -394,10 +423,10 @@ def pointcnn_from_reference(state_dict: Mapping) -> Dict:
         dm = -(-c_out // c_in)  # ceil, layers.py:371
         lp: Dict = {}
         ls: Dict = {}
-        dp, ds = _dense_conv(f"{pref}.pointcnn.dense.f")
+        dp, ds = _pcnn_dense(sd, f"{pref}.pointcnn.dense.f")
         lp["DenseBlock_0"] = dp
         ls["DenseBlock_0"] = ds
-        xp, xs = _xconv(f"{pref}.pointcnn.x_conv", dm)
+        xp, xs = _pcnn_xconv(sd, f"{pref}.pointcnn.x_conv", dm)
         lp["XConv_0"] = xp
         ls["XConv_0"] = xs
         params[f"PointCNNLayer_{i}"] = lp
@@ -405,10 +434,114 @@ def pointcnn_from_reference(state_dict: Mapping) -> Dict:
     for i, (pref, with_bn) in enumerate(
         [("fcn.0", True), ("fcn.1", True), ("fcn.2", False)]
     ):
-        dp, ds = _dense_conv(pref, with_bn)
+        dp, ds = _pcnn_dense(sd, pref, with_bn)
         params[f"DenseBlock_{i}"] = dp
         if ds:
             stats[f"DenseBlock_{i}"] = ds
+    return {"params": params, "batch_stats": stats}
+
+
+def pointcnn_partseg_from_reference(state_dict: Mapping,
+                                    part_num: int = 50) -> Dict:
+    """Map a reference PointCNN_partseg ``state_dict``
+    (networks/seg/pointcnn_partseg.py:17-47: ``encoder_{0..3}``
+    RandPointCNN + ``decoder_{0..3}`` RandPointCNN_Decoder) onto our
+    ``PointCNNPartSeg`` variables (encoders PointCNNLayer_0..3,
+    decoders PointCNNLayer_4..7 + the ``conv_fuse.f`` Dense_Conv1d →
+    DenseBlock_0..3). Same XConv weight-shape treatment as the cls
+    importer. Run jittor checkpoints through
+    ``normalize_reference_keys`` first.
+    """
+    sd = dict(state_dict)
+    params: Dict = {}
+    stats: Dict = {}
+    enc = [(3, 256), (256, 256), (256, 512), (512, 1024)]
+    dec = [(1024, 1024), (1024, 512), (512, 256), (256, part_num)]
+    for i, (c_in, c_out) in enumerate(enc + dec):
+        pref = (f"encoder_{i}" if i < 4 else f"decoder_{i - 4}")
+        dm = -(-c_out // c_in)
+        lp: Dict = {}
+        ls: Dict = {}
+        dp, ds = _pcnn_dense(sd, f"{pref}.pointcnn.dense.f")
+        lp["DenseBlock_0"] = dp
+        ls["DenseBlock_0"] = ds
+        xp, xs = _pcnn_xconv(sd, f"{pref}.pointcnn.x_conv", dm)
+        lp["XConv_0"] = xp
+        ls["XConv_0"] = xs
+        params[f"PointCNNLayer_{i}"] = lp
+        stats[f"PointCNNLayer_{i}"] = ls
+    for i in range(4):
+        dp, ds = _pcnn_dense(sd, f"decoder_{i}.conv_fuse.f")
+        params[f"DenseBlock_{i}"] = dp
+        stats[f"DenseBlock_{i}"] = ds
+    return {"params": params, "batch_stats": stats}
+
+
+def _pconv_stack(sd: Mapping, prefix: str, fold_bias: bool):
+    """mlp_convs/mlp_bns pairs -> DenseBNAct tree; optionally fold the
+    conv bias into the BN running mean (our stack Denses are
+    biasless)."""
+    p: Dict = {}
+    s: Dict = {}
+    i = 0
+    while f"{prefix}.mlp_convs.{i}.weight" in sd:
+        d = _dense(sd, f"{prefix}.mlp_convs.{i}")
+        bnp, bns = _bn(sd, f"{prefix}.mlp_bns.{i}")
+        if fold_bias and "bias" in d:
+            bns = dict(bns)
+            bns["mean"] = bns["mean"] - d.pop("bias")
+        p[f"DenseBNAct_{i}"] = {"Dense_0": d, "BatchNorm_0": bnp}
+        s[f"DenseBNAct_{i}"] = {"BatchNorm_0": bns}
+        i += 1
+    assert i, f"no {prefix}.mlp_convs.* keys"
+    return p, s
+
+
+def _pconv_layer(sd: Mapping, ref: str):
+    """One PointConvDensitySetAbstraction/Interpolation
+    (pointconv_utils.py:253-400) -> our PointConvSA/Interp params."""
+    p: Dict = {}
+    s: Dict = {}
+    for sub, tpref, fold in (
+        ("DensityNet_0", f"{ref}.densitynet", False),
+        ("PointMLP_0", ref, True),
+        ("WeightNet_0", f"{ref}.weightnet", False),
+    ):
+        sp, ss = _pconv_stack(sd, tpref, fold)
+        p[sub] = sp
+        s[sub] = ss
+    p["Dense_0"] = _dense(sd, f"{ref}.linear")
+    bnp, bns = _bn(sd, f"{ref}.bn_linear")
+    p["BatchNorm_0"] = bnp
+    s["BatchNorm_0"] = bns
+    return p, s
+
+
+def pointconv_partseg_from_reference(state_dict: Mapping) -> Dict:
+    """Map a reference PointConv_partseg ``state_dict``
+    (networks/seg/pointconv_partseg.py:12-38: ``sa{0..3}`` SA layers +
+    ``in{0..3}`` PointConvDensitySetInterpolation + ``fc1/bn1/fc3``
+    head) onto our ``PointConvPartSeg`` variables. Same structure and
+    bias-fold rules as the cls importer; the head conv biases are kept
+    (ours have them). Run jittor checkpoints through
+    ``normalize_reference_keys`` first.
+    """
+    sd = dict(state_dict)
+    params: Dict = {}
+    stats: Dict = {}
+    for m in range(4):
+        p, s = _pconv_layer(sd, f"sa{m}")
+        params[f"PointConvSA_{m}"] = p
+        stats[f"PointConvSA_{m}"] = s
+    for m in range(4):
+        p, s = _pconv_layer(sd, f"in{m}")
+        params[f"PointConvInterp_{m}"] = p
+        stats[f"PointConvInterp_{m}"] = s
+    bnp, bns = _bn(sd, "bn1")
+    params["DenseBNAct_0"] = {"Dense_0": _dense(sd, "fc1"),
+                              "BatchNorm_0": bnp}
+    stats["DenseBNAct_0"] = {"BatchNorm_0": bns}
+    params["Dense_0"] = _dense(sd, "fc3")
     return {"params": params, "batch_stats": stats}
 
 
@@ -434,41 +567,10 @@ def pointconv_from_reference(state_dict: Mapping) -> Dict:
     Run jittor checkpoints through ``normalize_reference_keys`` first.
     """
     sd = dict(state_dict)
-
-    def _stack(prefix: str, fold_bias: bool):
-        p: Dict = {}
-        s: Dict = {}
-        i = 0
-        while f"{prefix}.mlp_convs.{i}.weight" in sd:
-            d = _dense(sd, f"{prefix}.mlp_convs.{i}")
-            bnp, bns = _bn(sd, f"{prefix}.mlp_bns.{i}")
-            if fold_bias and "bias" in d:
-                bns = dict(bns)
-                bns["mean"] = bns["mean"] - d.pop("bias")
-            p[f"DenseBNAct_{i}"] = {"Dense_0": d, "BatchNorm_0": bnp}
-            s[f"DenseBNAct_{i}"] = {"BatchNorm_0": bns}
-            i += 1
-        assert i, f"no {prefix}.mlp_convs.* keys"
-        return p, s
-
     params: Dict = {}
     stats: Dict = {}
     for m in range(3):
-        ref = f"sa{m + 1}"
-        p: Dict = {}
-        s: Dict = {}
-        for sub, tpref, fold in (
-            ("DensityNet_0", f"{ref}.densitynet", False),
-            ("PointMLP_0", ref, True),
-            ("WeightNet_0", f"{ref}.weightnet", False),
-        ):
-            sp, ss = _stack(tpref, fold)
-            p[sub] = sp
-            s[sub] = ss
-        p["Dense_0"] = _dense(sd, f"{ref}.linear")
-        bnp, bns = _bn(sd, f"{ref}.bn_linear")
-        p["BatchNorm_0"] = bnp
-        s["BatchNorm_0"] = bns
+        p, s = _pconv_layer(sd, f"sa{m + 1}")
         params[f"PointConvSA_{m}"] = p
         stats[f"PointConvSA_{m}"] = s
     for li, (dpref, bpref) in enumerate([("fc1", "bn1"), ("fc2", "bn2")]):

@@ -409,3 +409,87 @@ def test_pointcnn_reference_checkpoint_import():
     got = np.asarray(model.apply(variables, jnp.asarray(pts),
                                  training=False))
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+class RDecoder(torch.nn.Module):
+    """Reference RandPointCNN_Decoder (misc/layers.py:279-303):
+    PointCNN projecting the lower-res level onto the higher-res points
+    + conv_fuse over the skip concat."""
+
+    def __init__(self, c_in, c_out, c_last, k):
+        super().__init__()
+        self.k = k
+        pc = torch.nn.Module()
+        pc.dense = _RWrap(RDense1d(c_in, c_out // 2))
+        c_mid, dm = c_out // 4, int(math.ceil(c_out / c_in))
+        pc.x_conv = RXConv(c_out // 2, c_out, k, c_mid, dm)
+        self.pointcnn = pc
+        self.conv_fuse = _RWrap(RDense1d(c_out + c_last, c_out))
+
+    def forward(self, xl, fl, xh, fh):
+        fts = self.pointcnn.dense.f(fl)
+        d2 = torch.cdist(xh, xl) ** 2
+        idx = d2.topk(self.k, dim=-1, largest=False).indices
+        proj = self.pointcnn.x_conv(
+            xh, gather_pts(xl, idx), gather_pts(fts, idx))
+        return self.conv_fuse.f(torch.cat([proj, fh], -1))
+
+
+class RPointCNNPartSeg(torch.nn.Module):
+    """Reference PointCNN_partseg tree
+    (networks/seg/pointcnn_partseg.py:17-47)."""
+
+    def __init__(self, part_num=50):
+        super().__init__()
+        self.encoder_0 = RLayer(3, 256, 8, 1, -1)
+        self.encoder_1 = RLayer(256, 256, 12, 1, 768)
+        self.encoder_2 = RLayer(256, 512, 16, 1, 384)
+        self.encoder_3 = RLayer(512, 1024, 16, 1, 128)
+        self.decoder_0 = RDecoder(1024, 1024, 1024, 16)
+        self.decoder_1 = RDecoder(1024, 512, 512, 16)
+        self.decoder_2 = RDecoder(512, 256, 256, 12)
+        self.decoder_3 = RDecoder(256, part_num, 256, 8)
+
+    def forward(self, xyz):
+        p0, f0 = self.encoder_0(xyz, xyz)
+        p1, f1 = self.encoder_1(p0, f0)
+        p2, f2 = self.encoder_2(p1, f1)
+        p3, f3 = self.encoder_3(p2, f2)
+        f3 = self.decoder_0(p3, f3, p3, f3)
+        f2 = self.decoder_1(p3, f3, p2, f2)
+        f1 = self.decoder_2(p2, f2, p1, f1)
+        return self.decoder_3(p1, f1, p0, f0)
+
+
+def test_pointcnn_partseg_reference_checkpoint_import():
+    from pointcloudlib_tpu.models import get_seg_model
+    from pointcloudlib_tpu.utils.interop import (
+        normalize_reference_keys,
+        pointcnn_partseg_from_reference,
+    )
+
+    torch.manual_seed(14)
+    tnet = RPointCNNPartSeg(part_num=50)
+    with torch.no_grad():
+        tnet.train()
+        warm = torch.randn(2, 96, 3) * 0.5
+        warm = warm / warm.norm(dim=-1, keepdim=True)
+        tnet(warm)
+        tnet.eval()
+
+    rng = np.random.default_rng(14)
+    pts = rng.standard_normal((2, 96, 3)).astype(np.float32)
+    pts /= np.linalg.norm(pts, axis=-1, keepdims=True)
+    onehot = np.eye(16, dtype=np.float32)[[1, 5]]
+    with torch.no_grad():
+        want = tnet(torch.from_numpy(pts)).numpy()
+
+    sd = {k: v.numpy() for k, v in tnet.state_dict().items()}
+    variables = pointcnn_partseg_from_reference(
+        normalize_reference_keys(sd))
+    model = get_seg_model("pointcnn", part_num=50)
+    got = np.asarray(
+        model.apply(variables, jnp.asarray(pts), jnp.asarray(onehot),
+                    training=False)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)

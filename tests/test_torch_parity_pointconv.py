@@ -277,3 +277,162 @@ def test_pointconv_reference_checkpoint_import():
                                training=False)
     )
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+
+
+class RefStack(torch.nn.Module):
+    """Reference mlp_convs/mlp_bns pair lists (pointconv_utils.py:
+    259-269 naming), channel-last apply, biased convs like nn.Conv's
+    default."""
+
+    def __init__(self, chans, bias=True):
+        super().__init__()
+        self.mlp_convs = torch.nn.ModuleList(
+            torch.nn.Conv2d(chans[i], chans[i + 1], 1, bias=bias)
+            for i in range(len(chans) - 1))
+        self.mlp_bns = torch.nn.ModuleList(
+            torch.nn.BatchNorm2d(c) for c in chans[1:])
+
+    def run_stack(self, x):  # [B, ..., C] channel-last 4D
+        h = x.permute(0, 3, 1, 2)
+        for conv, bn in zip(self.mlp_convs, self.mlp_bns):
+            h = torch.relu(bn(conv(h)))
+        return h.permute(0, 2, 3, 1)
+
+
+class RefPCSA(RefStack):
+    """Reference-keyed PointConvDensitySetAbstraction."""
+
+    def __init__(self, in_ch, mlp, bw, n_points=None, k=None):
+        super().__init__([in_ch + 3] + list(mlp))
+        self.bw, self.n_points, self.k = bw, n_points, k
+        self.weightnet = RefStack([3, 8, 8, 16])
+        self.densitynet = RefStack([1, 8, 8, 1])
+        self.linear = torch.nn.Linear(16 * mlp[-1], mlp[-1])
+        self.bn_linear = torch.nn.BatchNorm1d(mlp[-1])
+
+    def _density(self, xyz):
+        d2 = torch.cdist(xyz, xyz) ** 2
+        density = (torch.exp(-d2 / (2 * self.bw**2))
+                   / (2.5 * self.bw)).mean(-1)
+        return self.densitynet.run_stack(
+            density[:, :, None, None])[:, :, 0]  # [B,N,1]
+
+    def _head(self, h, w):
+        b, s = h.shape[:2]
+        agg = torch.einsum("bskc,bskw->bscw", h, w).reshape(b, s, -1)
+        return torch.relu(
+            self.bn_linear(self.linear(agg).permute(0, 2, 1))
+            .permute(0, 2, 1))
+
+    def forward(self, xyz, feats):
+        scale = self._density(xyz)
+        if self.n_points is None:
+            new_xyz = torch.zeros(xyz.shape[0], 1, 3)
+            grouped_xyz = xyz[:, None]
+            grouped = (torch.cat([xyz, feats], -1)[:, None]
+                       if feats is not None else grouped_xyz)
+            gd = scale[:, None]
+        else:
+            fi = torch_fps_noskip(xyz, self.n_points)
+            new_xyz = gather_pts(xyz, fi)
+            nd = torch.cdist(new_xyz, xyz) ** 2
+            ni = nd.topk(self.k, dim=-1, largest=False).indices
+            grouped_xyz = gather_pts(xyz, ni) - new_xyz[:, :, None]
+            grouped = grouped_xyz
+            if feats is not None:
+                grouped = torch.cat(
+                    [grouped_xyz, gather_pts(feats, ni)], -1)
+            gd = gather_pts(scale, ni)
+        h = self.run_stack(grouped) * gd
+        w = self.weightnet.run_stack(grouped_xyz)
+        return new_xyz, self._head(h, w)
+
+
+class RefPCInterp(RefPCSA):
+    """Reference-keyed PointConvDensitySetInterpolation — with OUR
+    documented divergence (identity ordering instead of the
+    reference's silent FPS permutation, models/pointconv.py docstring);
+    the module tree and weight shapes are the reference's."""
+
+    def __init__(self, in_ch, mlp, bw, k=16):
+        super().__init__(in_ch - 3, mlp, bw, None, k)
+
+    def forward(self, xf, xc, fc):
+        d2, idx = (torch.cdist(xf, xc) ** 2).topk(
+            3, dim=-1, largest=False)
+        w = 1.0 / (d2 + 1e-8)
+        w = w / w.sum(-1, keepdim=True)
+        up = (gather_pts(fc, idx) * w[..., None]).sum(2)
+        scale = self._density(xf)
+        ni = (torch.cdist(xf, xf) ** 2).topk(
+            self.k, dim=-1, largest=False).indices
+        local = gather_pts(xf, ni) - xf[:, :, None]
+        grouped = torch.cat([local, gather_pts(up, ni)], -1)
+        gd = gather_pts(scale, ni)
+        h = self.run_stack(grouped) * gd
+        wn = self.weightnet.run_stack(local)
+        return self._head(h, wn)
+
+
+class RefPointConvPartSeg(torch.nn.Module):
+    """Reference PointConv_partseg tree
+    (networks/seg/pointconv_partseg.py:12-38)."""
+
+    def __init__(self, part_num=50):
+        super().__init__()
+        self.sa0 = RefPCSA(0, [32, 32, 64], 0.1, 1024, 32)
+        self.sa1 = RefPCSA(64, [64, 64, 128], 0.2, 256, 32)
+        self.sa2 = RefPCSA(128, [128, 128, 256], 0.4, 64, 32)
+        self.sa3 = RefPCSA(256, [256, 256, 512], 0.8, 36, 32)
+        self.in0 = RefPCInterp(512 + 3, [512, 512], 0.8)
+        self.in1 = RefPCInterp(512 + 3, [256, 256], 0.4)
+        self.in2 = RefPCInterp(256 + 3, [128, 128], 0.2)
+        self.in3 = RefPCInterp(128 + 3, [128, 128, 128], 0.1)
+        self.fc1 = torch.nn.Conv1d(128, 128, 1)
+        self.bn1 = torch.nn.BatchNorm1d(128)
+        self.fc3 = torch.nn.Conv1d(128, part_num, 1)
+
+    def forward(self, xyz):
+        l1x, l1f = self.sa0(xyz, None)
+        l2x, l2f = self.sa1(l1x, l1f)
+        l3x, l3f = self.sa2(l2x, l2f)
+        l4x, l4f = self.sa3(l3x, l3f)
+        l3f = self.in0(l3x, l4x, l4f)
+        l2f = self.in1(l2x, l3x, l3f)
+        l1f = self.in2(l1x, l2x, l2f)
+        l0f = self.in3(xyz, l1x, l1f)
+        h = torch.relu(self.bn1(self.fc1(l0f.transpose(1, 2))))
+        return self.fc3(h).transpose(1, 2)
+
+
+def test_pointconv_partseg_reference_checkpoint_import():
+    """RefPCInterp's in_ch bookkeeping: the reference passes
+    in_channel = C_coarse + 3 and the stack consumes [local ‖ up]."""
+    from pointcloudlib_tpu.models import get_seg_model
+    from pointcloudlib_tpu.utils.interop import (
+        normalize_reference_keys,
+        pointconv_partseg_from_reference,
+    )
+
+    torch.manual_seed(15)
+    tnet = RefPointConvPartSeg(part_num=50).eval()
+    with torch.no_grad():
+        tnet.train()
+        tnet(torch.randn(2, 1100, 3))
+        tnet.eval()
+
+    rng = np.random.default_rng(15)
+    pts = rng.standard_normal((1, 1100, 3)).astype(np.float32)
+    onehot = np.eye(16, dtype=np.float32)[[4]]
+    with torch.no_grad():
+        want = tnet(torch.from_numpy(pts)).numpy()
+
+    sd = {k: v.numpy() for k, v in tnet.state_dict().items()}
+    variables = pointconv_partseg_from_reference(
+        normalize_reference_keys(sd))
+    model = get_seg_model("pointconv", part_num=50)
+    got = np.asarray(
+        model.apply(variables, jnp.asarray(pts), jnp.asarray(onehot),
+                    training=False)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
