@@ -247,3 +247,100 @@ def test_pointnet_partseg_reference_checkpoint_import():
                     training=False)
     )
     np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+
+
+class RefDGCNNPartSeg(torch.nn.Module):
+    """Reference DGCNN_partseg module tree + semantics
+    (networks/seg/dgcnn_partseg.py:36-130): conv1..10 =
+    Sequential(bias-free Conv, BN, LeakyReLU(0.2)), bias-free conv11,
+    feature-space kNN edge features (diff ‖ center)."""
+
+    def __init__(self, part_num=50, k=8):
+        super().__init__()
+        self.k = k
+
+        def seq2(cin, cout):
+            return torch.nn.Sequential(
+                torch.nn.Conv2d(cin, cout, 1, bias=False),
+                torch.nn.BatchNorm2d(cout),
+                torch.nn.LeakyReLU(0.2))
+
+        def seq1(cin, cout):
+            return torch.nn.Sequential(
+                torch.nn.Conv1d(cin, cout, 1, bias=False),
+                torch.nn.BatchNorm1d(cout),
+                torch.nn.LeakyReLU(0.2))
+
+        self.conv1 = seq2(6, 64)
+        self.conv2 = seq2(64, 64)
+        self.conv3 = seq2(128, 64)
+        self.conv4 = seq2(64, 64)
+        self.conv5 = seq2(128, 64)
+        self.conv6 = seq1(192, 1024)
+        self.conv7 = seq1(16, 64)
+        self.conv8 = seq1(1280, 256)
+        self.conv9 = seq1(256, 256)
+        self.conv10 = seq1(256, 128)
+        self.conv11 = torch.nn.Conv1d(128, part_num, 1, bias=False)
+
+    def _graph(self, x):  # [B, C, N] -> [B, 2C, N, k]
+        d2 = torch.cdist(x.transpose(1, 2), x.transpose(1, 2)) ** 2
+        idx = d2.topk(self.k, dim=-1, largest=False).indices  # [B,N,k]
+        b, c, n = x.shape
+        g = torch.gather(
+            x.transpose(1, 2), 1,
+            idx.reshape(b, -1, 1).expand(-1, -1, c)
+        ).reshape(b, n, self.k, c)
+        ctr = x.transpose(1, 2)[:, :, None].expand(-1, -1, self.k, -1)
+        e = torch.cat([g - ctr, ctr], dim=-1)  # [B,N,k,2C]
+        return e.permute(0, 3, 1, 2)
+
+    def forward(self, x, label):  # [B, 3, N], [B, 16]
+        b, _, n = x.shape
+        h = self.conv2(self.conv1(self._graph(x)))
+        x1 = h.max(dim=-1).values
+        h = self.conv4(self.conv3(self._graph(x1)))
+        x2 = h.max(dim=-1).values
+        h = self.conv5(self._graph(x2))
+        x3 = h.max(dim=-1).values
+        g = self.conv6(torch.cat([x1, x2, x3], dim=1))
+        g = g.max(dim=-1, keepdim=True).values
+        l = self.conv7(label[:, :, None])
+        g = torch.cat([g, l], dim=1).expand(-1, -1, n)
+        h = torch.cat([g, x1, x2, x3], dim=1)
+        h = self.conv10(self.conv9(self.conv8(h)))
+        return self.conv11(h).transpose(1, 2)  # [B, N, parts]
+
+
+def test_dgcnn_partseg_reference_checkpoint_import(monkeypatch):
+    from pointcloudlib_tpu.nn import layers as L
+    from pointcloudlib_tpu.utils.interop import (
+        dgcnn_partseg_from_reference,
+        normalize_reference_keys,
+    )
+
+    torch.manual_seed(13)
+    tnet = RefDGCNNPartSeg(part_num=50, k=8)
+    with torch.no_grad():
+        tnet.train()
+        tnet(torch.randn(4, 3, 64), torch.eye(16)[torch.arange(4)])
+        tnet.eval()
+
+    rng = np.random.default_rng(13)
+    pts = rng.standard_normal((2, 96, 3)).astype(np.float32)
+    onehot = np.eye(16, dtype=np.float32)[[2, 9]]
+    with torch.no_grad():
+        want = tnet(torch.from_numpy(pts.transpose(0, 2, 1)),
+                    torch.from_numpy(onehot)).numpy()
+
+    sd = {k: v.numpy() for k, v in tnet.state_dict().items()}
+    variables = dgcnn_partseg_from_reference(
+        normalize_reference_keys(sd))
+    # the importer targets the unfused tree
+    monkeypatch.setattr(L, "_fused_sa_enabled", lambda: False)
+    model = get_seg_model("dgcnn", part_num=50, k=8)
+    got = np.asarray(
+        model.apply(variables, jnp.asarray(pts), jnp.asarray(onehot),
+                    training=False)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
