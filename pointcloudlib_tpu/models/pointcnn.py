@@ -36,7 +36,18 @@ Array = jax.Array
 
 
 class DenseBlock(nn.Module):
-    """Dense with the reference's two BN/act orderings."""
+    """Dense with the reference's two BN/act orderings.
+
+    Deliberate divergence — BN running-stat momentum: the reference
+    passes ``momentum=0.9`` to jittor's torch-semantics BatchNorm in
+    Conv/SepConv/Dense_Conv2d (misc/layers.py:156,192,257), i.e. 90%
+    NEW batch per update — flipping the original PointCNN TF code's
+    ``decay=0.9`` (90% OLD) when the API convention changed. We keep
+    the original intent: flax momentum 0.9 = 90% old (= torch 0.1,
+    the convention every torch port uses). Eval parity is unaffected
+    (running stats import verbatim); only the stats' training-time
+    smoothing differs.
+    """
 
     features: int
     with_bn: bool = True
