@@ -719,9 +719,10 @@ def kpcnn_from_reference(state_dict: Mapping, cfg=None) -> Dict:
 # copying everything else through. Values are identical — the fused
 # path computes the same math from the same weights.
 #
-# Known limitation: DGCNNPartSeg's fused pair layers shift the
-# positional numbering of its head blocks; conversion for that model
-# is not supported (train and serve it on one backend).
+# DGCNNPartSeg: its fused pair layers (Fused2EdgeConv packs TWO
+# DenseBNActs) shift the positional numbering of the head blocks —
+# handled by a dedicated level mapper (_dgcnn_partseg_level), detected
+# by the Fused2EdgeConv_0 key.
 
 
 def _sa_unpack(fsa: Mapping, stats: bool) -> Dict:
@@ -771,11 +772,69 @@ def _edge_pack(db: Mapping, stats: bool) -> Dict:
             "bn_bias": db["BatchNorm_0"]["bias"]}
 
 
+def _edge2_unpack(fe: Mapping, stats: bool, which: int) -> Dict:
+    """One of Fused2EdgeConv's two packed layers → a DenseBNAct tree."""
+    if stats:
+        return {"BatchNorm_0": {"mean": fe[f"mean{which}"],
+                                "var": fe[f"var{which}"]}}
+    return {"Dense_0": {"kernel": fe["w" if which == 1 else "w2"]},
+            "BatchNorm_0": {"scale": fe[f"bn{which}_scale"],
+                            "bias": fe[f"bn{which}_bias"]}}
+
+
+def _edge2_pack(d1: Mapping, d2: Mapping, stats: bool) -> Dict:
+    if stats:
+        return {"mean1": d1["BatchNorm_0"]["mean"],
+                "var1": d1["BatchNorm_0"]["var"],
+                "mean2": d2["BatchNorm_0"]["mean"],
+                "var2": d2["BatchNorm_0"]["var"]}
+    return {"w": d1["Dense_0"]["kernel"],
+            "w2": d2["Dense_0"]["kernel"],
+            "bn1_scale": d1["BatchNorm_0"]["scale"],
+            "bn1_bias": d1["BatchNorm_0"]["bias"],
+            "bn2_scale": d2["BatchNorm_0"]["scale"],
+            "bn2_bias": d2["BatchNorm_0"]["bias"]}
+
+
+def _dgcnn_partseg_level(src: Mapping, tgt: Mapping,
+                         stats: bool) -> Dict:
+    """DGCNNPartSeg top level: the fused branch declares
+    Fused2EdgeConv_0/1 + FusedEdgeConv_0 where the unfused one has
+    DenseBNAct_0..4, so the tail blocks renumber by 5
+    (models/dgcnn.py:DGCNNPartSeg)."""
+    out: Dict = {}
+    if "Fused2EdgeConv_0" in tgt:  # unfused → fused
+        for i in range(2):
+            out[f"Fused2EdgeConv_{i}"] = _edge2_pack(
+                src[f"DenseBNAct_{2 * i}"],
+                src[f"DenseBNAct_{2 * i + 1}"], stats)
+        out["FusedEdgeConv_0"] = _edge_pack(src["DenseBNAct_4"], stats)
+        for key in tgt:
+            if key.startswith("DenseBNAct_"):
+                out[key] = src[f"DenseBNAct_{int(_suffix(key)) + 5}"]
+            elif key == "Dense_0":
+                out[key] = src["Dense_0"]
+    else:  # fused → unfused
+        for i in range(2):
+            fe = src[f"Fused2EdgeConv_{i}"]
+            out[f"DenseBNAct_{2 * i}"] = _edge2_unpack(fe, stats, 1)
+            out[f"DenseBNAct_{2 * i + 1}"] = _edge2_unpack(fe, stats, 2)
+        out["DenseBNAct_4"] = _edge_unpack(src["FusedEdgeConv_0"], stats)
+        for key in src:
+            if key.startswith("DenseBNAct_"):
+                out[f"DenseBNAct_{int(_suffix(key)) + 5}"] = src[key]
+            elif key == "Dense_0":
+                out[key] = src[key]
+    return out
+
+
 def _suffix(key: str) -> str:
     return key.rsplit("_", 1)[-1]
 
 
 def _convert_level(src: Mapping, tgt: Mapping, stats: bool) -> Dict:
+    if "Fused2EdgeConv_0" in tgt or "Fused2EdgeConv_0" in src:
+        return _dgcnn_partseg_level(src, tgt, stats)
     out = {}
     for key, tval in tgt.items():
         if key in src:
@@ -809,8 +868,7 @@ def _convert_level(src: Mapping, tgt: Mapping, stats: bool) -> Dict:
 def convert_variables(src: Mapping, template: Mapping) -> Dict:
     """Re-shape a flax ``variables`` tree between the fused and unfused
     model layouts, using an ``init`` of the destination-backend model
-    as the structural template. See module note for the DGCNNPartSeg
-    limitation."""
+    as the structural template."""
     out = {"params": _convert_level(src["params"], template["params"],
                                     stats=False)}
     if "batch_stats" in template:
