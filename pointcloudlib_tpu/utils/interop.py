@@ -271,9 +271,8 @@ def dgcnn_partseg_from_reference(state_dict: Mapping) -> Dict:
     (DenseBNAct_0..9 + Dense_0). The BN lives at Sequential slot 1
     (``conv{i}.1``; the bare ``bn{i}`` aliases the same tensors).
 
-    Serve the imported checkpoint on the unfused path — the fused
-    Pallas DGCNNPartSeg shifts its head numbering and is not a
-    conversion target (see convert_variables' known limitation).
+    For the fused Pallas serving path, pass the result through
+    ``convert_variables`` against a fused-model init template.
     Run jittor checkpoints through ``normalize_reference_keys`` first.
     """
     sd = dict(state_dict)
