@@ -68,6 +68,9 @@ def fps(xyz, n_samples: int, skip_near_origin: bool = True):
             jax.lax.stop_gradient(xyz),
             n_samples,
             skip_near_origin=skip_near_origin,
+            # a forced USE_PALLAS override off-TPU (tests do this)
+            # must take the interpret path like every other gate
+            interpret=jax.default_backend() != "tpu",
         )
     return geometry.farthest_point_sample(
         xyz, n_samples, skip_near_origin=skip_near_origin

@@ -135,6 +135,20 @@ def normalize_reference_keys(state_dict: Mapping) -> Dict:
     return out
 
 
+def _seq_triplets(sd: Mapping, prefix: str, n_layers: int):
+    """build_mlps Sequential(Conv, BN, ReLU) triplets — conv at 3i,
+    BN at 3i+1 (networks/cls/pointnet2.py:18-31) → DenseBNAct tree."""
+    p, s = {}, {}
+    for i in range(n_layers):
+        bnp, bns = _bn(sd, f"{prefix}.{3 * i + 1}")
+        p[f"DenseBNAct_{i}"] = {
+            "Dense_0": _dense(sd, f"{prefix}.{3 * i}"),
+            "BatchNorm_0": bnp,
+        }
+        s[f"DenseBNAct_{i}"] = {"BatchNorm_0": bns}
+    return p, s
+
+
 def pointnet2_from_reference(state_dict: Mapping, msg: bool = False) -> Dict:
     """Map a reference PointNet++-cls ``state_dict`` onto our
     variables, using the reference's own module tree
@@ -152,16 +166,8 @@ def pointnet2_from_reference(state_dict: Mapping, msg: bool = False) -> Dict:
     """
     sd = dict(state_dict)
 
-    def _stack(prefix: str, n_layers: int):
-        p, s = {}, {}
-        for i in range(n_layers):
-            bnp, bns = _bn(sd, f"{prefix}.{3 * i + 1}")
-            p[f"DenseBNAct_{i}"] = {
-                "Dense_0": _dense(sd, f"{prefix}.{3 * i}"),
-                "BatchNorm_0": bnp,
-            }
-            s[f"DenseBNAct_{i}"] = {"BatchNorm_0": bns}
-        return p, s
+    def _stack(prefix, n_layers):
+        return _seq_triplets(sd, prefix, n_layers)
 
     params: Dict = {}
     stats: Dict = {}
@@ -300,37 +306,16 @@ def pointnet2_partseg_from_reference(state_dict: Mapping) -> Dict:
     Run jittor checkpoints through ``normalize_reference_keys`` first.
     """
     sd = dict(state_dict)
-
-    def _stack(prefix: str, n_layers: int):
-        p, s = {}, {}
-        for i in range(n_layers):
-            bnp, bns = _bn(sd, f"{prefix}.{3 * i + 1}")
-            p[f"DenseBNAct_{i}"] = {
-                "Dense_0": _dense(sd, f"{prefix}.{3 * i}"),
-                "BatchNorm_0": bnp,
-            }
-            s[f"DenseBNAct_{i}"] = {"BatchNorm_0": bns}
-        return p, s
-
     params: Dict = {}
     stats: Dict = {}
     for m in range(3):
-        p, s = _stack(f"pointnet_modules.{m}.mlps.0", 3)
+        p, s = _seq_triplets(sd, f"pointnet_modules.{m}.mlps.0", 3)
         params[f"SetAbstraction_{m}"] = {"PointMLP_0": p}
         stats[f"SetAbstraction_{m}"] = {"PointMLP_0": s}
     for i, ref in enumerate(("fp3", "fp2", "fp1")):
-        p, s = {}, {}
-        j = 0
-        while f"{ref}.mlp_convs.{j}.weight" in sd:
-            d = _dense(sd, f"{ref}.mlp_convs.{j}")
-            bnp, bns = _bn(sd, f"{ref}.mlp_bns.{j}")
-            if "bias" in d:  # Conv1d bias under BN: fold into the mean
-                bns = dict(bns)
-                bns["mean"] = bns["mean"] - d.pop("bias")
-            p[f"DenseBNAct_{j}"] = {"Dense_0": d, "BatchNorm_0": bnp}
-            s[f"DenseBNAct_{j}"] = {"BatchNorm_0": bns}
-            j += 1
-        assert j, f"no {ref}.mlp_convs.* keys"
+        # mlp_convs/mlp_bns pairs with the Conv1d bias folded into the
+        # running mean — same walk as the PointConv stacks
+        p, s = _pconv_stack(sd, ref, fold_bias=True)
         params[f"FeaturePropagation_{i}"] = {"PointMLP_0": p}
         stats[f"FeaturePropagation_{i}"] = {"PointMLP_0": s}
     bnp, bns = _bn(sd, "fc_layer.1")
@@ -813,6 +798,10 @@ def _dgcnn_partseg_level(src: Mapping, tgt: Mapping,
                 out[key] = src[f"DenseBNAct_{int(_suffix(key)) + 5}"]
             elif key == "Dense_0":
                 out[key] = src["Dense_0"]
+            elif key not in out:
+                raise KeyError(
+                    f"cannot convert: target key {key!r} unknown to the "
+                    f"DGCNNPartSeg mapper")
     else:  # fused → unfused
         for i in range(2):
             fe = src[f"Fused2EdgeConv_{i}"]
@@ -824,6 +813,10 @@ def _dgcnn_partseg_level(src: Mapping, tgt: Mapping,
                 out[f"DenseBNAct_{int(_suffix(key)) + 5}"] = src[key]
             elif key == "Dense_0":
                 out[key] = src[key]
+            elif not key.startswith(("Fused2EdgeConv_", "FusedEdgeConv_")):
+                raise KeyError(
+                    f"cannot convert: source key {key!r} unknown to the "
+                    f"DGCNNPartSeg mapper")
     return out
 
 

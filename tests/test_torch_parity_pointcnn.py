@@ -28,7 +28,7 @@ def torch_fps_skip(xyz, m):
     b, n, _ = xyz.shape
     idx = torch.zeros(b, m, dtype=torch.long)
     mind = torch.full((b, n), 1e10)
-    skip = (xyz.pow(2).sum(-1) <= 1e-3 ** 2)
+    skip = (xyz.pow(2).sum(-1) <= 1e-3)
     last = torch.zeros(b, dtype=torch.long)
     for j in range(1, m):
         lastp = xyz[torch.arange(b), last]
