@@ -123,8 +123,8 @@ def kpconv_cls_batches(
     order = sampler.sample(n)
 
     def emit(items, bucket=None):
-        pts = [p for p, _ in items]
-        lab = [l for _, l in items]
+        pts = [it[0] for it in items]
+        lab = [it[1] for it in items]
         xyz, valid = _pad_to(pts, batch_size)
         labels, _ = _pad_to(lab, batch_size)
         out = {
@@ -157,13 +157,23 @@ def kpconv_cls_batches(
             p = kpconv_augment(p, rng, rotation=rotation)
         p = p.astype(np.float32)
         b = bucket_of(p)
-        pend.setdefault(b, []).append((p, l))
+        pend.setdefault(b, []).append((p, l, int(i)))
         if len(pend[b]) == batch_size:
             yield emit(pend.pop(b), bucket=b)
     if not drop_last:
         for b, items in sorted(pend.items()):
             if items:
                 yield emit(items, bucket=b)
+    else:
+        # up to n_buckets×(batch_size−1) tail clouds accumulate here —
+        # never silently: refund their potential bump so they lead the
+        # next epoch's sample (the reference's point-budget batching
+        # has no such loss; kpconv_loader.py:709-794), and say so.
+        dropped = [idx for items in pend.values() for *_ , idx in items]
+        if dropped:
+            sampler.refund(dropped)
+            print(f"kpconv bucketed batching: {len(dropped)} tail "
+                  f"clouds deferred to next epoch (potentials refunded)")
 
 
 def seg_batches(

@@ -25,10 +25,21 @@ class PotentialSampler:
         # shuffle within the epoch (argpartition order is arbitrary but
         # deterministic; training wants a random visit order)
         self._rng.shuffle(picked)
-        self.potentials[picked] += 1.0 / (
-            1.0 + 0.1 * self._rng.random(n)
-        )
+        bump = 1.0 / (1.0 + 0.1 * self._rng.random(n))
+        self.potentials[picked] += bump
+        # remember each item's bump so refund() can undo it exactly
+        self._last_bump = dict(zip(picked.tolist(), bump.tolist()))
         return picked
+
+    def refund(self, indices) -> None:
+        """Undo the last ``sample()`` bump for items that were sampled
+        but never trained on (e.g. bucketed batching dropped a partial
+        tail batch) so they stay lowest-potential for the next epoch."""
+        last = getattr(self, "_last_bump", {})
+        for i in np.asarray(indices, np.int64).ravel():
+            b = last.pop(int(i), None)
+            if b is not None:
+                self.potentials[int(i)] -= b
 
 
 def kpconv_augment(

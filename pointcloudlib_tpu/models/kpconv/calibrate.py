@@ -177,6 +177,31 @@ class BucketedCalibration:
         ]
         return "; ".join(parts)
 
+    def merged(self) -> PyramidCalibration:
+        """Element-wise max across buckets — shapes safe for ANY cloud.
+
+        The init/eval model must use this, not ``buckets[-1]``: a
+        bucket's ``neighborhood_limits`` are quantiles measured only on
+        its own occupancy class, and LOW-occupancy clouds are spatially
+        denser (same points in fewer voxels), so their in-radius counts
+        can exceed the top bucket's limits — evaluating every cloud at
+        ``buckets[-1]`` shapes would silently over-truncate neighbors
+        for the low buckets."""
+        n_layers = len(self.buckets[0].caps)
+        return PyramidCalibration(
+            caps=tuple(max(c.caps[l] for c in self.buckets)
+                       for l in range(n_layers)),
+            neighborhood_limits=tuple(
+                max(c.neighborhood_limits[l] for c in self.buckets)
+                for l in range(n_layers)),
+            max_occupancy=tuple(
+                max(c.max_occupancy[l] for c in self.buckets)
+                for l in range(n_layers)),
+            mean_neighbors=tuple(
+                float(np.mean([c.mean_neighbors[l] for c in self.buckets]))
+                for l in range(n_layers)),
+        )
+
 
 def calibrate_buckets(
     clouds: np.ndarray,

@@ -180,39 +180,14 @@ def _ke_bwd(h_ref, dout_ref, idx_ref, st_ref, ps_ref, scat_ref,
 
 
 def _knn_slots(ranks, q2d, k: int, ck: int, want_idx: bool):
-    """Iterate slot chunks of a bisect-selected graph: yields
-    ``(j0, g [ck, mt, c], idx [mt, ck] | None)`` per chunk, where g is
-    the gathered Q rows (slot-major). The rank mask ``ranks == j+1``
-    IS the one-hot gather row; chunking batches ck slots into one MXU
-    call. idx rides a bf16 byte-split matvec and a first-dim-contract
-    identity transpose (both exact)."""
-    from pointcloudlib_tpu.ops.pallas.neighbors import _lane_bytes
+    """Shared with the knn_gather kernel — see neighbors._knn_slots
+    (single-array ``values`` → one mixed-precision MXU gather pass, as
+    these kernels' bf16 h checkpoint tolerates)."""
+    from pointcloudlib_tpu.ops.pallas.neighbors import (
+        _knn_slots as _slots,
+    )
 
-    mt, n = ranks.shape
-    c = q2d.shape[1]
-    lmat = _lane_bytes(n) if want_idx else None
-    eye = None
-    if want_idx:
-        eye = (lax.broadcasted_iota(jnp.int32, (ck, ck), 0)
-               == lax.broadcasted_iota(jnp.int32, (ck, ck), 1)
-               ).astype(jnp.float32)
-    contract0 = (((0,), (0,)), ((), ()))
-    for j0 in range(0, k, ck):
-        sid = (j0 + 1 + lax.broadcasted_iota(jnp.int32, (ck, 1, 1), 0))
-        t = (ranks[None, :, :] == sid).astype(jnp.bfloat16)
-        t2 = t.reshape(ck * mt, n)
-        g = jnp.dot(t2, q2d, preferred_element_type=jnp.float32)
-        g = g.reshape(ck, mt, c)
-        idx = None
-        if want_idx:
-            ic = jnp.dot(t2, lmat, preferred_element_type=jnp.float32)
-            ic = ic.reshape(ck, mt, 8)
-            idxf = ic[:, :, 0] + 256.0 * ic[:, :, 1]       # [ck, mt]
-            idx = lax.dot_general(
-                idxf, eye, contract0,
-                precision=lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)         # [mt, ck]
-        yield j0, g, idx
+    return _slots(ranks, q2d, k, ck, want_idx)
 
 
 def _ke_knn_f1(x_ref, q_ref, off_ref, idx_ref, h_ref, psum_ref,

@@ -169,6 +169,54 @@ def _lane_bytes(n: int) -> Array:
                      ).astype(jnp.bfloat16)
 
 
+def _knn_slots(ranks, values, k: int, ck: int, want_idx: bool):
+    """Iterate slot chunks of a bisect-selected graph: yields
+    ``(j0, g [ck, mt, c], idx [mt, ck] | None)`` per chunk, where g is
+    the gathered value rows (slot-major). The rank mask ``ranks == j+1``
+    IS the one-hot gather row; chunking batches ck slots into one MXU
+    call. idx rides a bf16 byte-split matvec and a first-dim-contract
+    identity transpose (both exact — see _lane_bytes; widening past
+    n = 65536 means touching only THIS helper).
+
+    ``values``: a single ``[n, c]`` array (one mixed-precision MXU
+    pass — the fused-edge kernels, whose h checkpoint is bf16 anyway),
+    or an ``(v_hi, v_lo)`` bf16 hi/lo-split pair for ~1-ulp-exact f32
+    gathers (the knn_gather kernel; ops/pallas/gather.py's trick).
+    """
+    mt, n = ranks.shape
+    split = isinstance(values, tuple)
+    lmat = _lane_bytes(n) if want_idx else None
+    eye = None
+    if want_idx:
+        eye = (lax.broadcasted_iota(jnp.int32, (ck, ck), 0)
+               == lax.broadcasted_iota(jnp.int32, (ck, ck), 1)
+               ).astype(jnp.float32)
+    contract0 = (((0,), (0,)), ((), ()))
+    for j0 in range(0, k, ck):
+        sid = (j0 + 1 + lax.broadcasted_iota(jnp.int32, (ck, 1, 1), 0))
+        t = (ranks[None, :, :] == sid).astype(jnp.bfloat16)
+        t2 = t.reshape(ck * mt, n)
+        if split:
+            v_hi, v_lo = values
+            g = (jnp.dot(t2, v_hi, preferred_element_type=jnp.float32)
+                 + jnp.dot(t2, v_lo,
+                           preferred_element_type=jnp.float32))
+            g = g.reshape(ck, mt, v_hi.shape[1])
+        else:
+            g = jnp.dot(t2, values, preferred_element_type=jnp.float32)
+            g = g.reshape(ck, mt, values.shape[1])
+        idx = None
+        if want_idx:
+            ic = jnp.dot(t2, lmat, preferred_element_type=jnp.float32)
+            ic = ic.reshape(ck, mt, 8)
+            idxf = ic[:, :, 0] + 256.0 * ic[:, :, 1]       # [ck, mt]
+            idx = lax.dot_general(
+                idxf, eye, contract0,
+                precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)         # [mt, ck]
+        yield j0, g, idx
+
+
 def _ball_query_kernel(r2_ref, c_ref, p_ref, idx_ref, cnt_ref):
     mt = c_ref.shape[1]
     n = p_ref.shape[1]
@@ -374,28 +422,9 @@ def _knn_gather_kernel(c_ref, p_ref, v_ref, idx_ref, g_ref, *, k: int,
     if bisect:
         _, ranks = _knn_select(d2, k)
         ck = _slot_chunk(k, cap=4 if n >= 2048 else 8)
-        cv = v.shape[1]
-        lmat = _lane_bytes(n)
-        eye = (lax.broadcasted_iota(jnp.int32, (ck, ck), 0)
-               == lax.broadcasted_iota(jnp.int32, (ck, ck), 1)
-               ).astype(jnp.float32)
-        contract0 = (((0,), (0,)), ((), ()))
         idx_out = jnp.zeros((mt, k), jnp.int32)
-        for j0 in range(0, k, ck):
-            sid = (j0 + 1 + lax.broadcasted_iota(
-                jnp.int32, (ck, 1, 1), 0))
-            t2 = (ranks[None, :, :] == sid).astype(
-                jnp.bfloat16).reshape(ck * mt, n)
-            g = (jnp.dot(t2, v_hi, preferred_element_type=jnp.float32)
-                 + jnp.dot(t2, v_lo,
-                           preferred_element_type=jnp.float32))
-            g_ref[0, j0:j0 + ck, :, :] = g.reshape(ck, mt, cv)
-            ic = jnp.dot(t2, lmat, preferred_element_type=jnp.float32)
-            ic = ic.reshape(ck, mt, 8)
-            idxt = lax.dot_general(
-                ic[:, :, 0] + 256.0 * ic[:, :, 1], eye, contract0,
-                precision=lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)
+        for j0, g, idxt in _knn_slots(ranks, (v_hi, v_lo), k, ck, True):
+            g_ref[0, j0:j0 + ck, :, :] = g
             place = jnp.concatenate(
                 [jnp.zeros((mt, j0), jnp.float32), idxt,
                  jnp.zeros((mt, k - j0 - ck), jnp.float32)], axis=1)
@@ -404,8 +433,7 @@ def _knn_gather_kernel(c_ref, p_ref, v_ref, idx_ref, g_ref, *, k: int,
         idx_ref[0] = idx_out
         return
 
-    def body(j, carry):
-        d2cur, idx_out = carry
+    def slot(j, d2cur, idx_out):
         best = jnp.argmin(d2cur, axis=1).astype(jnp.int32)
         ind = lane == best[:, None]
         onehot = ind.astype(jnp.bfloat16)
@@ -415,6 +443,10 @@ def _knn_gather_kernel(c_ref, p_ref, v_ref, idx_ref, g_ref, *, k: int,
         g_ref[0, pl.ds(j, 1), :, :] = g[None]
         idx_out = jnp.where(kcol == j, best[:, None], idx_out)
         d2cur = jnp.where(ind, jnp.inf, d2cur)
+        return d2cur, idx_out
+
+    def body(j, carry):
+        d2cur, idx_out = slot(j, *carry)
         # dilated: burn the next stride-1 ranks without gathering
         # (static unroll — stride is 1 for every non-PointCNN caller)
         for _ in range(stride - 1):
@@ -422,8 +454,15 @@ def _knn_gather_kernel(c_ref, p_ref, v_ref, idx_ref, g_ref, *, k: int,
             d2cur = jnp.where(lane == skip[:, None], jnp.inf, d2cur)
         return d2cur, idx_out
 
-    _, idx_out = lax.fori_loop(
-        0, k, body, (d2, jnp.zeros((mt, k), jnp.int32)))
+    zero_idx = jnp.zeros((mt, k), jnp.int32)
+    if stride == 1:
+        _, idx_out = lax.fori_loop(0, k, body, (d2, zero_idx))
+    else:
+        # the last slot's burned ranks are never read — run k−1 full
+        # trips, then a gather-only tail (saves (stride−1) full-width
+        # argmin+mask passes per tile)
+        carry = lax.fori_loop(0, k - 1, body, (d2, zero_idx))
+        _, idx_out = slot(k - 1, *carry)
     idx_ref[0] = idx_out
 
 

@@ -114,15 +114,27 @@ def hilbert_keys(xyz: Array, bits: int = 10,
 
 
 def canonicalize(
-    xyz: Array, *arrays: Optional[Array], bits: int = 10
+    xyz: Array, *arrays: Optional[Array], bits: int = 10,
+    mask: Optional[Array] = None,
 ) -> Tuple[Array, ...]:
     """Sort each cloud by Hilbert key; returns ``(xyz_sorted,
     *arrays_sorted, order)`` where ``order [B, N] int32`` satisfies
     ``sorted = x[order]`` (invert per-point outputs with
     ``jnp.argsort(order)``). ``arrays`` ride along ``axis=1`` — pass
     per-point features, normals, or labels; ``None`` entries pass
-    through as ``None``."""
-    keys = hilbert_keys(xyz, bits=bits)
+    through as ``None``.
+
+    For per-point-padded clouds pass ``mask [B, N] bool`` (True = real
+    point): padding rows are excluded from the Hilbert bounding box
+    (see :func:`hilbert_keys` — far padding would otherwise collapse
+    real points into a few cells) and sort to the END of each cloud so
+    real-point tiles stay window-tight. Pass the mask itself through
+    ``arrays`` if the reordered mask is needed downstream. Today's
+    training batches carry whole clouds (padding is per-sample, not
+    per-point), so production callers omit it."""
+    keys = hilbert_keys(xyz, bits=bits, mask=mask)
+    if mask is not None:
+        keys = jnp.where(mask, keys, jnp.int32(2**31 - 1))
     order = jnp.argsort(keys, axis=1).astype(jnp.int32)
     return (take_rows(xyz, order),
             *[take_rows(a, order) for a in arrays], order)

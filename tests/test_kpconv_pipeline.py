@@ -182,3 +182,64 @@ def test_bucketed_calibration_and_batches():
         for cloud in b["xyz"]:
             assert bcal.bucket_of(cloud) == b["bucket"]
     assert seen == {0, 1}
+
+
+def test_merged_calibration_covers_every_bucket():
+    """The init/eval model runs merged() shapes: element-wise max of
+    caps AND neighborhood_limits across buckets. buckets[-1] alone is
+    not safe — low-occupancy clouds are denser, so their in-radius
+    quantiles can exceed the top bucket's limits."""
+    from pointcloudlib_tpu.models.kpconv.calibrate import calibrate_buckets
+
+    cfg = KPConvConfig()
+    rng = np.random.default_rng(11)
+    small = rng.standard_normal((8, 256, 3)).astype(np.float32) * 0.1
+    big = rng.standard_normal((8, 256, 3)).astype(np.float32)
+    big /= np.linalg.norm(big, axis=-1, keepdims=True)
+    bcal = calibrate_buckets(
+        np.concatenate([small, big]), 0.1, cfg.conv_radius,
+        cfg.deform_radius, cfg.architecture, n_buckets=2)
+    merged = bcal.merged()
+    for b in bcal.buckets:
+        for l in range(len(merged.caps)):
+            assert merged.caps[l] >= b.caps[l]
+            assert (merged.neighborhood_limits[l]
+                    >= b.neighborhood_limits[l])
+    # the dense (low-occupancy) bucket really does need wider neighbor
+    # lists somewhere — the scenario that made buckets[-1] unsafe
+    assert any(
+        bcal.buckets[0].neighborhood_limits[l]
+        > bcal.buckets[1].neighborhood_limits[l]
+        for l in range(len(merged.caps))
+    ), (bcal.buckets[0].neighborhood_limits,
+        bcal.buckets[1].neighborhood_limits)
+
+
+def test_bucketed_tail_batches_refund_potentials():
+    """drop_last bucketed batching defers partial tail batches; the
+    dropped clouds' potential bumps are refunded so they lead the next
+    epoch's sample instead of silently losing their slot."""
+    clouds = np.random.default_rng(3).standard_normal(
+        (20, 64, 3)).astype(np.float32)
+
+    class _DS:
+        def __len__(self):
+            return len(clouds)
+
+        def __getitem__(self, i):
+            return clouds[i], None, 0
+
+    # odd bucket split: every cloud to bucket i%2 by id is impossible
+    # (bucket_of sees the cloud), so split on a coordinate hash
+    def bucket_of(p):
+        return int(np.abs(p).sum() * 1e4) % 2
+
+    sampler = PotentialSampler(len(clouds), seed=0)
+    before = sampler.potentials.copy()
+    batches = list(kpconv_cls_batches(
+        _DS(), 8, sampler, np.random.default_rng(0), epoch_n=20,
+        augment=False, bucket_of=bucket_of))
+    n_trained = sum(int(b["valid"].sum()) for b in batches)
+    # every non-trained sampled cloud got its bump back
+    bumped = np.flatnonzero(sampler.potentials > before + 1e-12)
+    assert len(bumped) == n_trained, (len(bumped), n_trained)

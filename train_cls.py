@@ -182,7 +182,11 @@ def main(argv=None):
                 base.conv_radius, base.deform_radius, arch,
                 n_buckets=args.kp_buckets,
             )
-            calib = kp_bcal.buckets[-1]  # widest shapes: init + eval
+            # init/eval shapes: element-wise max across buckets —
+            # buckets[-1]'s neighborhood_limits are measured only on
+            # top-occupancy clouds and can truncate the (denser)
+            # low-occupancy ones at eval
+            calib = kp_bcal.merged()
             print(f"kpconv calibration ({n_cal} clouds, "
                   f"{args.kp_buckets} buckets): {kp_bcal.describe()}")
         else:
@@ -262,10 +266,10 @@ def main(argv=None):
             get_cls_model(args.model, n_classes=40, **dict(
                 model_kw, caps=c.caps,
                 neighborhood_limits=c.neighborhood_limits))
-            for c in kp_bcal.buckets[:-1]
-        ] + [model]
+            for c in kp_bcal.buckets
+        ]
         bucket_steps = [make_cls_train_step(m, mesh)
-                        for m in bucket_models[:-1]] + [train_step]
+                        for m in bucket_models]
     ckpt = CheckpointManager(Path(args.checkpoint_dir) / args.model)
     from pointcloudlib_tpu.utils.logging import MetricsLogger
 
