@@ -311,6 +311,21 @@ def _kc_variants(k: int):
     return out + [k]
 
 
+def _cap_gather() -> bool:
+    """Gate for slot-capping the GATHER pass itself (_call_f1 moves
+    inside the max(cnt) cond chain; _kc_variants note above). The
+    gather's one-hot build + matmul scale with the slot count, so this
+    is the largest remaining capped-away cost (the bq route caps its
+    gather in-kernel already — this covers the external-idx route, e.g.
+    MSG's k=128 scale). DEFAULT OFF until compile-validated on hardware
+    (the tunnel was down when this landed); POINTCLOUDLIB_CAP_GATHER=1
+    to enable, =0 to force off. Flip the default after
+    scripts/compile_sweep.py and a step bench pass on the chip."""
+    import os
+
+    return os.environ.get("POINTCLOUDLIB_CAP_GATHER") == "1"
+
+
 def _slot_w(cm: int, kc: int, e: int):
     """[cm*kc, 1] per-row weight: 1+e on each row's slot 0, else 1."""
     i = lax.broadcasted_iota(jnp.int32, (cm * kc, 1), 0)
@@ -345,23 +360,44 @@ def _cond_chain(maxcnt, variants, fn):
 # ------------------------------------------------------------ fwd kernels
 
 
-def _k_f1(q_ref, idx_ref, off_ref, h1_ref, psum_ref, *, cm: int):
-    """Gather pass: h1 = Q[idx] − off (bf16 checkpoint), Σ/Σ² of h1."""
+def _k_f1(q_ref, idx_ref, off_ref, h1_ref, psum_ref, *, cm: int,
+          e: int = 0):
+    """Gather pass: h1 = Q[idx] − off (bf16 checkpoint), Σ/Σ² of h1.
+
+    Slot-capped (e > 0, under the max(cnt) <= kc branch — _cap_gather):
+    only the first kc = k − e slots run the one-hot build + gather
+    matmul. Slots >= kc are repeat-padding replicas of slot 0
+    (reference misc/ops.py:321-326), so their h1 rows are written as
+    copies of slot 0's bf16 row — bit-identical to gathering them —
+    and slot 0 carries weight 1+e in the f32 sums (_slot_w)."""
     n, c = q_ref.shape[1], q_ref.shape[2]
     mt, k = idx_ref.shape[1], idx_ref.shape[2]
+    kc = k - e
     _psum_init(psum_ref)
 
-    lane = lax.broadcasted_iota(jnp.int32, (cm, k, n), 2)
+    lane = lax.broadcasted_iota(jnp.int32, (cm, kc, n), 2)
+    w = _slot_w(cm, kc, e) if e else None
 
     def body(i, acc):
-        idx = idx_ref[0, pl.ds(i * cm, cm), :]
+        idx = idx_ref[0, pl.ds(i * cm, cm), :][:, 0:kc]
         off = off_ref[0, pl.ds(i * cm, cm), :]
         onehot = (lane == idx[:, :, None]).astype(jnp.bfloat16)
-        g = jnp.dot(onehot.reshape(cm * k, n), q_ref[0],
+        g = jnp.dot(onehot.reshape(cm * kc, n), q_ref[0],
                     preferred_element_type=jnp.float32)
-        h1 = g.reshape(cm, k, c) - off[:, None, :]
-        h1_ref[0, pl.ds(i * cm, cm), :, :] = h1.astype(jnp.bfloat16)
-        return _acc2(acc, h1.reshape(cm * k, c))
+        h1 = g.reshape(cm, kc, c) - off[:, None, :]
+        h1b = h1.astype(jnp.bfloat16)
+        if e:
+            h1b = jnp.concatenate(
+                [h1b, jnp.broadcast_to(h1b[:, 0:1, :], (cm, e, c))],
+                axis=1)
+        h1_ref[0, pl.ds(i * cm, cm), :, :] = h1b
+        h2d = h1.reshape(cm * kc, c)
+        if e:
+            h1w = h2d * w
+            s, ss = acc
+            return (s + jnp.sum(h1w, axis=0, keepdims=True),
+                    ss + jnp.sum(h1w * h2d, axis=0, keepdims=True))
+        return _acc2(acc, h2d)
 
     s, ss = lax.fori_loop(0, mt // cm, body, _zeros2(c))
     psum_ref[0] += jnp.concatenate([s, ss], axis=0)
@@ -394,25 +430,40 @@ def _gather_blocks(q_ref, idx, s, nb, lane, cm, k, w):
 
 
 def _k_f1w(s_ref, nb_ref, q_ref, idx_ref, off_ref, h1_ref, psum_ref,
-           *, cm: int, w: int):
+           *, cm: int, w: int, e: int = 0):
     """Windowed gather pass: rows are pre-clustered (σ); each chunk
     reads only its [s, s+w) window of Q (or loops all blocks when its
-    span overflows) — exact for any input order."""
+    span overflows) — exact for any input order. Slot-capped like
+    _k_f1 when e > 0 (windows were planned on the full idx, a superset
+    of the capped slots' indices — replicas equal slot 0's index)."""
     c = q_ref.shape[2]
     mt, k = idx_ref.shape[1], idx_ref.shape[2]
+    kc = k - e
     _psum_init(psum_ref)
     nch = mt // cm
     pid = pl.program_id(0)
-    lane = lax.broadcasted_iota(jnp.int32, (cm, k, w), 2)
+    lane = lax.broadcasted_iota(jnp.int32, (cm, kc, w), 2)
+    wt = _slot_w(cm, kc, e) if e else None
 
     def body(i, acc):
-        idx = idx_ref[0, pl.ds(i * cm, cm), :]
+        idx = idx_ref[0, pl.ds(i * cm, cm), :][:, 0:kc]
         off = off_ref[0, pl.ds(i * cm, cm), :]
         g = _gather_blocks(q_ref, idx, s_ref[pid * nch + i],
-                           nb_ref[pid * nch + i], lane, cm, k, w)
-        h1 = g.reshape(cm, k, c) - off[:, None, :]
-        h1_ref[0, pl.ds(i * cm, cm), :, :] = h1.astype(jnp.bfloat16)
-        return _acc2(acc, h1.reshape(cm * k, c))
+                           nb_ref[pid * nch + i], lane, cm, kc, w)
+        h1 = g.reshape(cm, kc, c) - off[:, None, :]
+        h1b = h1.astype(jnp.bfloat16)
+        if e:
+            h1b = jnp.concatenate(
+                [h1b, jnp.broadcast_to(h1b[:, 0:1, :], (cm, e, c))],
+                axis=1)
+        h1_ref[0, pl.ds(i * cm, cm), :, :] = h1b
+        h2d = h1.reshape(cm * kc, c)
+        if e:
+            h1w = h2d * wt
+            sm, ss = acc
+            return (sm + jnp.sum(h1w, axis=0, keepdims=True),
+                    ss + jnp.sum(h1w * h2d, axis=0, keepdims=True))
+        return _acc2(acc, h2d)
 
     sm, ss = lax.fori_loop(0, nch, body, _zeros2(c))
     psum_ref[0] += jnp.concatenate([sm, ss], axis=0)
@@ -1129,9 +1180,10 @@ def _flat(m, mt, tail):
         (1, mt) + tail, lambda i: (i // nmt, i % nmt) + (0,) * len(tail))
 
 
-def _call_f1(q, idx, off, interpret):
+def _call_f1(q, idx, off, interpret, kc=None):
     b, n, c1 = q.shape
     _, m, k = idx.shape
+    e = 0 if kc is None else k - kc
     mt = _m_tile(m, k, bf16_widths=c1)
     cm = _gchunk(mt, k, n)
     w = _window_width(n)
@@ -1144,7 +1196,7 @@ def _call_f1(q, idx, off, interpret):
                           (i // (_m // _mt), 0, 0))
     if w is None:
         h1, psum = pl.pallas_call(
-            functools.partial(_k_f1, cm=cm),
+            functools.partial(_k_f1, cm=cm, e=e),
             grid=(b * (m // mt),),
             in_specs=[q_spec, _flat(m, mt, (k,)), _flat(m, mt, (c1,))],
             out_specs=out_specs,
@@ -1157,7 +1209,7 @@ def _call_f1(q, idx, off, interpret):
     # fallback still materializes them); w only narrows the reads
     starts, nblocks = _window_plan(idx, cm, w, n)
     h1, psum = pl.pallas_call(
-        functools.partial(_k_f1w, cm=cm, w=w),
+        functools.partial(_k_f1w, cm=cm, w=w, e=e),
         grid=(b * (m // mt),),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1251,11 +1303,7 @@ def _fused_fwd_impl(q, off, idx, params: SAParams, interpret,
     else:
         sigma = inv = None
 
-    h1, p1 = _call_f1(q, idx, off, interpret)
-    m1, v1 = _moments(_psum(p1[0], axis_name), r)
-    st1 = _stack_stats(m1, v1, params.g1, params.b1)
-
-    def tail(kc):
+    def tail_from(h1, st1, kc):
         p2 = _call_stats2(h1, st1, params.w2, interpret, kc=kc)
         m2, v2 = _moments(_psum(p2[0], axis_name), r)
         st2 = _stack_stats(m2, v2, params.g2, params.b2)
@@ -1268,13 +1316,34 @@ def _fused_fwd_impl(q, off, idx, params: SAParams, interpret,
         return out, (m2, v2, m3, v3), st2, st3
 
     variants = _kc_variants(k)
-    if cnt is None or len(variants) == 1:
-        out, (m2, v2, m3, v3), st2, st3 = tail(k)
-        maxcnt = None
-    else:
+    if cnt is not None and len(variants) > 1 and _cap_gather():
+        # the gather pass itself joins the cond chain: each rung
+        # gathers only kc slots and fills the replicas (h1 stays
+        # bit-identical — see _k_f1)
         maxcnt = _maxcnt_pred(cnt, k, axis_name)
-        out, (m2, v2, m3, v3), st2, st3 = _cond_chain(
-            maxcnt, variants, tail)
+
+        def stage(kc):
+            h1, p1 = _call_f1(q, idx, off, interpret,
+                              kc=kc if kc < k else None)
+            m1, v1 = _moments(_psum(p1[0], axis_name), r)
+            st1 = _stack_stats(m1, v1, params.g1, params.b1)
+            out, moms23, st2, st3 = tail_from(h1, st1, kc)
+            return out, (m1, v1) + moms23, h1, st1, st2, st3
+
+        (out, (m1, v1, m2, v2, m3, v3), h1, st1, st2,
+         st3) = _cond_chain(maxcnt, variants, stage)
+    else:
+        h1, p1 = _call_f1(q, idx, off, interpret)
+        m1, v1 = _moments(_psum(p1[0], axis_name), r)
+        st1 = _stack_stats(m1, v1, params.g1, params.b1)
+        if cnt is None or len(variants) == 1:
+            out, (m2, v2, m3, v3), st2, st3 = tail_from(h1, st1, k)
+            maxcnt = None
+        else:
+            maxcnt = _maxcnt_pred(cnt, k, axis_name)
+            out, (m2, v2, m3, v3), st2, st3 = _cond_chain(
+                maxcnt, variants,
+                functools.partial(tail_from, h1, st1))
     if sigma is not None:
         out = _take_rows(out, inv)
     stats = SAStats(m1, v1, m2, v2, m3, v3)

@@ -92,12 +92,22 @@ def test_dp_gradients_match_single_device():
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4 * scale)
 
 
-def test_full_pointnet2_shard_map_step():
+import pytest
+
+
+@pytest.mark.parametrize("cap_gather", ["0", "1"],
+                         ids=["tail-capped", "gather-capped"])
+def test_full_pointnet2_shard_map_step(cap_gather):
     """End-to-end: the shard_map DP train step for PointNet++ with
     FUSED kernels (interpret) runs on the 8-device CPU mesh and matches
     the jit-SPMD step of the unfused path in loss trajectory shape —
     and exactly matches a world=1 shard_map run of itself in params
-    after one step when the mesh has one device."""
+    after one step when the mesh has one device.
+
+    Parametrized over POINTCLOUDLIB_CAP_GATHER: the model passes the
+    ball query's cnt, so the slot-capped cond chain (and with the gate,
+    the capped gather pass) runs under shard_map — validating that the
+    pmax'd max(cnt) predicate keeps every shard on the same branch."""
     import os
 
     import optax
@@ -112,6 +122,7 @@ def test_full_pointnet2_shard_map_step():
     )
 
     os.environ["POINTCLOUDLIB_FUSED_SA"] = "1"
+    os.environ["POINTCLOUDLIB_CAP_GATHER"] = cap_gather
     try:
         mesh = make_mesh(8)
         rng = np.random.default_rng(3)
@@ -140,6 +151,7 @@ def test_full_pointnet2_shard_map_step():
         assert losses[-1] < losses[0], losses
     finally:
         del os.environ["POINTCLOUDLIB_FUSED_SA"]
+        del os.environ["POINTCLOUDLIB_CAP_GATHER"]
 
 
 def test_edge_conv_dp_matches_single_device():
