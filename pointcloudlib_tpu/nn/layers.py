@@ -320,7 +320,7 @@ class FusedSetAbstraction(nn.Module):
                     self.n_samples, interpret=interpret)
             else:
                 out = fused_sa_eval(q, off, nidx, params, running,
-                                    interpret=interpret)
+                                    interpret=interpret, cnt=ncnt)
         return new_xyz, out
 
 

@@ -538,55 +538,64 @@ def _k_out(h1_ref, st1_ref, st2_ref, st3_ref, w2_ref, w3_ref, out_ref,
 
 
 def _k_eval(q_ref, idx_ref, off_ref, st1_ref, st2_ref, st3_ref,
-            w2_ref, w3_ref, out_ref, *, cm: int):
-    """Eval: gather → chain → max in one kernel (running stats given)."""
+            w2_ref, w3_ref, out_ref, *, cm: int, e: int = 0):
+    """Eval: gather → chain → max in one kernel (running stats given).
+
+    Slot-capped (e > 0, under the max(cnt) <= kc branch): slots >= kc
+    are repeat-padding replicas of slot 0 and cannot raise the max, so
+    the whole chain runs on kc = k − e slots only — EXACTLY equal to
+    the full-k result (eval has no batch statistics)."""
     n, c1 = q_ref.shape[1], q_ref.shape[2]
     mt, k = idx_ref.shape[1], idx_ref.shape[2]
+    kc = k - e
     c3 = w3_ref.shape[1]
 
-    lane = lax.broadcasted_iota(jnp.int32, (cm, k, n), 2)
+    lane = lax.broadcasted_iota(jnp.int32, (cm, kc, n), 2)
 
     def body(i, _):
-        idx = idx_ref[0, pl.ds(i * cm, cm), :]
+        idx = idx_ref[0, pl.ds(i * cm, cm), :][:, 0:kc]
         off = off_ref[0, pl.ds(i * cm, cm), :]
         onehot = (lane == idx[:, :, None]).astype(jnp.bfloat16)
-        g = jnp.dot(onehot.reshape(cm * k, n), q_ref[0],
+        g = jnp.dot(onehot.reshape(cm * kc, n), q_ref[0],
                     preferred_element_type=jnp.float32)
-        h1 = (g.reshape(cm, k, c1) - off[:, None, :]).reshape(cm * k, c1)
+        h1 = (g.reshape(cm, kc, c1) - off[:, None, :]).reshape(
+            cm * kc, c1)
         _, _, y2 = _fwd_to(h1, st1_ref, st2_ref, w2_ref)
         h3 = jnp.dot(y2.astype(jnp.bfloat16), w3_ref[:, :],
                      preferred_element_type=jnp.float32)
         y3 = _bn_relu2(h3, st3_ref)
         out_ref[0, pl.ds(i * cm, cm), :] = jnp.max(
-            y3.reshape(cm, k, c3), axis=1)
+            y3.reshape(cm, kc, c3), axis=1)
         return 0
 
     lax.fori_loop(0, mt // cm, body, 0)
 
 
 def _k_evalw(s_ref, nb_ref, q_ref, idx_ref, off_ref, st1_ref, st2_ref,
-             st3_ref, w2_ref, w3_ref, out_ref, *, cm: int, w: int):
-    """Windowed eval kernel (see _k_f1w)."""
+             st3_ref, w2_ref, w3_ref, out_ref, *, cm: int, w: int,
+             e: int = 0):
+    """Windowed eval kernel (see _k_f1w; slot-capped like _k_eval)."""
     c1 = q_ref.shape[2]
     mt, k = idx_ref.shape[1], idx_ref.shape[2]
+    kc = k - e
     c3 = w3_ref.shape[1]
     nch = mt // cm
     pid = pl.program_id(0)
-    lane = lax.broadcasted_iota(jnp.int32, (cm, k, w), 2)
+    lane = lax.broadcasted_iota(jnp.int32, (cm, kc, w), 2)
 
     def body(i, _):
-        idx = idx_ref[0, pl.ds(i * cm, cm), :]
+        idx = idx_ref[0, pl.ds(i * cm, cm), :][:, 0:kc]
         off = off_ref[0, pl.ds(i * cm, cm), :]
         g = _gather_blocks(q_ref, idx, s_ref[pid * nch + i],
-                           nb_ref[pid * nch + i], lane, cm, k, w)
-        h1 = (g.reshape(cm, k, c1) - off[:, None, :]).reshape(
-            cm * k, c1)
+                           nb_ref[pid * nch + i], lane, cm, kc, w)
+        h1 = (g.reshape(cm, kc, c1) - off[:, None, :]).reshape(
+            cm * kc, c1)
         _, _, y2 = _fwd_to(h1, st1_ref, st2_ref, w2_ref)
         h3 = jnp.dot(y2.astype(jnp.bfloat16), w3_ref[:, :],
                      preferred_element_type=jnp.float32)
         y3 = _bn_relu2(h3, st3_ref)
         out_ref[0, pl.ds(i * cm, cm), :] = jnp.max(
-            y3.reshape(cm, k, c3), axis=1)
+            y3.reshape(cm, kc, c3), axis=1)
         return 0
 
     lax.fori_loop(0, nch, body, 0)
@@ -1641,8 +1650,13 @@ def fused_sa_reference(q, off, idx, params: SAParams):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_sa_eval(q, off, idx, params: SAParams, stats: SAStats,
-                  interpret=False):
-    """Eval-mode fused SA MLP: one kernel, given (running) stats."""
+                  interpret=False, cnt=None):
+    """Eval-mode fused SA MLP: one kernel, given (running) stats.
+
+    ``cnt`` (the ball query's per-center counts): when given and the
+    gather-cap gate is on, the whole gather→chain→max runs on only the
+    runtime-selected kc slots — EXACT (capped-away slots are repeat
+    padding and cannot raise the max; eval has no batch statistics)."""
     b, n, c1 = q.shape
     _, m, k = idx.shape
     c2 = params.w2.shape[1]
@@ -1662,31 +1676,45 @@ def fused_sa_eval(q, off, idx, params: SAParams, stats: SAStats,
         _w_spec(params.w2), _w_spec(params.w3),
     ]
     if w is None:
-        return pl.pallas_call(
-            functools.partial(_k_eval, cm=cm),
-            grid=(b * (m // mt),),
-            in_specs=[q_spec] + tail_specs,
-            out_specs=_flat(m, mt, (c3,)),
-            out_shape=jax.ShapeDtypeStruct((b, m, c3), jnp.float32),
-            interpret=interpret,
-        )(q.astype(jnp.bfloat16), idx.astype(jnp.int32),
-          off.astype(jnp.float32), st1, st2, st3,
-          params.w2.astype(jnp.bfloat16),
-          params.w3.astype(jnp.bfloat16))
+        def run(kc):
+            return pl.pallas_call(
+                functools.partial(_k_eval, cm=cm, e=k - kc),
+                grid=(b * (m // mt),),
+                in_specs=[q_spec] + tail_specs,
+                out_specs=_flat(m, mt, (c3,)),
+                out_shape=jax.ShapeDtypeStruct((b, m, c3), jnp.float32),
+                interpret=interpret,
+            )(q.astype(jnp.bfloat16), idx.astype(jnp.int32),
+              off.astype(jnp.float32), st1, st2, st3,
+              params.w2.astype(jnp.bfloat16),
+              params.w3.astype(jnp.bfloat16))
+
+        variants = _kc_variants(k)
+        if cnt is None or len(variants) == 1 or not _cap_gather():
+            return run(k)
+        return _cond_chain(_maxcnt_pred(cnt, k, None), variants, run)
     sigma, inv = _row_perm(idx)
     idx = _take_rows(idx, sigma)
     off = _take_rows(off, sigma)
     starts, wide = _window_plan(idx, cm, w, n)
-    out = pl.pallas_call(
-        functools.partial(_k_evalw, cm=cm, w=w),
-        grid=(b * (m // mt),),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM),
-                  q_spec] + tail_specs,
-        out_specs=_flat(m, mt, (c3,)),
-        out_shape=jax.ShapeDtypeStruct((b, m, c3), jnp.float32),
-        interpret=interpret,
-    )(starts, wide, q.astype(jnp.bfloat16), idx.astype(jnp.int32),
-      off.astype(jnp.float32), st1, st2, st3,
-      params.w2.astype(jnp.bfloat16), params.w3.astype(jnp.bfloat16))
+
+    def runw(kc):
+        return pl.pallas_call(
+            functools.partial(_k_evalw, cm=cm, w=w, e=k - kc),
+            grid=(b * (m // mt),),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pltpu.SMEM),
+                      q_spec] + tail_specs,
+            out_specs=_flat(m, mt, (c3,)),
+            out_shape=jax.ShapeDtypeStruct((b, m, c3), jnp.float32),
+            interpret=interpret,
+        )(starts, wide, q.astype(jnp.bfloat16), idx.astype(jnp.int32),
+          off.astype(jnp.float32), st1, st2, st3,
+          params.w2.astype(jnp.bfloat16), params.w3.astype(jnp.bfloat16))
+
+    variants = _kc_variants(k)
+    if cnt is None or len(variants) == 1 or not _cap_gather():
+        out = runw(k)
+    else:
+        out = _cond_chain(_maxcnt_pred(cnt, k, None), variants, runw)
     return _take_rows(out, inv)

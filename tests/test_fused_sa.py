@@ -598,3 +598,38 @@ def test_capped_gather_h1_bit_identical():
     # Σ/Σ² reassociate: e replica adds collapse into one (1+e)·x term
     np.testing.assert_allclose(np.asarray(p_full), np.asarray(p_cap),
                                rtol=5e-4, atol=5e-3)
+
+
+def test_capped_eval_exactly_matches_full(monkeypatch):
+    """fused_sa_eval with cnt + the gather-cap gate: capped-away slots
+    are repeat padding and cannot raise the max, and eval has no batch
+    statistics — so the capped eval output is EXACTLY the full one."""
+    from pointcloudlib_tpu.ops import ball_query, fps, index_points
+    from pointcloudlib_tpu.ops.pallas import fused_sa as fs
+
+    b, n, m, k = 2, 256, 64, 32
+    c1, c2, c3 = 16, 16, 32
+    rng = np.random.default_rng(13)
+    xyz = rng.standard_normal((b, n, 3)).astype(np.float32)
+    xyz /= np.linalg.norm(xyz, axis=-1, keepdims=True)
+    xyz = jnp.asarray(xyz)
+    new_xyz = index_points(xyz, fps(xyz, m))
+    nidx, cnt = ball_query(new_xyz, xyz, 0.2, k)
+    assert int(jnp.max(cnt)) < k
+
+    q = jnp.asarray(rng.standard_normal((b, n, c1)), jnp.float32)
+    off = jnp.asarray(rng.standard_normal((b, m, c1)), jnp.float32)
+    params = fs.SAParams(
+        w2=jnp.asarray(rng.standard_normal((c1, c2)) * 0.1, jnp.float32),
+        w3=jnp.asarray(rng.standard_normal((c2, c3)) * 0.1, jnp.float32),
+        g1=jnp.ones(c1), b1=jnp.zeros(c1), g2=jnp.ones(c2),
+        b2=jnp.zeros(c2), g3=jnp.ones(c3), b3=jnp.zeros(c3))
+    stats = fs.SAStats(
+        m1=jnp.zeros(c1), v1=jnp.ones(c1), m2=jnp.zeros(c2),
+        v2=jnp.ones(c2), m3=jnp.zeros(c3), v3=jnp.ones(c3))
+
+    monkeypatch.setenv("POINTCLOUDLIB_CAP_GATHER", "1")
+    o_cap = fs.fused_sa_eval(q, off, nidx, params, stats, True, cnt)
+    monkeypatch.setenv("POINTCLOUDLIB_CAP_GATHER", "0")
+    o_full = fs.fused_sa_eval(q, off, nidx, params, stats, True, None)
+    np.testing.assert_array_equal(np.asarray(o_cap), np.asarray(o_full))
