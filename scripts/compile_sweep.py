@@ -203,9 +203,60 @@ def sweep_bq():
               flush=True)
 
 
+def sweep_capped_gather():
+    """POINTCLOUDLIB_CAP_GATHER=1: the gather/eval passes join the
+    slot-cap cond chain (_k_f1/_k_eval with e > 0 — value-level lane
+    slicing of idx + replica-fill concat are the Mosaic-risk ops)."""
+    import os
+
+    from pointcloudlib_tpu.ops.pallas.fused_sa import (
+        SAParams, SAStats, fused_sa_eval, fused_sa_train,
+    )
+
+    rng = np.random.default_rng(3)
+    os.environ["POINTCLOUDLIB_CAP_GATHER"] = "1"
+    try:
+        # SA1, MSG k=128, windowed N=4096
+        for (b, n, m, k, c1, c2, c3) in [
+            (8, 1024, 512, 64, 64, 64, 128),
+            (8, 1024, 512, 128, 64, 96, 128),
+            (4, 4096, 512, 64, 64, 64, 128),
+        ]:
+            q = jnp.asarray(rng.standard_normal((b, n, c1)), jnp.float32)
+            off = jnp.asarray(rng.standard_normal((b, m, c1)) * .1,
+                              jnp.float32)
+            idx = jnp.asarray(rng.integers(0, n, (b, m, k)), jnp.int32)
+            cnt = jnp.asarray(rng.integers(1, k + 1, (b, m)), jnp.int32)
+            params = SAParams(
+                w2=jnp.asarray(rng.standard_normal((c1, c2)) * .2,
+                               jnp.float32),
+                w3=jnp.asarray(rng.standard_normal((c2, c3)) * .2,
+                               jnp.float32),
+                g1=jnp.ones(c1), b1=jnp.zeros(c1),
+                g2=jnp.ones(c2), b2=jnp.zeros(c2),
+                g3=jnp.ones(c3), b3=jnp.zeros(c3),
+            )
+            g = jax.jit(jax.grad(
+                lambda q, off, p: jnp.sum(
+                    fused_sa_train(q, off, idx, p, False, None, 1,
+                                   cnt)[0]), argnums=(0, 1, 2)))
+            out = g(q, off, params)
+            jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+            ev = jax.jit(lambda q, off: fused_sa_eval(
+                q, off, idx, params, SAStats(
+                    jnp.zeros(c1), jnp.ones(c1), jnp.zeros(c2),
+                    jnp.ones(c2), jnp.zeros(c3), jnp.ones(c3)),
+                False, cnt))(q, off)
+            jax.device_get(ev.ravel()[0])
+            print(f"capg ok  B={b} N={n} M={m} K={k}", flush=True)
+    finally:
+        os.environ.pop("POINTCLOUDLIB_CAP_GATHER", None)
+
+
 if __name__ == "__main__":
     sweep_sa()
     sweep_edge()
     sweep_gather_odd()
     sweep_bq()
+    sweep_capped_gather()
     print("sweep complete")
