@@ -108,6 +108,31 @@ def main():
     tbc = jax.jit(jax.grad(lossc, argnums=(0, 1)))
     print(f"capped fwd+bwd:        {bench(tbc, q, off, nidx, cnt):6.2f} ms")
 
+    # --- gather-capped route (POINTCLOUDLIB_CAP_GATHER: _call_f1 joins
+    # the cond chain; new jit objects so the env flip retraces) ---
+    import os
+
+    os.environ["POINTCLOUDLIB_CAP_GATHER"] = "1"
+    try:
+        f1c = jax.jit(lambda q, nidx, off: fs._call_f1(
+            q, nidx, off, False, kc=3 * K // 4))
+        print(f"f1 capped (kc=3k/4):   {bench(f1c, q, nidx, off):6.2f} ms")
+        tfg = jax.jit(lambda q, off, nidx, cnt: fs.fused_sa_train(
+            q, off, nidx, params, False, None, 1, cnt)[0])
+        print(f"capg fwd (given idx):  {bench(tfg, q, off, nidx, cnt):6.2f} ms")
+
+        def lossg(q, off, nidx, cnt):
+            out, _ = fs.fused_sa_train(q, off, nidx, params, False,
+                                       None, 1, cnt)
+            return out.sum()
+
+        tbg = jax.jit(jax.grad(lossg, argnums=(0, 1)))
+        print(f"capg fwd+bwd:          {bench(tbg, q, off, nidx, cnt):6.2f} ms")
+    except Exception as e:
+        print(f"capg failed: {type(e).__name__}: {e}")
+    finally:
+        os.environ.pop("POINTCLOUDLIB_CAP_GATHER", None)
+
     # --- in-kernel bq variant (k=128, currently gated off) ---
     try:
         bf = jax.jit(lambda nx, x, q, off: fs.fused_sa_bq_train(
