@@ -65,11 +65,19 @@ def _ratio(a, b):
                  (np.linalg.norm(np.asarray(b)) + 1e-12))
 
 
-def test_fused_sa_module_grads_match_torch():
+@pytest.mark.parametrize("cap_gather", ["0", "1"],
+                         ids=["tail-capped", "gather-capped"])
+def test_fused_sa_module_grads_match_torch(cap_gather, monkeypatch):
     """One fused SA at the production SA1 config (512 centers, r=0.2,
     k=64, mlp 64/64/128) vs an independent torch SA from shared
     weights: outputs, all parameter gradients, and the BN batch moments
-    must agree to bf16-path tolerance."""
+    must agree to bf16-path tolerance.
+
+    N=700 puts the layer on the external-idx fused route with the ball
+    query's cnt fed through, so the slot-capped cond chain runs here —
+    and with POINTCLOUDLIB_CAP_GATHER=1, the capped gather pass too:
+    torch-independent evidence for both capping variants."""
+    monkeypatch.setenv("POINTCLOUDLIB_CAP_GATHER", cap_gather)
     torch.manual_seed(1)
     tsa = TorchSA(3, [64, 64, 128], 512, 0.2, 64)
     tsa.train()
