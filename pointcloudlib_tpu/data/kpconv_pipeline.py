@@ -41,11 +41,19 @@ def build_pyramid_host(
     neighborhood_limits: Sequence[int],
     caps: Sequence[int] = None,
     subsample_input: bool = True,
+    deform_radius: float = None,
 ):
     """Returns dict with points/masks/neighbors/pools lists of dense
     numpy arrays (invalid neighbor slots hold the sentinel N_l)."""
+    from pointcloudlib_tpu.models.kpconv.pyramid import (
+        layer_blocks, layer_deform_flags,
+    )
+
     b, n0, _ = xyz.shape
     n_layers = _layer_split(architecture)
+    groups = layer_blocks(architecture)
+    if deform_radius is None:
+        deform_radius = conv_radius  # widening factor 1: rigid everywhere
     if caps is None:
         caps = [max(16, n0 // (4**l)) for l in range(n_layers)]
     ks = list(neighborhood_limits[:n_layers])
@@ -76,13 +84,19 @@ def build_pyramid_host(
     dl = first_dl
     for l in range(n_layers):
         k = ks[l]
+        # reference conv/pool deform-radius split (kpconv_loader.py:
+        # 527-560) — must match the device builder (pyramid.py)
+        deform_conv, deform_pool = layer_deform_flags(groups[l])
+        wide = r * (deform_radius / conv_radius)
+        r_conv = wide if deform_conv else r
+        r_pool = wide if deform_pool else r
         nl = points[l].shape[1]
         idx = np.full((b, points[l].shape[1], k), nl, np.int32)
         for i in range(b):
             valid = masks[l][i]
             nv = int(valid.sum())
             got = native.radius_neighbors(
-                points[l][i][:nv], points[l][i][:nv], r, k
+                points[l][i][:nv], points[l][i][:nv], r_conv, k
             )
             got = np.where(got >= nv, nl, got)
             idx[i, :nv] = got
@@ -95,7 +109,7 @@ def build_pyramid_host(
                 nv_q = int(nm1[i].sum())
                 nv_s = int(masks[l][i].sum())
                 got = native.radius_neighbors(
-                    np1[i][:nv_q], points[l][i][:nv_s], r, k
+                    np1[i][:nv_q], points[l][i][:nv_s], r_pool, k
                 )
                 pidx[i, :nv_q] = np.where(got >= nv_s, nl, got)
             points.append(np1)

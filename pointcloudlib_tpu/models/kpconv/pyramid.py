@@ -34,16 +34,14 @@ Array = jax.Array
 _GRID = 1024  # voxel coordinates clamped to [0, _GRID) per axis
 
 
-def _grid_subsample_one(
-    xyz: Array, mask: Array, dl: float, n_max: int
-) -> Tuple[Array, Array]:
-    """One cloud: ``xyz [N,3]``, ``mask [N]`` → ``(centers [n_max,3],
-    vmask [n_max])``. Barycenter per occupied voxel (reference
-    grid_subsampling.cpp:5-107 semantics)."""
-    n = xyz.shape[0]
-    # shift by whole cells (the reference's originCorner =
-    # floor(min/dl)*dl, grid_subsampling.cpp) so the voxel partition is
-    # exactly floor(p/dl) — a raw-min shift would move cell boundaries
+def _voxel_keys(xyz: Array, mask: Array, dl: float) -> Array:
+    """Packed voxel key per point (masked rows get INT32_MAX). Shift by
+    whole cells (the reference's originCorner = floor(min/dl)*dl,
+    grid_subsampling.cpp) so the voxel partition is exactly
+    floor(p/dl) — a raw-min shift would move cell boundaries. ONE
+    definition: grid_subsample, occupancy and the host-side
+    calibrate.occupancy_np must quantize bit-identically (parity
+    asserted in tests/test_kpconv_pipeline.py)."""
     origin = jnp.min(jnp.where(mask[:, None], xyz, jnp.inf), axis=0)
     origin_cell = jnp.floor(origin / dl)
     v = jnp.clip(
@@ -52,7 +50,17 @@ def _grid_subsample_one(
         _GRID - 1,
     )
     key = (v[:, 0] * _GRID + v[:, 1]) * _GRID + v[:, 2]
-    key = jnp.where(mask, key, jnp.iinfo(jnp.int32).max)
+    return jnp.where(mask, key, jnp.iinfo(jnp.int32).max)
+
+
+def _grid_subsample_one(
+    xyz: Array, mask: Array, dl: float, n_max: int
+) -> Tuple[Array, Array]:
+    """One cloud: ``xyz [N,3]``, ``mask [N]`` → ``(centers [n_max,3],
+    vmask [n_max])``. Barycenter per occupied voxel (reference
+    grid_subsampling.cpp:5-107 semantics)."""
+    n = xyz.shape[0]
+    key = _voxel_keys(xyz, mask, dl)
 
     order = jnp.argsort(key)
     sk = key[order]
@@ -91,14 +99,7 @@ def occupancy(xyz: Array, mask: Array, dl: float) -> Array:
     ``rank < n_max`` above)."""
 
     def one(x, m):
-        origin = jnp.min(jnp.where(m[:, None], x, jnp.inf), axis=0)
-        origin_cell = jnp.floor(origin / dl)
-        v = jnp.clip(
-            (jnp.floor(x / dl) - origin_cell).astype(jnp.int32), 0, _GRID - 1
-        )
-        key = (v[:, 0] * _GRID + v[:, 1]) * _GRID + v[:, 2]
-        key = jnp.where(m, key, jnp.iinfo(jnp.int32).max)
-        sk = jnp.sort(key)
+        sk = jnp.sort(_voxel_keys(x, m, dl))
         sm = jnp.sort(m)[::-1]  # mask count aligned with sorted keys
         first = jnp.concatenate(
             [jnp.ones((1,), bool), sk[1:] != sk[:-1]]
@@ -221,6 +222,18 @@ def layer_blocks(architecture: Sequence[str]) -> List[List[str]]:
     return groups
 
 
+def layer_deform_flags(blocks: Sequence[str]) -> Tuple[bool, bool]:
+    """(deform_conv, deform_pool) for one layer group, per the
+    reference loader (kpconv_loader.py:527-560): conv neighbors use the
+    deform radius iff any NON-strided block is deformable; pool
+    neighbors iff the strided/pool block itself is."""
+    conv = any("deformable" in bl for bl in blocks
+               if not ("pool" in bl or "strided" in bl))
+    pool = any("deformable" in bl for bl in blocks
+               if "pool" in bl or "strided" in bl)
+    return conv, pool
+
+
 def pyramid_shapes(
     n_points: int, n_layers: int, neighborhood_limits: Sequence[int]
 ) -> Tuple[List[int], List[int]]:
@@ -265,10 +278,16 @@ def build_pyramid(
     r = first_dl * conv_radius
     dl = first_dl
     for l, blocks in enumerate(groups):
-        deform = any("deformable" in bl for bl in blocks)
-        r_l = r * (deform_radius / conv_radius) if deform else r
+        # Reference semantics (kpconv_loader.py:527-560): the CONV
+        # neighbor radius widens iff a NON-strided block of the layer
+        # is deformable; the POOL radius widens iff the strided block
+        # ITSELF is. A mixed layer (rigid convs + deformable strided,
+        # or vice versa) uses different radii for the two queries.
+        deform_conv, deform_pool = layer_deform_flags(blocks)
+        wide = r * (deform_radius / conv_radius)
         idx, nm = radius_neighbors(
-            points[l], masks[l], points[l], masks[l], r_l, ks[l]
+            points[l], masks[l], points[l], masks[l],
+            wide if deform_conv else r, ks[l]
         )
         neighbors.append(idx)
         nmasks.append(nm)
@@ -277,7 +296,8 @@ def build_pyramid(
                 points[l], masks[l], 2 * dl, caps[l + 1]
             )
             pidx, pm = radius_neighbors(
-                nxt_p, nxt_m, points[l], masks[l], r_l, ks[l]
+                nxt_p, nxt_m, points[l], masks[l],
+                wide if deform_pool else r, ks[l]
             )
             points.append(nxt_p)
             masks.append(nxt_m)

@@ -344,13 +344,24 @@ def _bisect_row_bytes(n: int) -> int:
     return n * 28
 
 
+def fused_edge_eval_knn(x, q, off, gamma, beta, stats, k,
+                        slope=0.2, interpret=False):
+    """Eval-mode EdgeConv with in-kernel graph construction
+    (jit-cached per route-gate values — neighbors._gate_key)."""
+    from pointcloudlib_tpu.ops.pallas.neighbors import _gate_key
+
+    return _fused_edge_eval_knn_jit(
+        x, q, off, gamma, beta, stats, k=k, slope=slope,
+        interpret=interpret,
+        _gates=_gate_key("POINTCLOUDLIB_KNN_BISECT"))
+
+
 @functools.partial(
-    jax.jit, static_argnames=("k", "slope", "interpret")
+    jax.jit, static_argnames=("k", "slope", "interpret", "_gates")
 )
-def fused_edge_eval_knn(x, q, off, gamma, beta, stats: EdgeStats,
-                        k: int, slope: float = 0.2,
-                        interpret: bool = False):
-    """Eval-mode EdgeConv with in-kernel graph construction."""
+def _fused_edge_eval_knn_jit(x, q, off, gamma, beta, stats: EdgeStats,
+                             k: int, slope: float = 0.2,
+                             interpret: bool = False, _gates=()):
     b, n, cf = x.shape
     c = q.shape[2]
     st = _stack_stats(stats.mean, stats.var, gamma, beta)
@@ -1110,12 +1121,24 @@ def _ke2_knn_eval(x_ref, q_ref, off_ref, st1_ref, st2_ref, w2_ref,
     out_ref[0] = macc
 
 
+def fused_edge2_eval_knn(x, q, off, w2, g1, b1, g2, b2, stats, k,
+                         slope=0.2, interpret=False):
+    """2-layer eval EdgeConv (jit-cached per route-gate values)."""
+    from pointcloudlib_tpu.ops.pallas.neighbors import _gate_key
+
+    return _fused_edge2_eval_knn_jit(
+        x, q, off, w2, g1, b1, g2, b2, stats, k=k, slope=slope,
+        interpret=interpret,
+        _gates=_gate_key("POINTCLOUDLIB_KNN_BISECT"))
+
+
 @functools.partial(
-    jax.jit, static_argnames=("k", "slope", "interpret")
+    jax.jit, static_argnames=("k", "slope", "interpret", "_gates")
 )
-def fused_edge2_eval_knn(x, q, off, w2, g1, b1, g2, b2,
-                         stats: Edge2Stats, k: int, slope: float = 0.2,
-                         interpret: bool = False):
+def _fused_edge2_eval_knn_jit(x, q, off, w2, g1, b1, g2, b2,
+                              stats: Edge2Stats, k: int,
+                              slope: float = 0.2,
+                              interpret: bool = False, _gates=()):
     b, n, cf = x.shape
     c1 = q.shape[2]
     c2 = w2.shape[1]

@@ -886,9 +886,7 @@ def _cumsum_lanes_sa(x):
     lane = lax.broadcasted_iota(jnp.int32, (mt, n), 1)
     shift = 1
     while shift < n:
-        from jax.experimental.pallas import tpu as _pltpu
-
-        rolled = _pltpu.roll(x, shift, axis=1)
+        rolled = pltpu.roll(x, shift, axis=1)
         x = x + jnp.where(lane >= shift, rolled, 0)
         shift *= 2
     return x
@@ -1648,9 +1646,21 @@ def fused_sa_reference(q, off, idx, params: SAParams):
     return out, SAStats(s1[0], s1[1], s2[0], s2[1], s3[0], s3[1])
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def fused_sa_eval(q, off, idx, params: SAParams, stats: SAStats,
-                  interpret=False, cnt=None):
+def fused_sa_eval(q, off, idx, params, stats, interpret=False,
+                  cnt=None):
+    """Eval-mode fused SA MLP (jit-cached per route-gate values — see
+    neighbors._gate_key: the gates are read at trace time)."""
+    from pointcloudlib_tpu.ops.pallas.neighbors import _gate_key
+
+    return _fused_sa_eval_jit(
+        q, off, idx, params, stats, interpret=interpret, cnt=cnt,
+        _gates=_gate_key("POINTCLOUDLIB_CAP_GATHER",
+                         "POINTCLOUDLIB_SA_WINDOW"))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "_gates"))
+def _fused_sa_eval_jit(q, off, idx, params: SAParams, stats: SAStats,
+                       interpret=False, cnt=None, _gates=()):
     """Eval-mode fused SA MLP: one kernel, given (running) stats.
 
     ``cnt`` (the ball query's per-center counts): when given and the

@@ -302,17 +302,34 @@ def _tile_m(m: int, n: int, k: int, bytes_per: int = 8) -> int:
     return m
 
 
+def _gate_key(*names) -> tuple:
+    """Current values of env-var route gates, for use as a STATIC jit
+    argument: gates are read at trace time, so a module-level jit
+    would otherwise silently serve the stale route from its cache
+    after an env flip (A/B scripts flip them in-process)."""
+    import os
+
+    return tuple(os.environ.get(n) for n in names)
+
+
+def ball_query_pallas(centers, points, radius, k, interpret=False):
+    """Drop-in for ops.geometry.ball_query on TPU (same semantics)."""
+    return _ball_query_pallas_jit(
+        centers, points, radius=radius, k=k, interpret=interpret,
+        _gates=_gate_key("POINTCLOUDLIB_MXU_CUMSUM"))
+
+
 @functools.partial(
-    jax.jit, static_argnames=("radius", "k", "interpret")
+    jax.jit, static_argnames=("radius", "k", "interpret", "_gates")
 )
-def ball_query_pallas(
+def _ball_query_pallas_jit(
     centers: Array,
     points: Array,
     radius: float,
     k: int,
     interpret: bool = False,
+    _gates: tuple = (),
 ) -> Tuple[Array, Array]:
-    """Drop-in for ops.geometry.ball_query on TPU (same semantics)."""
     b, m, c = centers.shape
     n = points.shape[1]
     p = _pad_points(points.astype(jnp.float32))

@@ -91,9 +91,9 @@ def main():
     xyz = jnp.asarray(xyz)
     cen = xyz[:, :m]
 
-    bq_raw = ball_query_pallas.__wrapped__  # bypass the jit cache:
-    # the env flag is not in its static-arg key, a cached trace would
-    # silently reuse the other path
+    # the public wrapper now keys its jit cache on the gate values
+    # (neighbors._gate_key), so env flips retrace correctly
+    bq_raw = ball_query_pallas
 
     def bq_chain(x, r):
         f = x

@@ -589,7 +589,9 @@ def test_knn_bisect_matches_rounds():
                 loss, argnums=(0, 1, 2, 3), has_aux=True)(
                     q, off, gamma, beta)
             idx, _, _ = _call_eknn_f1(x, q, off, k, True)
-            ev = fused_edge_eval_knn.__wrapped__(
+            # the public wrapper keys its jit cache on the gate
+            # values (neighbors._gate_key), so no __wrapped__ bypass
+            ev = fused_edge_eval_knn(
                 x, q, off, gamma, beta,
                 EdgeStats(jnp.zeros(c), jnp.ones(c)), k, 0.2, True)
             return aux, g, idx, ev

@@ -143,7 +143,8 @@ def test_mxu_cumsum_bitexact():
     def run(flag):
         os.environ["POINTCLOUDLIB_MXU_CUMSUM"] = flag
         try:
-            return ball_query_pallas.__wrapped__(c, xyz, 0.2, 32, True)
+            # the wrapper keys its jit cache on the gate value now
+            return ball_query_pallas(c, xyz, 0.2, 32, True)
         finally:
             os.environ.pop("POINTCLOUDLIB_MXU_CUMSUM", None)
 

@@ -66,3 +66,55 @@ def test_host_and_device_pyramids_agree(cloud):
             np.testing.assert_array_equal(
                 np.sort(d_counts), np.sort(h_counts)
             )
+
+
+MIXED_ARCH = ("simple", "resnetb", "resnetb_deformable_strided",
+              "resnetb", "global_average")
+
+
+def test_mixed_deform_layer_uses_split_radii(cloud):
+    """Reference semantics (kpconv_loader.py:527-560): in a layer of
+    rigid convs ending in a DEFORMABLE strided block, conv neighbors
+    use the rigid radius but pool neighbors the deform radius. Device
+    and host builders must agree under this split — and the pool lists
+    must actually be wider than a rigid-pool build's."""
+    from pointcloudlib_tpu.models.kpconv.pyramid import layer_deform_flags
+
+    assert layer_deform_flags(
+        ["resnetb", "resnetb_deformable_strided"]) == (False, True)
+    assert layer_deform_flags(
+        ["resnetb_deformable", "resnetb_strided"]) == (True, False)
+
+    xyz, mask = cloud
+    caps = [128, 128]
+    dev = build_pyramid(
+        jnp.asarray(xyz), jnp.asarray(mask), 0.1, 2.5, 6.0,
+        MIXED_ARCH, LIMITS, caps=caps,
+    )
+    host = build_pyramid_host(
+        xyz, mask, 0.1, 2.5, MIXED_ARCH, LIMITS, caps=caps,
+        deform_radius=6.0,
+    )
+    # device/host agreement on layer-0 conv + pool count multisets
+    nl = host["points"][0].shape[1]
+    for b in range(2):
+        d = np.asarray(dev.neighbor_masks[0]).sum(-1)[b][
+            np.asarray(dev.masks[0][b])]
+        h = (host["neighbors"][0][b] != nl).sum(-1)[host["masks"][0][b]]
+        np.testing.assert_array_equal(np.sort(d), np.sort(h))
+        dp = np.asarray(dev.pool_masks[0]).sum(-1)[b][
+            np.asarray(dev.masks[1][b])]
+        hp = (host["pools"][0][b] != nl).sum(-1)[host["masks"][1][b]]
+        np.testing.assert_array_equal(np.sort(dp), np.sort(hp))
+
+    # the deformable pool radius really is wider: rigid-everything
+    # build of the same arch must have strictly fewer pool neighbors
+    rigid = build_pyramid(
+        jnp.asarray(xyz), jnp.asarray(mask), 0.1, 2.5, 2.5,
+        MIXED_ARCH, LIMITS, caps=caps,
+    )
+    assert (int(np.asarray(dev.pool_masks[0]).sum())
+            > int(np.asarray(rigid.pool_masks[0]).sum()))
+    # while conv neighbors (rigid blocks) are identical either way
+    np.testing.assert_array_equal(
+        np.asarray(dev.neighbor_masks[0]), np.asarray(rigid.neighbor_masks[0]))
