@@ -35,6 +35,26 @@ from pointcloudlib_tpu.utils.checkpoint import CheckpointManager
 _BUCKETS = (128, 256, 512, 1024, 2048, 4096)
 
 
+def _restore_required(mgr, variables, which: str):
+    """Restore ``which`` (falling back to "current") or raise —
+    serving randomly-initialized weights silently is never right."""
+    restored = mgr.restore_variables(
+        variables["params"], variables.get("batch_stats"), name=which
+    ) or mgr.restore_variables(
+        variables["params"], variables.get("batch_stats"), name="current"
+    )
+    if restored is None:
+        raise FileNotFoundError(
+            f"no '{which}' or 'current' checkpoint under "
+            f"{mgr.directory} — "
+            "refusing to serve randomly-initialized weights")
+    params, batch_stats = restored
+    variables = {"params": params}
+    if batch_stats is not None:
+        variables["batch_stats"] = batch_stats
+    return variables
+
+
 def _bucket(n: int) -> int:
     for b in _BUCKETS:
         if n <= b:
@@ -89,16 +109,7 @@ class Predictor:
 
         variables = init_variables(model, jax.random.key(0), dummy, feats)
         mgr = CheckpointManager(Path(ckpt_dir))
-        restored = mgr.restore_variables(
-            variables["params"], variables.get("batch_stats"), name=which
-        ) or mgr.restore_variables(
-            variables["params"], variables.get("batch_stats"), name="current"
-        )
-        if restored is not None:
-            params, batch_stats = restored
-            variables = {"params": params}
-            if batch_stats is not None:
-                variables["batch_stats"] = batch_stats
+        variables = _restore_required(mgr, variables, which)
         return cls(model, variables, with_normals=with_normals)
 
     def predict_proba(
@@ -116,6 +127,12 @@ class Predictor:
         kNN graphs (DGCNN/PointCNN), which zero padding would.
         """
         clouds = np.asarray(clouds, np.float32)
+        if self.with_normals and normals is None:
+            raise ValueError(
+                "this model consumes surface normals as features "
+                "(with_normals=True); pass normals=[B, N, 3], or "
+                "construct the Predictor with with_normals=False for a "
+                "checkpoint trained without them")
         b, n, _ = clouds.shape
         nb = _bucket(n)
         if nb != n:
@@ -142,11 +159,7 @@ class Predictor:
                     nchunk = np.concatenate(
                         [nchunk, np.repeat(nchunk[-1:], reps, 0)]
                     )
-            feats = (
-                jnp.asarray(nchunk)
-                if (self.with_normals and nchunk is not None)
-                else (jnp.asarray(chunk) if self.with_normals else None)
-            )
+            feats = jnp.asarray(nchunk) if self.with_normals else None
             probs = self._forward(self.variables, jnp.asarray(chunk), feats)
             outs.append(np.asarray(probs)[:real])
         return np.concatenate(outs)
@@ -206,16 +219,7 @@ class SegPredictor:
             feats=dummy if with_xyz else None,
         )
         mgr = CheckpointManager(Path(ckpt_dir))
-        restored = mgr.restore_variables(
-            variables["params"], variables.get("batch_stats"), name=which
-        ) or mgr.restore_variables(
-            variables["params"], variables.get("batch_stats"), name="current"
-        )
-        if restored is not None:
-            params, batch_stats = restored
-            variables = {"params": params}
-            if batch_stats is not None:
-                variables["batch_stats"] = batch_stats
+        variables = _restore_required(mgr, variables, which)
         return cls(model, variables, with_xyz_feats=with_xyz)
 
     def predict(self, clouds: np.ndarray, labels: np.ndarray) -> np.ndarray:

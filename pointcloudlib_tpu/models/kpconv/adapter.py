@@ -29,6 +29,8 @@ class KPConvCls(nn.Module):
     # (calibrate.calibrate_pyramid), None → uncalibrated defaults
     caps: Optional[Tuple[int, ...]] = None
     neighborhood_limits: Tuple[int, ...] = (22, 35, 41, 42, 37)
+    # shard_map DP: sync-BN over this mesh axis (see KPConvConfig)
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -43,6 +45,7 @@ class KPConvCls(nn.Module):
             first_subsampling_dl=self.first_subsampling_dl,
             caps=self.caps,
             neighborhood_limits=self.neighborhood_limits,
+            axis_name=self.axis_name,
         )
         return KPCNN(cfg)(xyz, training=training)
 
@@ -57,6 +60,7 @@ class KPConvDeformCls(nn.Module):
     first_subsampling_dl: float = 0.05
     caps: Optional[Tuple[int, ...]] = None
     neighborhood_limits: Tuple[int, ...] = (22, 35, 41, 42, 37)
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -79,5 +83,6 @@ class KPConvDeformCls(nn.Module):
             architecture=tuple(arch),
             caps=self.caps,
             neighborhood_limits=self.neighborhood_limits,
+            axis_name=self.axis_name,
         )
         return KPCNN(cfg)(xyz, training=training)

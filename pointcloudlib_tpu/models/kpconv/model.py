@@ -75,16 +75,28 @@ class KPConvConfig:
     caps: Optional[Tuple[int, ...]] = None
     deform_fitting_power: float = 1.0
     repulse_extent: float = 1.2
+    # shard_map DP: psum the BN statistics over this mesh axis
+    # (sync-BN, like nn/layers.py's axis_name) — None = single shard
+    axis_name: Optional[str] = None
 
 
-def _masked_moments(x: Array, mask: Array):
-    """Mean/var over valid points only (mask [..., 1] broadcastable)."""
+def _masked_moments(x: Array, mask: Array, axis_name=None):
+    """Mean/var over valid points only (mask [..., 1] broadcastable).
+    ``axis_name``: psum the masked sums over the mesh axis first —
+    sync-BN; shards carry different valid counts, so the SUMS are
+    reduced, never per-shard moments."""
     w = mask.astype(x.dtype)
-    cnt = jnp.maximum(jnp.sum(w), 1.0)
-    mean = jnp.sum(x * w, axis=tuple(range(x.ndim - 1))) / cnt
-    var = (
-        jnp.sum(w * (x - mean) ** 2, axis=tuple(range(x.ndim - 1))) / cnt
-    )
+    cnt = jnp.sum(w)
+    sx = jnp.sum(x * w, axis=tuple(range(x.ndim - 1)))
+    if axis_name is not None:
+        cnt = jax.lax.psum(cnt, axis_name)
+        sx = jax.lax.psum(sx, axis_name)
+    cnt = jnp.maximum(cnt, 1.0)
+    mean = sx / cnt
+    sv = jnp.sum(w * (x - mean) ** 2, axis=tuple(range(x.ndim - 1)))
+    if axis_name is not None:
+        sv = jax.lax.psum(sv, axis_name)
+    var = sv / cnt
     return mean, var
 
 
@@ -100,6 +112,7 @@ class MaskedBatchNorm(nn.Module):
 
     use_bn: bool = True
     momentum: float = 0.95
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Array, mask: Array, training: bool) -> Array:
@@ -116,7 +129,8 @@ class MaskedBatchNorm(nn.Module):
             "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
         )
         if training:
-            mean, var = _masked_moments(x, mask[..., None])
+            mean, var = _masked_moments(x, mask[..., None],
+                                        self.axis_name)
             if not self.is_initializing():
                 ra_mean.value = (
                     self.momentum * ra_mean.value + (1 - self.momentum) * mean
@@ -141,11 +155,13 @@ class UnaryBlock(nn.Module):
     use_bn: bool = True
     momentum: float = 0.95
     no_relu: bool = False
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Array, mask: Array, training: bool) -> Array:
         x = nn.Dense(self.out_dim, use_bias=False)(x)
-        x = MaskedBatchNorm(self.use_bn, self.momentum)(x, mask, training)
+        x = MaskedBatchNorm(self.use_bn, self.momentum,
+                            self.axis_name)(x, mask, training)
         return x if self.no_relu else _lrelu(x)
 
 
@@ -164,6 +180,8 @@ class KPConvOp(nn.Module):
     aggregation: str = "sum"
     deformable: bool = False
     modulated: bool = False
+    fitting_power: float = 1.0   # deform_fitting_power (config knob)
+    repulse_extent: float = 1.2  # Modelnet40Config (ModelNet40.py:1383)
 
     @nn.compact
     def __call__(
@@ -236,9 +254,18 @@ class KPConvOp(nn.Module):
             min_d2 = jnp.min(
                 jnp.where(nmask[..., None], d2, jnp.inf), axis=2
             )
-            fitting = jnp.mean(
+            # average over REAL query rows only: the reference's
+            # stacked representation has no padding rows at all
+            # (kpconv.py:26-29 means over real points), so including
+            # ours would scale the regularizer by the occupancy
+            # fraction and feed offset gradients from padding
+            valid_q = jnp.any(nmask, axis=2)  # [B, M]
+            nvalid = jnp.maximum(jnp.sum(valid_q.astype(jnp.float32)),
+                                 1.0)
+            fitting = jnp.sum(
                 jnp.where(jnp.isfinite(min_d2), min_d2, 0.0)
-            ) / (self.kp_extent**2)
+                * valid_q[..., None]
+            ) / (nvalid * p) / (self.kp_extent**2)
             locs = kpts / self.kp_extent
             pd = jnp.sqrt(
                 jnp.sum(
@@ -249,14 +276,18 @@ class KPConvOp(nn.Module):
             )
             off_diag = 1.0 - jnp.eye(p)
             rep = (
-                jnp.clip(pd - 1.2, max=0.0) ** 2 * off_diag
-            )  # repulse_extent 1.2
+                jnp.clip(pd - self.repulse_extent, max=0.0) ** 2
+                * off_diag
+            )
             # reference: sum over kernel points i of mean-over-points of
             # Σ_j≠i, divided by K (kpconv.py:36-43) — the kernel-point
             # axis is SUMMED, not averaged
-            repulsive = jnp.mean(jnp.sum(rep, axis=(-2, -1))) / p
+            repulsive = jnp.sum(
+                jnp.sum(rep, axis=(-2, -1)) * valid_q
+            ) / nvalid / p
             self.sow(
-                "intermediates", "reg_loss", 2.0 * fitting + repulsive
+                "intermediates", "reg_loss",
+                self.fitting_power * (2.0 * fitting + repulsive),
             )
         else:
             d2 = jnp.sum(
@@ -344,9 +375,12 @@ class SimpleBlock(nn.Module):
             aggregation=self.cfg.aggregation_mode,
             deformable=self.deformable,
             modulated=self.cfg.modulated and self.deformable,
+            fitting_power=self.cfg.deform_fitting_power,
+            repulse_extent=self.cfg.repulse_extent,
         )(q, s, x, idx, nm, training)
         h = MaskedBatchNorm(
-            self.cfg.use_batch_norm, self.cfg.batch_norm_momentum
+            self.cfg.use_batch_norm, self.cfg.batch_norm_momentum,
+            self.cfg.axis_name,
         )(h, qm, training)
         return _lrelu(h)
 
@@ -379,7 +413,7 @@ class ResnetBottleneckBlock(nn.Module):
         if self.in_dim != self.out_dim // 4:
             h = UnaryBlock(
                 self.out_dim // 4, cfg.use_batch_norm,
-                cfg.batch_norm_momentum,
+                cfg.batch_norm_momentum, axis_name=cfg.axis_name,
             )(h, sm, training)
         h = KPConvOp(
             out_dim=self.out_dim // 4,
@@ -390,21 +424,23 @@ class ResnetBottleneckBlock(nn.Module):
             aggregation=cfg.aggregation_mode,
             deformable=self.deformable,
             modulated=cfg.modulated and self.deformable,
+            fitting_power=cfg.deform_fitting_power,
+            repulse_extent=cfg.repulse_extent,
         )(q, s, h, idx, nm, training)
         h = MaskedBatchNorm(
-            cfg.use_batch_norm, cfg.batch_norm_momentum
+            cfg.use_batch_norm, cfg.batch_norm_momentum, cfg.axis_name
         )(h, qm, training)
         h = _lrelu(h)
         h = UnaryBlock(
             self.out_dim, cfg.use_batch_norm, cfg.batch_norm_momentum,
-            no_relu=True,
+            no_relu=True, axis_name=cfg.axis_name,
         )(h, qm, training)
 
         shortcut = _pool_max(x, idx, nm) if self.strided else x
         if self.in_dim != self.out_dim:
             shortcut = UnaryBlock(
                 self.out_dim, cfg.use_batch_norm, cfg.batch_norm_momentum,
-                no_relu=True,
+                no_relu=True, axis_name=cfg.axis_name,
             )(shortcut, qm, training)
         return _lrelu(h + shortcut)
 
@@ -460,7 +496,8 @@ class KPCNN(nn.Module):
                 in_dim = out_dim
             elif block == "unary":
                 x = UnaryBlock(
-                    out_dim, cfg.use_batch_norm, cfg.batch_norm_momentum
+                    out_dim, cfg.use_batch_norm, cfg.batch_norm_momentum,
+                    axis_name=cfg.axis_name,
                 )(x, pyr.masks[layer], training)
                 in_dim = out_dim
             else:

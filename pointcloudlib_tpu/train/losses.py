@@ -32,13 +32,17 @@ def soft_cross_entropy(
     return -(soft * logp).sum(axis=-1).mean()
 
 
-def cross_entropy_seg(logits: Array, seg: Array) -> Array:
+def cross_entropy_seg(logits: Array, seg: Array,
+                      reduce: bool = True) -> Array:
     """Per-point CE over ``[B, N, parts]`` logits (reference
-    train_partseg.py:116 flattens to ``[B*N, parts]``)."""
-    return optax.softmax_cross_entropy_with_integer_labels(
+    train_partseg.py:116 flattens to ``[B*N, parts]``).
+    ``reduce=False`` returns the per-point losses ``[B, N]`` so the
+    caller can weight padded samples out."""
+    per = optax.softmax_cross_entropy_with_integer_labels(
         logits.reshape(-1, logits.shape[-1]).astype(jnp.float32),
         seg.reshape(-1),
-    ).mean()
+    )
+    return per.mean() if reduce else per.reshape(seg.shape)
 
 
 def accuracy(logits: Array, labels: Array) -> Array:

@@ -29,7 +29,8 @@ def step_decay(
 
 
 def reference_flat_lr(
-    base_lr: float, n_train: int, batch_size: int
+    base_lr: float, n_train: int, batch_size: int,
+    drop_last: bool = False,
 ) -> float:
     """The lr the reference CLIs *effectively* train at: a constant.
 
@@ -40,9 +41,14 @@ def reference_flat_lr(
     clouds) and ShapeNetPart trainval (14007) it is 0 — every published
     non-KPConv accuracy was trained at a flat base lr. This reproduces
     the computation (including the >=15000-sample dataset case) rather
-    than the scheduler's apparent intent.
+    than the scheduler's apparent intent. ``drop_last`` matches the
+    loader feeding it: jittor datasets default to False (ceil batch
+    count — the ModelNet40 loader), while the ShapeNetPart loader sets
+    True (shapenet_loader.py:86, floor) — the two can differ by one
+    decay exponent at the 15000-sample boundary.
     """
-    n_batches = -(-n_train // batch_size)
+    n_batches = (n_train // batch_size if drop_last
+                 else -(-n_train // batch_size))
     decay = 0.6 ** int(n_batches * batch_size / 15000)
     return base_lr * max(decay, 2e-5)
 

@@ -58,11 +58,17 @@ def make_cls_train_step(
     """Build ``step(state, batch, rng) -> (state, metrics)`` for
     classification. ``batch = {"xyz", "feats" (optional), "label"}``.
 
-    ``axis_name``: build a shard_map DP step instead of jit-SPMD —
+    ``axis_name`` requires ``mesh``: build a shard_map DP step instead
+    of jit-SPMD —
     required when the model contains Pallas kernels and the mesh spans
     real chips; the model must be constructed with the same axis_name
     so its BatchNorms sync (see parallel/mesh.py:shard_map_train_step).
     """
+    if axis_name is not None and mesh is None:
+        # fail at the misconfiguration site, not as an unbound-axis
+        # trace error on the first step
+        raise ValueError("axis_name requires a mesh (the shard_map DP "
+                         "step binds the axis to a mesh dimension)")
 
     def loss_fn(params, state: TrainState, batch, rng):
         batch, _ = _canon_batch(batch)
@@ -159,18 +165,23 @@ def make_seg_train_step(model, mesh: Optional[Mesh] = None):
             mutable=mutable, rngs={"dropout": rng},
         )
         logits, mut = out if mutable else (out, {})
-        loss = cross_entropy_seg(logits, batch["seg"])
-        # mask padded samples out of the accuracy (train currently uses
-        # drop_last=True so every row is valid, but the metric must stay
-        # correct if that ever changes)
+        # mask padded samples out of BOTH the loss (their gradients
+        # would pollute the update) and the accuracy (train currently
+        # uses drop_last=True so every row is valid, but the math must
+        # stay correct if that ever changes)
         correct = (jnp.argmax(logits, -1) == batch["seg"]).astype(jnp.float32)
         valid = batch.get("valid")
         if valid is not None:
             w = valid.astype(jnp.float32)[:, None]
+            per = cross_entropy_seg(logits, batch["seg"], reduce=False)
+            loss = jnp.sum(per * w) / jnp.maximum(
+                jnp.sum(w) * per.shape[1], 1.0
+            )
             acc = jnp.sum(correct * w) / jnp.maximum(
                 jnp.sum(w) * correct.shape[1], 1.0
             )
         else:
+            loss = cross_entropy_seg(logits, batch["seg"])
             acc = correct.mean()
         return loss, (mut.get("batch_stats"), acc)
 

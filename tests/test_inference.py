@@ -41,8 +41,24 @@ def test_predictor_from_checkpoint_roundtrip(tmp_path):
 
 
 def test_seg_predictor_shapes(tmp_path):
-    p = SegPredictor.from_checkpoint(tmp_path / "missing", "pointnet",
-                                     sample_points=64)  # random init
+    import pytest
+
+    # a missing checkpoint dir must be a hard error, never silent
+    # randomly-initialized serving
+    with pytest.raises(FileNotFoundError):
+        SegPredictor.from_checkpoint(tmp_path / "missing", "pointnet",
+                                     sample_points=64)
+
+    from pointcloudlib_tpu.models import get_seg_model
+    from pointcloudlib_tpu.train.state import init_variables
+    import jax
+    import jax.numpy as jnp
+
+    model = get_seg_model("pointnet", part_num=50)
+    variables = init_variables(
+        model, jax.random.key(0), jnp.zeros((1, 64, 3)),
+        jnp.zeros((1, 16)))
+    p = SegPredictor(model, variables)
     rng = np.random.default_rng(1)
     clouds = rng.standard_normal((2, 64, 3)).astype(np.float32)
     pred = p.predict(clouds, labels=np.array([0, 5]))

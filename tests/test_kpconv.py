@@ -209,3 +209,52 @@ class TestKPConvDeformSoak:
         # the deformable offsets are live: regularizer nonzero
         assert max(abs(r) for r in regs) > 0, regs
         assert losses[-1] < losses[0], losses
+
+
+def test_kpconv_shard_map_sync_bn_matches_jit_spmd():
+    """KPConv under shard_map DP with axis_name: MaskedBatchNorm psums
+    its masked SUMS over the mesh axis (sync-BN), so one step equals
+    the jit-SPMD step (where XLA sees the whole batch) — the same
+    contract the fused PointNet++ path satisfies (trainer.py:98)."""
+    import numpy as np
+    import optax
+
+    from pointcloudlib_tpu.models import get_cls_model
+    from pointcloudlib_tpu.parallel import make_mesh, replicate, shard_batch
+    from pointcloudlib_tpu.train import (
+        create_train_state, make_cls_train_step, sgd_momentum, step_decay,
+    )
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(5)
+    b, n = 8, 64
+    xyz = rng.standard_normal((b, n, 3)).astype(np.float32)
+    xyz /= np.linalg.norm(xyz, axis=-1, keepdims=True)
+    batch = {"xyz": xyz, "label": (np.arange(b) % 4).astype(np.int32)}
+    key = jax.random.key(0)
+    tx = sgd_momentum(step_decay(0.05), momentum=0.9)
+
+    kw = dict(n_classes=4, first_subsampling_dl=0.2,
+              neighborhood_limits=(8, 12, 16, 16, 16))
+    m_ref = get_cls_model("kpconv", **kw)
+    s_ref = create_train_state(m_ref, key, batch["xyz"][:2], None, tx)
+    s_ref = replicate(mesh, s_ref)
+    step_ref = make_cls_train_step(m_ref, mesh)
+    s_ref, met_ref = step_ref(s_ref, shard_batch(mesh, batch), key)
+
+    m_dp = get_cls_model("kpconv", axis_name="data", **kw)
+    s_dp = create_train_state(m_dp, key, batch["xyz"][:2], None, tx)
+    s_dp = replicate(mesh, s_dp)
+    step_dp = make_cls_train_step(m_dp, mesh, axis_name="data")
+    s_dp, met_dp = step_dp(s_dp, shard_batch(mesh, batch), key)
+
+    np.testing.assert_allclose(
+        float(met_ref["loss"]), float(met_dp["loss"]), rtol=1e-4)
+    for a, b_ in zip(jax.tree_util.tree_leaves(s_ref.batch_stats),
+                     jax.tree_util.tree_leaves(s_dp.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5)
+    for a, b_ in zip(jax.tree_util.tree_leaves(s_ref.params),
+                     jax.tree_util.tree_leaves(s_dp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-3, atol=1e-4)

@@ -136,8 +136,10 @@ def main(argv=None):
         if args.optimizer == "sgd":
             # constant lr (see reference_flat_lr) + the reference's
             # weight_decay=1e-4 (train_partseg.py:76)
+            # the ShapeNetPart loader drops the last partial batch
+            # (shapenet_loader.py:86) — floor batch count
             lr = reference_flat_lr(
-                args.lr, len(train_ds), args.batch_size
+                args.lr, len(train_ds), args.batch_size, drop_last=True
             )
             tx = sgd_momentum(lr, momentum=args.momentum,
                               weight_decay=1e-4)
