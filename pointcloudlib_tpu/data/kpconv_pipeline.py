@@ -23,13 +23,11 @@ from pointcloudlib_tpu import native
 
 
 def _layer_split(architecture: Sequence[str]) -> int:
-    layers = 1
-    for block in architecture:
-        if "global" in block or "upsample" in block:
-            break
-        if "pool" in block or "strided" in block:
-            layers += 1
-    return layers
+    # the device builder's walk is the single source of truth — the
+    # host oracle must group layers bit-identically
+    from pointcloudlib_tpu.models.kpconv.pyramid import layer_blocks
+
+    return len(layer_blocks(architecture))
 
 
 def build_pyramid_host(
@@ -55,7 +53,9 @@ def build_pyramid_host(
     if deform_radius is None:
         deform_radius = conv_radius  # widening factor 1: rigid everywhere
     if caps is None:
-        caps = [max(16, n0 // (4**l)) for l in range(n_layers)]
+        from pointcloudlib_tpu.models.kpconv.pyramid import pyramid_shapes
+
+        caps, _ = pyramid_shapes(n0, n_layers, neighborhood_limits)
     ks = list(neighborhood_limits[:n_layers])
 
     points: List[np.ndarray] = []

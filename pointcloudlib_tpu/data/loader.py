@@ -25,24 +25,42 @@ def prefetch(it: Iterator, size: int = 2) -> Iterator:
     """
     q: "queue.Queue" = queue.Queue(maxsize=size)
     _END = object()
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        # bounded put that gives up when the consumer abandoned the
+        # generator (break / steps_per_epoch cutoff) — otherwise the
+        # worker would block in q.put forever, leaking the thread and
+        # its pinned batches every epoch
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in it:
-                q.put(item)
-            q.put(_END)
+                if not put(item):
+                    return
+            put(_END)
         except BaseException as e:  # propagate into the consumer
-            q.put(e)
+            put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
 
 
 def _pad_to(arrs: list, batch_size: int):
@@ -140,6 +158,9 @@ def kpconv_cls_batches(
         for start in range(0, len(order), batch_size):
             chunk = order[start : start + batch_size]
             if len(chunk) < batch_size and drop_last:
+                # same treatment as the bucketed tail: sampled-but-
+                # untrained items get their potential bump back
+                sampler.refund(chunk)
                 return
             items = []
             for i in chunk:
@@ -181,10 +202,12 @@ def seg_batches(
     batch_size: int,
     shuffle: bool = False,
     seed: int = 0,
-    drop_last: bool = True,
+    drop_last: bool = False,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yield ``{"xyz", "label", "seg", "valid"}`` batches from a part-seg
-    dataset of ``(pts, label, seg)`` items."""
+    dataset of ``(pts, label, seg)`` items. The default pads the tail
+    batch (mask-flagged) like :func:`cls_batches` — training passes
+    ``drop_last=True`` explicitly (static-shape BN batches)."""
     order = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(order)

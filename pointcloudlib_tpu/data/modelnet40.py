@@ -52,8 +52,23 @@ class ModelNet40:
         if root and (root / _CATEGORY_FILE).exists():
             self._load_txt_tree(root)
         elif root and root.with_suffix(".npz").exists():
+            # single-archive mode must distinguish splits: accept
+            # points_train/points_test keys, or plain points/labels
+            # ONLY when labeled with a matching 'split' scalar — never
+            # silently serve the same rows as both train and test
             z = np.load(root.with_suffix(".npz"))
-            self._data = (z["points"], z["labels"])
+            sp = "train" if train else "test"
+            if f"points_{sp}" in z:
+                self._data = (z[f"points_{sp}"], z[f"labels_{sp}"])
+            elif "split" in z and str(z["split"]) == sp:
+                self._data = (z["points"], z["labels"])
+            else:
+                raise FileNotFoundError(
+                    f"{root.with_suffix('.npz')} has no '{sp}' split "
+                    f"(keys: {sorted(z.keys())}); a single archive "
+                    "needs points_train/labels_train + points_test/"
+                    "labels_test, or a split='train'|'test' marker"
+                )
         else:
             raise FileNotFoundError(
                 f"ModelNet40 files not found under {data_root!r}; "

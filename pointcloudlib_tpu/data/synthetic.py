@@ -43,12 +43,12 @@ def _sample_shape(kind: str, n: int, rng: np.random.Generator):
         uv = rng.uniform(-1, 1, (n, 2))
         pts = np.empty((n, 3)); nrm = np.zeros((n, 3))
         ax, sign = face % 3, np.where(face < 3, 1.0, -1.0)
-        for i in range(n):
-            a = ax[i]
-            rest = [j for j in range(3) if j != a]
-            pts[i, a] = sign[i]
-            pts[i, rest[0]], pts[i, rest[1]] = uv[i]
-            nrm[i, a] = sign[i]
+        rows = np.arange(n)
+        comp = np.array([[1, 2], [0, 2], [0, 1]])  # axes ⊥ to ax
+        pts[rows, ax] = sign
+        pts[rows, comp[ax, 0]] = uv[:, 0]
+        pts[rows, comp[ax, 1]] = uv[:, 1]
+        nrm[rows, ax] = sign
         return pts * 0.7, nrm
     if kind == "cylinder":
         theta = rng.uniform(0, 2 * np.pi, n)

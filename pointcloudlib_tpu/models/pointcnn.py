@@ -54,6 +54,7 @@ class DenseBlock(nn.Module):
     act: bool = True
     act_before_bn: bool = False
     drop_rate: float = 0.0
+    axis_name: Optional[str] = None  # shard_map DP: sync-BN
 
     @nn.compact
     def __call__(self, x: Array, training: bool = False) -> Array:
@@ -61,7 +62,8 @@ class DenseBlock(nn.Module):
         x = nn.Dense(self.features, use_bias=True)(x)
         def bn(v):
             return nn.BatchNorm(
-                use_running_average=not training, momentum=0.9, epsilon=1e-5
+                use_running_average=not training, momentum=0.9,
+                epsilon=1e-5, axis_name=self.axis_name,
             )(v)
         if self.act_before_bn:
             if self.act:
@@ -86,6 +88,7 @@ class XConv(nn.Module):
     k: int
     c_mid: int
     depth_multiplier: int
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -99,8 +102,10 @@ class XConv(nn.Module):
         local = pts - rep[:, :, None, :]  # [B, P, K, 3]
 
         # lift coordinates into C_mid feature space
-        lifted = DenseBlock(self.c_mid)(local, training)
-        lifted = DenseBlock(self.c_mid)(lifted, training)
+        lifted = DenseBlock(self.c_mid,
+                            axis_name=self.axis_name)(local, training)
+        lifted = DenseBlock(self.c_mid,
+                            axis_name=self.axis_name)(lifted, training)
         cat = (
             lifted if fts is None
             else jnp.concatenate([lifted, fts], axis=-1)
@@ -108,8 +113,9 @@ class XConv(nn.Module):
 
         # learn the K×K X-transform from the local geometry
         flat = local.reshape(*local.shape[:2], k * 3)  # [B, P, K*3]
-        x = DenseBlock(k * k, act_before_bn=True)(flat, training)
-        x = DenseBlock(k * k)(x, training)
+        x = DenseBlock(k * k, act_before_bn=True,
+                       axis_name=self.axis_name)(flat, training)
+        x = DenseBlock(k * k, axis_name=self.axis_name)(x, training)
         x = DenseBlock(k * k, with_bn=False, act=False)(x, training)
         X = x.reshape(*x.shape[:2], k, k)  # [B, P, K, K]
 
@@ -136,7 +142,8 @@ class XConv(nn.Module):
         h = nn.Dense(self.c_out, use_bias=False)(h)
         h = nn.relu(h)  # reference SepConv: act before BN
         h = nn.BatchNorm(
-            use_running_average=not training, momentum=0.9, epsilon=1e-5
+            use_running_average=not training, momentum=0.9,
+            epsilon=1e-5, axis_name=self.axis_name,
         )(h)
         return h  # [B, P, C_out]
 
@@ -150,6 +157,7 @@ class PointCNNLayer(nn.Module):
     k: int
     d: int = 1
     p: int = -1  # representative points; -1 → keep all
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -165,7 +173,8 @@ class PointCNNLayer(nn.Module):
             else:
                 rep = pts
         if self.c_in != 0 and fts is not None:
-            fts = DenseBlock(self.c_out // 2)(fts, training)
+            fts = DenseBlock(self.c_out // 2,
+                             axis_name=self.axis_name)(fts, training)
             c_mid = self.c_out // 4
             dm = int(math.ceil(self.c_out / self.c_in))
         else:
@@ -195,7 +204,8 @@ class PointCNNLayer(nn.Module):
             pts_reg = index_points(pts, idx)
             fts_reg = index_points(fts, idx) if fts is not None else None
         out = XConv(
-            c_out=self.c_out, k=self.k, c_mid=c_mid, depth_multiplier=dm
+            c_out=self.c_out, k=self.k, c_mid=c_mid, depth_multiplier=dm,
+            axis_name=self.axis_name,
         )(rep, pts_reg, fts_reg, training)
         return rep, out
 
@@ -213,6 +223,7 @@ class PointCNNPartSeg(nn.Module):
     """
 
     part_num: int = 50
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -223,17 +234,23 @@ class PointCNNPartSeg(nn.Module):
         training: bool = False,
     ) -> Array:
         del cls_label, feats
-        p0, f0 = PointCNNLayer(3, 256, k=8, d=1, p=-1)(xyz, xyz, training)
-        p1, f1 = PointCNNLayer(256, 256, k=12, d=1, p=768)(p0, f0, training)
-        p2, f2 = PointCNNLayer(256, 512, k=16, d=1, p=384)(p1, f1, training)
-        p3, f3 = PointCNNLayer(512, 1024, k=16, d=1, p=128)(p2, f2, training)
+        ax = self.axis_name
+        p0, f0 = PointCNNLayer(3, 256, k=8, d=1, p=-1,
+                               axis_name=ax)(xyz, xyz, training)
+        p1, f1 = PointCNNLayer(256, 256, k=12, d=1, p=768,
+                               axis_name=ax)(p0, f0, training)
+        p2, f2 = PointCNNLayer(256, 512, k=16, d=1, p=384,
+                               axis_name=ax)(p1, f1, training)
+        p3, f3 = PointCNNLayer(512, 1024, k=16, d=1, p=128,
+                               axis_name=ax)(p2, f2, training)
 
         def decode(c_in, c_out, k, pts_l, fts_l, pts_h, fts_h):
-            _, proj = PointCNNLayer(c_in, c_out, k=k, d=1)(
+            _, proj = PointCNNLayer(c_in, c_out, k=k, d=1,
+                                    axis_name=ax)(
                 pts_l, fts_l, training, rep=pts_h
             )
             fused = jnp.concatenate([proj, fts_h], axis=-1)
-            return DenseBlock(c_out)(fused, training)
+            return DenseBlock(c_out, axis_name=ax)(fused, training)
 
         f3 = decode(1024, 1024, 16, p3, f3, p3, f3)
         f2 = decode(1024, 512, 16, p3, f3, p2, f2)
@@ -244,6 +261,7 @@ class PointCNNPartSeg(nn.Module):
 
 class PointCNNCls(nn.Module):
     n_classes: int = 40
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -253,12 +271,17 @@ class PointCNNCls(nn.Module):
         training: bool = False,
     ) -> Array:
         fts = feats if feats is not None else xyz
-        pts, fts = PointCNNLayer(3, 48, k=8, d=1, p=-1)(xyz, fts, training)
-        pts, fts = PointCNNLayer(48, 96, k=12, d=2, p=384)(pts, fts, training)
-        pts, fts = PointCNNLayer(96, 192, k=16, d=2, p=128)(pts, fts, training)
-        pts, fts = PointCNNLayer(192, 384, k=16, d=3, p=128)(pts, fts, training)
-        h = DenseBlock(192)(fts, training)
-        h = DenseBlock(128, drop_rate=0.5)(h, training)
+        ax = self.axis_name
+        pts, fts = PointCNNLayer(3, 48, k=8, d=1, p=-1,
+                                 axis_name=ax)(xyz, fts, training)
+        pts, fts = PointCNNLayer(48, 96, k=12, d=2, p=384,
+                                 axis_name=ax)(pts, fts, training)
+        pts, fts = PointCNNLayer(96, 192, k=16, d=2, p=128,
+                                 axis_name=ax)(pts, fts, training)
+        pts, fts = PointCNNLayer(192, 384, k=16, d=3, p=128,
+                                 axis_name=ax)(pts, fts, training)
+        h = DenseBlock(192, axis_name=ax)(fts, training)
+        h = DenseBlock(128, drop_rate=0.5, axis_name=ax)(h, training)
         logits = DenseBlock(self.n_classes, with_bn=False, act=False)(
             h, training
         )

@@ -43,13 +43,16 @@ class DensityNet(nn.Module):
     """Density-scale MLP 1→8→8→1 (pointconv_utils.py:186-218)."""
 
     hidden: Sequence[int] = (8, 8)
+    axis_name: Optional[str] = None  # shard_map DP: sync-BN
 
     @nn.compact
     def __call__(self, density: Array, training: bool = False) -> Array:
         x = density[..., None]  # [B, N, 1]
         for h in self.hidden:
-            x = DenseBNAct(h, use_bias=True)(x, training)
-        return DenseBNAct(1, use_bias=True)(x, training)
+            x = DenseBNAct(h, use_bias=True,
+                           axis_name=self.axis_name)(x, training)
+        return DenseBNAct(1, use_bias=True,
+                          axis_name=self.axis_name)(x, training)
 
 
 class WeightNet(nn.Module):
@@ -58,13 +61,16 @@ class WeightNet(nn.Module):
 
     out: int = 16
     hidden: Sequence[int] = (8, 8)
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, local_xyz: Array, training: bool = False) -> Array:
         x = local_xyz
         for h in self.hidden:
-            x = DenseBNAct(h, use_bias=True)(x, training)
-        return DenseBNAct(self.out, use_bias=True)(x, training)
+            x = DenseBNAct(h, use_bias=True,
+                           axis_name=self.axis_name)(x, training)
+        return DenseBNAct(self.out, use_bias=True,
+                          axis_name=self.axis_name)(x, training)
 
 
 class PointConvSA(nn.Module):
@@ -75,6 +81,7 @@ class PointConvSA(nn.Module):
     bandwidth: float
     n_points: Optional[int] = None  # None → group_all
     k: Optional[int] = None
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -82,7 +89,8 @@ class PointConvSA(nn.Module):
     ) -> Tuple[Array, Array]:
         b, n, _ = xyz.shape
         density = compute_density(xyz, self.bandwidth)  # [B, N]
-        scale = DensityNet()(density, training)  # [B, N, 1]
+        scale = DensityNet(
+            axis_name=self.axis_name)(density, training)  # [B, N, 1]
 
         if self.n_points is None:
             new_xyz = jnp.zeros((b, 1, 3), xyz.dtype)
@@ -101,9 +109,11 @@ class PointConvSA(nn.Module):
             grouped_xyz = grouped[..., :3]
             s = self.n_points
 
-        h = PointMLP(self.mlp)(grouped, training)  # [B, S, K, C]
+        h = PointMLP(self.mlp, axis_name=self.axis_name)(
+            grouped, training)  # [B, S, K, C]
         h = h * grouped_density  # density reweighting
-        w = WeightNet()(grouped_xyz, training)  # [B, S, K, 16]
+        w = WeightNet(axis_name=self.axis_name)(
+            grouped_xyz, training)  # [B, S, K, 16]
         # [B,S,C,K] @ [B,S,K,16] → [B,S,C,16] → [B,S,C*16] (C-major, matching
         # the reference reshape at pointconv_utils.py:394)
         agg = jnp.einsum("bskc,bskw->bscw", h, w,
@@ -111,7 +121,8 @@ class PointConvSA(nn.Module):
         agg = agg.reshape(b, s, self.mlp[-1] * 16)
         out = nn.Dense(self.mlp[-1], use_bias=True)(agg)
         out = nn.BatchNorm(
-            use_running_average=not training, momentum=0.9, epsilon=1e-5
+            use_running_average=not training, momentum=0.9,
+            epsilon=1e-5, axis_name=self.axis_name,
         )(out)
         return new_xyz, nn.relu(out)
 
@@ -134,6 +145,7 @@ class PointConvInterp(nn.Module):
     mlp: Sequence[int]
     bandwidth: float
     k: int = 16
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -146,21 +158,24 @@ class PointConvInterp(nn.Module):
         b, n, _ = xyz_fine.shape
         up = three_nn_interpolate(xyz_fine, xyz_coarse, feats_coarse)
         density = compute_density(xyz_fine, self.bandwidth)
-        scale = DensityNet()(density, training)  # [B, N, 1]
+        scale = DensityNet(
+            axis_name=self.axis_name)(density, training)  # [B, N, 1]
 
         _, idx = knn(xyz_fine, xyz_fine, self.k)
         local = index_points(xyz_fine, idx) - xyz_fine[:, :, None, :]
         grouped = jnp.concatenate([local, index_points(up, idx)], axis=-1)
         gd = index_points(scale, idx)  # [B, N, k, 1]
 
-        h = PointMLP(self.mlp)(grouped, training) * gd
-        w = WeightNet()(local, training)
+        h = PointMLP(self.mlp,
+                     axis_name=self.axis_name)(grouped, training) * gd
+        w = WeightNet(axis_name=self.axis_name)(local, training)
         agg = jnp.einsum("bskc,bskw->bscw", h, w,
                          preferred_element_type=jnp.float32)
         agg = agg.reshape(b, n, self.mlp[-1] * 16)
         out = nn.Dense(self.mlp[-1], use_bias=True)(agg)
         out = nn.BatchNorm(
-            use_running_average=not training, momentum=0.9, epsilon=1e-5
+            use_running_average=not training, momentum=0.9,
+            epsilon=1e-5, axis_name=self.axis_name,
         )(out)
         return nn.relu(out)
 
@@ -175,6 +190,7 @@ class PointConvPartSeg(nn.Module):
     """
 
     part_num: int = 50
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -185,27 +201,37 @@ class PointConvPartSeg(nn.Module):
         training: bool = False,
     ) -> Array:
         del cls_label, feats
+        ax = self.axis_name
         l1x, l1f = PointConvSA(mlp=[32, 32, 64], bandwidth=0.1,
-                               n_points=1024, k=32)(xyz, None, training)
+                               n_points=1024, k=32,
+                               axis_name=ax)(xyz, None, training)
         l2x, l2f = PointConvSA(mlp=[64, 64, 128], bandwidth=0.2,
-                               n_points=256, k=32)(l1x, l1f, training)
+                               n_points=256, k=32,
+                               axis_name=ax)(l1x, l1f, training)
         l3x, l3f = PointConvSA(mlp=[128, 128, 256], bandwidth=0.4,
-                               n_points=64, k=32)(l2x, l2f, training)
+                               n_points=64, k=32,
+                               axis_name=ax)(l2x, l2f, training)
         l4x, l4f = PointConvSA(mlp=[256, 256, 512], bandwidth=0.8,
-                               n_points=36, k=32)(l3x, l3f, training)
+                               n_points=36, k=32,
+                               axis_name=ax)(l3x, l3f, training)
 
-        l3f = PointConvInterp([512, 512], 0.8)(l3x, l4x, l4f, training)
-        l2f = PointConvInterp([256, 256], 0.4)(l2x, l3x, l3f, training)
-        l1f = PointConvInterp([128, 128], 0.2)(l1x, l2x, l2f, training)
-        l0f = PointConvInterp([128, 128, 128], 0.1)(xyz, l1x, l1f, training)
+        l3f = PointConvInterp([512, 512], 0.8,
+                              axis_name=ax)(l3x, l4x, l4f, training)
+        l2f = PointConvInterp([256, 256], 0.4,
+                              axis_name=ax)(l2x, l3x, l3f, training)
+        l1f = PointConvInterp([128, 128], 0.2,
+                              axis_name=ax)(l1x, l2x, l2f, training)
+        l0f = PointConvInterp([128, 128, 128], 0.1,
+                              axis_name=ax)(xyz, l1x, l1f, training)
 
-        h = DenseBNAct(128, use_bias=True)(l0f, training)
+        h = DenseBNAct(128, use_bias=True, axis_name=ax)(l0f, training)
         h = nn.Dropout(0.4, deterministic=not training)(h)
         return nn.Dense(self.part_num, use_bias=True)(h)
 
 
 class PointConvDensityCls(nn.Module):
     n_classes: int = 40
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -214,18 +240,21 @@ class PointConvDensityCls(nn.Module):
         feats: Optional[Array] = None,
         training: bool = False,
     ) -> Array:
+        ax = self.axis_name
         xyz1, f1 = PointConvSA(
-            mlp=[64, 64, 128], bandwidth=0.1, n_points=512, k=32
+            mlp=[64, 64, 128], bandwidth=0.1, n_points=512, k=32,
+            axis_name=ax,
         )(xyz, feats, training)
         xyz2, f2 = PointConvSA(
-            mlp=[128, 128, 256], bandwidth=0.2, n_points=128, k=64
+            mlp=[128, 128, 256], bandwidth=0.2, n_points=128, k=64,
+            axis_name=ax,
         )(xyz1, f1, training)
         _, f3 = PointConvSA(
-            mlp=[256, 512, 1024], bandwidth=0.4
+            mlp=[256, 512, 1024], bandwidth=0.4, axis_name=ax
         )(xyz2, f2, training)
         x = f3[:, 0]
-        x = DenseBNAct(512, use_bias=True)(x, training)
+        x = DenseBNAct(512, use_bias=True, axis_name=ax)(x, training)
         x = nn.Dropout(0.4, deterministic=not training)(x)
-        x = DenseBNAct(256, use_bias=True)(x, training)
+        x = DenseBNAct(256, use_bias=True, axis_name=ax)(x, training)
         x = nn.Dropout(0.4, deterministic=not training)(x)
         return nn.Dense(self.n_classes)(x)

@@ -40,8 +40,13 @@ def _parse(raw: str, typ: Any) -> Any:
         elt = args[0]
         out = [_parse(s, elt) for s in items]
         return tuple(out) if origin is tuple else out
-    if typ is bool or raw in ("true", "false"):
-        return raw == "true"
+    if typ is bool:
+        # accept the Python spellings a human editor will type; reject
+        # anything else loudly instead of silently parsing as False
+        low = raw.lower()
+        if low not in ("true", "false", "1", "0"):
+            raise ValueError(f"not a boolean: {raw!r}")
+        return low in ("true", "1")
     if typ is int:
         return int(raw)
     if typ is float:
@@ -49,6 +54,8 @@ def _parse(raw: str, typ: Any) -> Any:
     if typ is str:
         return raw
     # fall back on literal guessing
+    if raw in ("true", "false"):
+        return raw == "true"
     for cast in (int, float):
         try:
             return cast(raw)

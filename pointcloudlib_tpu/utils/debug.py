@@ -45,8 +45,13 @@ def checked(fn, *checks):
     Returns a function with the same signature; raises on the first
     failed check when the result is materialized.
     """
-    sets = checks or (checkify.index_checks | checkify.nan_checks)
-    err_sets = sets if isinstance(sets, frozenset) else sets[0]
+    import functools
+    import operator
+
+    if not checks:
+        err_sets = checkify.index_checks | checkify.nan_checks
+    else:
+        err_sets = functools.reduce(operator.or_, checks)
     cfn = checkify.checkify(fn, errors=err_sets)
 
     def wrapper(*args, **kwargs):

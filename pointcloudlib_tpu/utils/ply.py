@@ -55,6 +55,11 @@ def write_ply(
         "ply", f"format {fmt} 1.0", f"element vertex {n}",
     ]
     for cn, arr in cols:
+        if arr.dtype not in _NAMES:
+            raise TypeError(
+                f"field {cn!r}: unsupported dtype {arr.dtype} — cast "
+                f"to one of {sorted(str(d) for d in _NAMES)} first "
+                "(e.g. labels .astype(np.int32))")
         header.append(f"property {_NAMES[arr.dtype]} {cn}")
     header.append("end_header")
 

@@ -151,3 +151,63 @@ class TestCheckpoint:
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         assert (tmp_path / "ckpt" / "best").exists()
+
+
+@pytest.mark.parametrize("model_name,n", [("pointcnn", 128),
+                                          ("pointconv", 512)])
+def test_shard_map_sync_bn_matches_jit_spmd(model_name, n):
+    """PointCNN/PointConv under shard_map DP with axis_name: every
+    BatchNorm syncs over the mesh axis, so one step equals the
+    jit-SPMD step (same contract as pointnet2/dgcnn/kpconv)."""
+    import numpy as np
+
+    from pointcloudlib_tpu.models import get_cls_model
+    from pointcloudlib_tpu.parallel import make_mesh, replicate, shard_batch
+    from pointcloudlib_tpu.train import (
+        create_train_state, make_cls_train_step, sgd_momentum, step_decay,
+    )
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(7)
+    b = 8
+    xyz = rng.standard_normal((b, n, 3)).astype(np.float32)
+    xyz /= np.linalg.norm(xyz, axis=-1, keepdims=True)
+    batch = {"xyz": xyz, "label": (np.arange(b) % 4).astype(np.int32)}
+    key = jax.random.key(0)
+    tx = sgd_momentum(step_decay(0.05), momentum=0.9)
+
+    m_ref = get_cls_model(model_name, n_classes=4)
+    s_ref = create_train_state(m_ref, key, batch["xyz"][:2], None, tx)
+    s_ref = replicate(mesh, s_ref)
+    s_ref, met_ref = make_cls_train_step(m_ref, mesh)(
+        s_ref, shard_batch(mesh, batch), key)
+
+    m_dp = get_cls_model(model_name, n_classes=4, axis_name="data")
+    s_dp = create_train_state(m_dp, key, batch["xyz"][:2], None, tx)
+    s_dp = replicate(mesh, s_dp)
+    s_dp, met_dp = make_cls_train_step(m_dp, mesh, axis_name="data")(
+        s_dp, shard_batch(mesh, batch), key)
+
+    # losses are NOT compared: dropout masks are sampled differently
+    # under shard_map (per-shard slice from the same key) vs jit-SPMD
+    # (one global mask) — both valid samplings. Sync-BN is judged on
+    # the batch statistics of every BN layer upstream of any dropout
+    # (pointcnn: all of them; pointconv: the SA/Interp towers — the
+    # head's second DenseBNAct sits after a dropout).
+    del met_ref, met_dp
+
+    def _upstream(tree):
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+        if model_name == "pointcnn":
+            return flat
+        return [(k, v) for k, v in flat
+                if str(k[0]).find("PointConvSA") >= 0]
+
+    ref = _upstream(s_ref.batch_stats)
+    dp = _upstream(s_dp.batch_stats)
+    assert ref and len(ref) == len(dp)
+    for (ka, a), (kb, b_) in zip(ref, dp):
+        assert ka == kb
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5, err_msg=str(ka))
+
