@@ -45,15 +45,20 @@ class EdgeConv(nn.Module):
 
     features: int
     k: int
+    axis_name: Optional[str] = None   # shard_map DP: sync-BN
+    world: int = 1
 
     @nn.compact
     def __call__(self, x: Array, training: bool = False) -> Array:
         from pointcloudlib_tpu.nn.layers import _fused_sa_enabled
 
         if _fused_sa_enabled():
-            return FusedEdgeConv(self.features, self.k)(x, training)
+            return FusedEdgeConv(
+                self.features, self.k, axis_name=self.axis_name,
+                world=self.world)(x, training)
         e = edge_features(x, self.k)
-        h = DenseBNAct(self.features, act=_lrelu)(e, training)
+        h = DenseBNAct(self.features, act=_lrelu,
+                       axis_name=self.axis_name)(e, training)
         return jnp.max(h, axis=2)
 
 
@@ -221,6 +226,8 @@ class Fused2EdgeConv(nn.Module):
 class DGCNN(nn.Module):
     n_classes: int = 40
     k: int = 20
+    axis_name: Optional[str] = None   # shard_map DP: sync-BN
+    world: int = 1
 
     @nn.compact
     def __call__(
@@ -230,16 +237,20 @@ class DGCNN(nn.Module):
         training: bool = False,
     ) -> Array:
         del feats  # xyz-only model
-        x1 = EdgeConv(64, self.k)(xyz, training)
-        x2 = EdgeConv(64, self.k)(x1, training)
-        x3 = EdgeConv(128, self.k)(x2, training)
-        x4 = EdgeConv(256, self.k)(x3, training)
+        ax = dict(axis_name=self.axis_name, world=self.world)
+        x1 = EdgeConv(64, self.k, **ax)(xyz, training)
+        x2 = EdgeConv(64, self.k, **ax)(x1, training)
+        x3 = EdgeConv(128, self.k, **ax)(x2, training)
+        x4 = EdgeConv(256, self.k, **ax)(x3, training)
         x = jnp.concatenate([x1, x2, x3, x4], axis=-1)  # [B, N, 512]
-        x = DenseBNAct(1024, act=_lrelu)(x, training)
+        x = DenseBNAct(1024, act=_lrelu,
+                       axis_name=self.axis_name)(x, training)
         x = jnp.concatenate([jnp.max(x, axis=1), jnp.mean(x, axis=1)], -1)
-        x = DenseBNAct(512, act=_lrelu)(x, training)
+        x = DenseBNAct(512, act=_lrelu,
+                       axis_name=self.axis_name)(x, training)
         x = nn.Dropout(0.5, deterministic=not training)(x)
-        x = DenseBNAct(256, act=_lrelu, use_bias=True)(x, training)
+        x = DenseBNAct(256, act=_lrelu, use_bias=True,
+                       axis_name=self.axis_name)(x, training)
         x = nn.Dropout(0.5, deterministic=not training)(x)
         return nn.Dense(self.n_classes)(x)
 
@@ -254,6 +265,8 @@ class DGCNNPartSeg(nn.Module):
 
     part_num: int = 50
     k: int = 40
+    axis_name: Optional[str] = None   # shard_map DP: sync-BN
+    world: int = 1
 
     @nn.compact
     def __call__(
@@ -268,38 +281,40 @@ class DGCNNPartSeg(nn.Module):
 
         from pointcloudlib_tpu.nn.layers import _fused_sa_enabled
 
+        axw = dict(axis_name=self.axis_name, world=self.world)
+        ax = dict(axis_name=self.axis_name)
         if _fused_sa_enabled():
-            x1 = Fused2EdgeConv((64, 64), self.k)(xyz, training)
-            x2 = Fused2EdgeConv((64, 64), self.k)(x1, training)
-            x3 = FusedEdgeConv(64, self.k)(x2, training)
+            x1 = Fused2EdgeConv((64, 64), self.k, **axw)(xyz, training)
+            x2 = Fused2EdgeConv((64, 64), self.k, **axw)(x1, training)
+            x3 = FusedEdgeConv(64, self.k, **axw)(x2, training)
         else:
             e = edge_features(xyz, self.k)
-            e = DenseBNAct(64, act=_lrelu)(e, training)
-            e = DenseBNAct(64, act=_lrelu)(e, training)
+            e = DenseBNAct(64, act=_lrelu, **ax)(e, training)
+            e = DenseBNAct(64, act=_lrelu, **ax)(e, training)
             x1 = jnp.max(e, axis=2)
 
             e = edge_features(x1, self.k)
-            e = DenseBNAct(64, act=_lrelu)(e, training)
-            e = DenseBNAct(64, act=_lrelu)(e, training)
+            e = DenseBNAct(64, act=_lrelu, **ax)(e, training)
+            e = DenseBNAct(64, act=_lrelu, **ax)(e, training)
             x2 = jnp.max(e, axis=2)
 
             e = edge_features(x2, self.k)
-            e = DenseBNAct(64, act=_lrelu)(e, training)
+            e = DenseBNAct(64, act=_lrelu, **ax)(e, training)
             x3 = jnp.max(e, axis=2)
 
         x = jnp.concatenate([x1, x2, x3], axis=-1)  # [B, N, 192]
-        x = DenseBNAct(1024, act=_lrelu)(x, training)
+        x = DenseBNAct(1024, act=_lrelu, **ax)(x, training)
         g = jnp.max(x, axis=1)  # [B, 1024]
 
-        l = DenseBNAct(64, act=_lrelu)(
+        l = DenseBNAct(64, act=_lrelu, **ax)(
             cls_label.astype(xyz.dtype), training)  # [B, 64]
         g = jnp.concatenate([g, l], axis=-1)  # [B, 1088]
         g = jnp.broadcast_to(g[:, None, :], (b, n, g.shape[-1]))
 
         h = jnp.concatenate([g, x1, x2, x3], axis=-1)  # [B, N, 1280]
-        h = DenseBNAct(256, act=_lrelu)(h, training)
+        h = DenseBNAct(256, act=_lrelu, **ax)(h, training)
         h = nn.Dropout(0.5, deterministic=not training)(h)
-        h = DenseBNAct(256, act=_lrelu)(h, training)
+        h = DenseBNAct(256, act=_lrelu, **ax)(h, training)
         h = nn.Dropout(0.5, deterministic=not training)(h)
-        h = DenseBNAct(128, act=_lrelu)(h, training)
+        h = DenseBNAct(128, act=_lrelu, **ax)(h, training)
         return nn.Dense(self.part_num, use_bias=False)(h)

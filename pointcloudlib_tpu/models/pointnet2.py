@@ -83,6 +83,8 @@ class PointNet2PartSeg(nn.Module):
 
     part_num: int = 50
     use_xyz: bool = True
+    axis_name: Optional[str] = None   # shard_map DP: sync-BN
+    world: int = 1
 
     @nn.compact
     def __call__(
@@ -93,21 +95,22 @@ class PointNet2PartSeg(nn.Module):
         training: bool = False,
     ) -> Array:
         b, n, _ = xyz.shape
+        ax = dict(axis_name=self.axis_name, world=self.world)
         l1_xyz, l1_f = SetAbstraction(
             mlp=[64, 64, 128], n_points=512, radius=0.2, n_samples=64,
-            use_xyz=self.use_xyz,
+            use_xyz=self.use_xyz, **ax,
         )(xyz, feats, training)
         l2_xyz, l2_f = SetAbstraction(
             mlp=[128, 128, 256], n_points=128, radius=0.4, n_samples=64,
-            use_xyz=self.use_xyz,
+            use_xyz=self.use_xyz, **ax,
         )(l1_xyz, l1_f, training)
         l3_xyz, l3_f = SetAbstraction(
-            mlp=[256, 512, 1024], use_xyz=self.use_xyz,
+            mlp=[256, 512, 1024], use_xyz=self.use_xyz, **ax,
         )(l2_xyz, l2_f, training)
 
-        l2_f = FeaturePropagation([256, 256])(
+        l2_f = FeaturePropagation([256, 256], axis_name=self.axis_name)(
             l2_xyz, l3_xyz, l2_f, l3_f, training)
-        l1_f = FeaturePropagation([256, 128])(
+        l1_f = FeaturePropagation([256, 128], axis_name=self.axis_name)(
             l1_xyz, l2_xyz, l1_f, l2_f, training)
         one_hot = jnp.broadcast_to(
             cls_label[:, None, :].astype(xyz.dtype), (b, n, cls_label.shape[-1])
@@ -115,11 +118,13 @@ class PointNet2PartSeg(nn.Module):
         skip = jnp.concatenate(
             [one_hot, xyz] + ([feats] if feats is not None else []), axis=-1
         )
-        f = FeaturePropagation([128, 128, 128])(
+        f = FeaturePropagation([128, 128, 128],
+                               axis_name=self.axis_name)(
             xyz, l1_xyz, skip, l1_f, training)
 
         # head: conv-BN-dropout-conv (no relu, pointnet2_partseg.py:152-157)
-        f = DenseBNAct(128, act=None, use_bias=True)(f, training)
+        f = DenseBNAct(128, act=None, use_bias=True,
+                       axis_name=self.axis_name)(f, training)
         f = nn.Dropout(0.5, deterministic=not training)(f)
         return nn.Dense(self.part_num)(f)
 
@@ -127,6 +132,8 @@ class PointNet2PartSeg(nn.Module):
 class PointNet2MSG(nn.Module):
     n_classes: int = 40
     use_xyz: bool = True
+    axis_name: Optional[str] = None   # shard_map DP: sync-BN
+    world: int = 1
 
     @nn.compact
     def __call__(
@@ -135,21 +142,23 @@ class PointNet2MSG(nn.Module):
         feats: Optional[Array] = None,
         training: bool = False,
     ) -> Array:
+        ax = dict(axis_name=self.axis_name, world=self.world)
         xyz, f = SetAbstractionMSG(
             n_points=512,
             radii=[0.1, 0.2, 0.4],
             n_samples=[16, 32, 128],
             mlps=[[32, 32, 64], [64, 64, 128], [64, 96, 128]],
-            use_xyz=self.use_xyz,
+            use_xyz=self.use_xyz, **ax,
         )(xyz, feats, training)
         xyz, f = SetAbstractionMSG(
             n_points=128,
             radii=[0.2, 0.4, 0.8],
             n_samples=[32, 64, 128],
             mlps=[[64, 64, 128], [128, 128, 256], [128, 128, 256]],
-            use_xyz=self.use_xyz,
+            use_xyz=self.use_xyz, **ax,
         )(xyz, f, training)
         xyz, f = SetAbstraction(
-            mlp=[256, 512, 1024], use_xyz=self.use_xyz,
+            mlp=[256, 512, 1024], use_xyz=self.use_xyz, **ax,
         )(xyz, f, training)
-        return _ClsHead(self.n_classes)(f[:, 0], training)
+        return _ClsHead(self.n_classes,
+                        axis_name=self.axis_name)(f[:, 0], training)

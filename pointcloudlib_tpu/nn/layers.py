@@ -334,6 +334,8 @@ class SetAbstractionMSG(nn.Module):
     n_samples: Sequence[int]
     mlps: Sequence[Sequence[int]]
     use_xyz: bool = True
+    axis_name: Optional[str] = None   # shard_map DP: sync-BN
+    world: int = 1
 
     @nn.compact
     def __call__(
@@ -354,13 +356,14 @@ class SetAbstractionMSG(nn.Module):
                 _, h = FusedSetAbstraction(
                     mlp=tuple(mlp), n_points=self.n_points, radius=r,
                     n_samples=k, use_xyz=self.use_xyz,
+                    axis_name=self.axis_name, world=self.world,
                 )(xyz, feats, training, new_xyz=new_xyz, nidx=None)
                 outs.append(h)
                 continue
             nidx, _ = ball_query(new_xyz, xyz, r, k)
             grouped = group_points(xyz, feats, new_xyz, nidx,
                                    self.use_xyz)
-            h = PointMLP(mlp)(grouped, training)
+            h = PointMLP(mlp, axis_name=self.axis_name)(grouped, training)
             outs.append(jnp.max(h, axis=2))
         return new_xyz, jnp.concatenate(outs, axis=-1)
 
@@ -373,6 +376,7 @@ class FeaturePropagation(nn.Module):
     """
 
     mlp: Sequence[int]
+    axis_name: Optional[str] = None   # shard_map DP: sync-BN
 
     @nn.compact
     def __call__(
@@ -393,4 +397,4 @@ class FeaturePropagation(nn.Module):
             up = three_nn_interpolate(xyz_fine, xyz_coarse, feats_coarse)
         if feats_fine is not None:
             up = jnp.concatenate([feats_fine, up], axis=-1)
-        return PointMLP(self.mlp)(up, training)
+        return PointMLP(self.mlp, axis_name=self.axis_name)(up, training)

@@ -132,7 +132,9 @@ def index_points(points: Array, idx: Array) -> Array:
                      jnp.zeros((points.shape[0], pad, points.shape[2]),
                                points.dtype)], axis=1)
             idx3 = idx[:, :, None] if idx.ndim == 2 else idx
-            out = gather_neighbors(points, idx3)
+            out = gather_neighbors(
+                points, idx3,
+                interpret=jax.default_backend() != "tpu")
             return out[:, :, 0, :] if idx.ndim == 2 else out
     return jnp.take_along_axis(
         points,
@@ -159,8 +161,11 @@ def knn(query: Array, points: Array, k: int) -> Tuple[Array, Array]:
         # the kernel has no AD rule) — e.g. DGCNN queries kNN in
         # param-dependent feature space, where the reference also passes
         # no gradient through the graph construction
+        # a forced USE_PALLAS off-TPU (tests/A-B runs) must take the
+        # interpret path like every other gate (dispatch.py fps)
         return knn_pallas(
-            lax.stop_gradient(query), lax.stop_gradient(points), k
+            lax.stop_gradient(query), lax.stop_gradient(points), k,
+            interpret=jax.default_backend() != "tpu",
         )
     d2 = square_distance(query, points)  # [B, M, N]
     neg, idx = lax.top_k(-d2, min(k, n))
@@ -199,7 +204,8 @@ def ball_query(
         )
 
         return ball_query_pallas(
-            lax.stop_gradient(centers), lax.stop_gradient(points), radius, k
+            lax.stop_gradient(centers), lax.stop_gradient(points),
+            radius, k, interpret=jax.default_backend() != "tpu",
         )
     d2 = square_distance(centers, points)  # [B, M, N]
     mask = d2 < (radius * radius)
@@ -271,6 +277,15 @@ def fps_gather(xyz: Array, n_samples: int, **kw) -> Array:
     return index_points(xyz, farthest_point_sample(xyz, n_samples, **kw))
 
 
+def _inverse_distance_weights(d2: Array) -> Array:
+    """Normalized 1/(d2+1e-8) weights — the reference's inverse-
+    SQUARED-distance interpolation; the 1e-8 epsilon is parity-
+    critical (misc/ops.py:88-92, pointconv_utils.py:300). One
+    definition for both the XLA and fused-gather routes."""
+    inv = 1.0 / (d2 + 1e-8)
+    return inv / jnp.sum(inv, axis=-1, keepdims=True)
+
+
 def three_nn(query: Array, points: Array) -> Tuple[Array, Array]:
     """3 nearest neighbors and inverse-distance weights for interpolation.
 
@@ -281,9 +296,7 @@ def three_nn(query: Array, points: Array) -> Tuple[Array, Array]:
     misc/ops.py:90 and pointconv_utils.py:300).
     """
     d2, idx = knn(query, points, 3)
-    inv = 1.0 / (d2 + 1e-8)
-    weight = inv / jnp.sum(inv, axis=-1, keepdims=True)
-    return idx, weight
+    return idx, _inverse_distance_weights(d2)
 
 
 def three_nn_interpolate(query: Array, points: Array, feats: Array) -> Array:
@@ -315,8 +328,7 @@ def three_nn_interpolate(query: Array, points: Array, feats: Array) -> Array:
                           jax.default_backend() != "tpu")
         d2 = jnp.sum(
             (query[:, :, None, :] - g[..., :3]) ** 2, axis=-1)
-        inv = 1.0 / (d2 + 1e-8)
-        weight = inv / jnp.sum(inv, axis=-1, keepdims=True)
+        weight = _inverse_distance_weights(d2)
         return jnp.sum(g[..., 3:] * weight[..., None], axis=2)
     idx, weight = three_nn(query, points)
     gathered = index_points(feats, idx)  # [B, M, 3, C]

@@ -40,14 +40,34 @@ class CheckpointManager:
     def _path(self, name: str) -> Path:
         return self.directory / name
 
-    def save(self, state: Any, step: int, best: bool = False) -> None:
+    def save(self, state: Any, step: int, best: bool = False,
+             metric: Optional[float] = None) -> None:
         tree = jax.device_get(_to_tree(state, save_step=step))
         self._ckptr.save(self._path("current"), tree, force=True)
         if best:
             self._ckptr.save(self._path("best"), tree, force=True)
+            if metric is not None:
+                # sidecar (not in the orbax tree: old checkpoints stay
+                # restorable) so --resume knows the bar to beat — else
+                # the first resumed epoch would overwrite best_chkp
+                # with a possibly worse model
+                import json
+
+                (self.directory / "best_metric.json").write_text(
+                    json.dumps({"metric": float(metric),
+                                "epoch": int(step)}))
         if self.periodic_gap and step and step % self.periodic_gap == 0:
             self._ckptr.save(self._path(f"step_{step:04d}"), tree, force=True)
         self._ckptr.wait_until_finished()
+
+    def best_metric(self) -> Optional[float]:
+        """The metric recorded when 'best' was last saved, if any."""
+        p = self.directory / "best_metric.json"
+        if not p.exists():
+            return None
+        import json
+
+        return float(json.loads(p.read_text())["metric"])
 
     def restore(self, target: Any, name: str = "current") -> Optional[Any]:
         """Full restore into a TrainState built with the same optimizer."""

@@ -154,7 +154,9 @@ class TestCheckpoint:
 
 
 @pytest.mark.parametrize("model_name,n", [("pointcnn", 128),
-                                          ("pointconv", 512)])
+                                          ("pointconv", 512),
+                                          ("dgcnn", 128),
+                                          ("pointnet2_msg", 512)])
 def test_shard_map_sync_bn_matches_jit_spmd(model_name, n):
     """PointCNN/PointConv under shard_map DP with axis_name: every
     BatchNorm syncs over the mesh axis, so one step equals the
@@ -196,12 +198,23 @@ def test_shard_map_sync_bn_matches_jit_spmd(model_name, n):
     # head's second DenseBNAct sits after a dropout).
     del met_ref, met_dp
 
+    # per-model exclusion of BNs downstream of a dropout (their
+    # inputs see the divergent masks); everything else must sync
     def _upstream(tree):
         flat = jax.tree_util.tree_flatten_with_path(tree)[0]
-        if model_name == "pointcnn":
-            return flat
+        if model_name == "pointconv":
+            return [(k, v) for k, v in flat
+                    if str(k[0]).find("PointConvSA") >= 0]
+        exclude = {
+            "pointcnn": (),
+            # cls head: DenseBNAct_1(512) -> drop -> DenseBNAct_2(256)
+            "dgcnn": ("DenseBNAct_2",),
+            # _ClsHead: DenseBNAct_0 -> drop -> DenseBNAct_1
+            "pointnet2_msg": ("_ClsHead",),
+        }[model_name]
         return [(k, v) for k, v in flat
-                if str(k[0]).find("PointConvSA") >= 0]
+                if not any(str(part).find(e) >= 0
+                           for part in k for e in exclude)]
 
     ref = _upstream(s_ref.batch_stats)
     dp = _upstream(s_dp.batch_stats)

@@ -278,12 +278,15 @@ def main(argv=None):
     def evaluate(state, confusion=False):
         correct = total = 0
         trues, preds = [], []
-        prob_step = None
+        pred_step = None
         needs_check = args.debug
         if confusion:
             import jax.numpy as jnp
 
-            prob_step = jax.jit(
+            # ONE forward per batch: predictions come back and
+            # correct/total derive from them on host (the plain path
+            # keeps the cheaper count-only eval_step)
+            pred_step = jax.jit(
                 lambda st, b: jnp.argmax(
                     model.apply(st.variables(), b["xyz"], b.get("feats"),
                                 training=False), -1))
@@ -299,12 +302,16 @@ def main(argv=None):
                     lambda v, x, f: model.apply(v, x, f, training=False)
                 )(state.variables(), batch["xyz"], batch.get("feats"))
                 needs_check = False
-            c, t = eval_step(state, sb)
-            correct += int(c); total += int(t)
             if confusion:
-                pred = np.asarray(prob_step(state, sb))
-                trues.append(batch["label"][batch["valid"]])
-                preds.append(pred[batch["valid"]])
+                pred = np.asarray(pred_step(state, sb))
+                valid = batch["valid"]
+                correct += int(((pred == batch["label"]) & valid).sum())
+                total += int(valid.sum())
+                trues.append(batch["label"][valid])
+                preds.append(pred[valid])
+            else:
+                c, t = eval_step(state, sb)
+                correct += int(c); total += int(t)
         if confusion and trues:
             from pointcloudlib_tpu.train.metrics import fast_confusion
 
@@ -417,7 +424,9 @@ def main(argv=None):
         if restored is not None:
             state, start_epoch = restored
             start_epoch += 1
-            print(f"resumed from epoch {start_epoch - 1}")
+            best_oa = ckpt.best_metric() or 0.0
+            print(f"resumed from epoch {start_epoch - 1} "
+                  f"(best OA so far {best_oa:.2f}%)")
     for epoch in range(start_epoch, args.epochs):
         t0, seen = time.perf_counter(), 0
         pending = None
@@ -456,13 +465,13 @@ def main(argv=None):
                 print(f"epoch {epoch} step {i+1}: "
                       f"loss={float(m['loss']):.4f} "
                       f"acc={float(m['acc'])*100:.2f}%")
-        # block on the non-donated metrics (donation-aliased params can
-        # report ready before compute finishes on this platform)
-        if pending is not None:
-            jax.block_until_ready(pending)
+        # fence with a VALUE fetch before timing: on the tunneled axon
+        # platform block_until_ready can return at remote-enqueue time
+        # (CLAUDE.md); only device_get reliably waits for compute
+        m = (jax.device_get(pending) if pending is not None
+             else {"loss": float("nan")})
         dt = time.perf_counter() - t0
         oa = evaluate(state)
-        m = jax.device_get(pending) if pending else {"loss": float("nan")}
         extra = ""
         if kp_sampler is not None:
             pot = kp_sampler.potentials
@@ -473,7 +482,7 @@ def main(argv=None):
               f"({seen/dt:.1f} samples/s){extra}")
         mlog.log("epoch", epoch=epoch, loss=float(m["loss"]), test_oa=oa,
                  samples_per_sec=seen / dt)
-        ckpt.save(state, step=epoch, best=oa > best_oa)
+        ckpt.save(state, step=epoch, best=oa > best_oa, metric=oa)
         best_oa = max(best_oa, oa)
     print(f"best OA: {best_oa:.2f}%")
 

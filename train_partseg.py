@@ -210,7 +210,9 @@ def main(argv=None):
         if restored is not None:
             state, start_epoch = restored
             start_epoch += 1
-            print(f"resumed from epoch {start_epoch - 1}")
+            best_iou = ckpt.best_metric() or 0.0
+            print(f"resumed from epoch {start_epoch - 1} "
+                  f"(best IoU so far {best_iou:.2f}%)")
     for epoch in range(start_epoch, args.epochs):
         t0, seen = time.perf_counter(), 0
         for i, batch in enumerate(prefetch(
@@ -229,18 +231,19 @@ def main(argv=None):
                 print(f"epoch {epoch} step {i+1}: "
                       f"loss={float(m['loss']):.4f} "
                       f"acc={float(m['acc'])*100:.2f}%")
-        if pending is not None:
-            jax.block_until_ready(pending)
+        # value-fetch fence before timing (block_until_ready can
+        # return at enqueue time on the tunneled axon platform)
+        m = (jax.device_get(pending) if pending is not None
+             else {"loss": float("nan")})
         dt = time.perf_counter() - t0
         acc, iou, bal = evaluate(state)
-        m = jax.device_get(pending) if pending else {"loss": float("nan")}
         print(f"epoch {epoch}: loss={float(m['loss']):.4f} "
               f"test acc={acc:.2f}% bal={bal:.2f}% IoU={iou:.2f}% "
               f"({seen/dt:.1f} samples/s)")
         mlog.log("epoch", epoch=epoch, loss=float(m["loss"]), test_acc=acc,
                  test_balanced_acc=bal, test_iou=iou,
                  samples_per_sec=seen / dt)
-        ckpt.save(state, step=epoch, best=iou > best_iou)
+        ckpt.save(state, step=epoch, best=iou > best_iou, metric=iou)
         best_iou = max(best_iou, iou)
     print(f"best IoU: {best_iou:.2f}%")
 
