@@ -62,6 +62,37 @@ def _bucket(n: int) -> int:
     return n
 
 
+def _pad_points(arrays, n):
+    """Pad each [B, n, ...] array up to the shape bucket by repeating
+    real points (cyclic resample — the standard undersized-cloud
+    treatment). Repetition keeps the geometry real: duplicated points
+    add no new max-pool values and never create phantom origin points
+    in kNN graphs, which zero padding would. ``None`` entries pass."""
+    nb = _bucket(n)
+    if nb == n:
+        return arrays
+    sel = np.arange(nb - n) % n
+    return [a if a is None
+            else np.concatenate([a, a[:, sel]], axis=1)
+            for a in arrays]
+
+
+def _batches(arrays, batch_size):
+    """Yield ``(chunks, real)`` with every array padded to a full
+    batch by repeating the last row; ``real`` rows are genuine."""
+    b = len(arrays[0])
+    for s in range(0, b, batch_size):
+        chunks = [None if a is None else a[s:s + batch_size]
+                  for a in arrays]
+        real = len(chunks[0])
+        if real < batch_size:
+            reps = batch_size - real
+            chunks = [None if c is None
+                      else np.concatenate([c, np.repeat(c[-1:], reps, 0)])
+                      for c in chunks]
+        yield chunks, real
+
+
 class Predictor:
     def __init__(
         self,
@@ -134,31 +165,12 @@ class Predictor:
                 "construct the Predictor with with_normals=False for a "
                 "checkpoint trained without them")
         b, n, _ = clouds.shape
-        nb = _bucket(n)
-        if nb != n:
-            sel = np.arange(nb - n) % n  # cyclic repeat of real points
-            clouds = np.concatenate([clouds, clouds[:, sel]], axis=1)
-            if normals is not None:
-                normals = np.asarray(normals, np.float32)
-                normals = np.concatenate([normals, normals[:, sel]], axis=1)
+        if normals is not None:
+            normals = np.asarray(normals, np.float32)
+        clouds, normals = _pad_points([clouds, normals], n)
         outs = []
-        for s in range(0, b, self.batch_size):
-            chunk = clouds[s : s + self.batch_size]
-            nchunk = (
-                normals[s : s + self.batch_size]
-                if normals is not None
-                else None
-            )
-            real = len(chunk)
-            if real < self.batch_size:
-                reps = self.batch_size - real
-                chunk = np.concatenate(
-                    [chunk, np.repeat(chunk[-1:], reps, 0)]
-                )
-                if nchunk is not None:
-                    nchunk = np.concatenate(
-                        [nchunk, np.repeat(nchunk[-1:], reps, 0)]
-                    )
+        for (chunk, nchunk), real in _batches([clouds, normals],
+                                              self.batch_size):
             feats = jnp.asarray(nchunk) if self.with_normals else None
             probs = self._forward(self.variables, jnp.asarray(chunk), feats)
             outs.append(np.asarray(probs)[:real])
@@ -227,22 +239,12 @@ class SegPredictor:
         per-point part ids ``[B, N]``."""
         clouds = np.asarray(clouds, np.float32)
         b, n, _ = clouds.shape
-        nb = _bucket(n)
-        if nb != n:
-            # cyclic repeat of real points (same rationale as Predictor);
-            # predictions for the padded tail are dropped below
-            sel = np.arange(nb - n) % n
-            clouds = np.concatenate([clouds, clouds[:, sel]], axis=1)
+        # padded-tail predictions are dropped below ([:real, :n])
+        [clouds] = _pad_points([clouds], n)
         onehot_all = np.eye(16, dtype=np.float32)[np.asarray(labels)]
         outs = []
-        for s in range(0, b, self.batch_size):
-            chunk = clouds[s : s + self.batch_size]
-            oh = onehot_all[s : s + self.batch_size]
-            real = len(chunk)
-            if real < self.batch_size:
-                reps = self.batch_size - real
-                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], reps, 0)])
-                oh = np.concatenate([oh, np.repeat(oh[-1:], reps, 0)])
+        for (chunk, oh), real in _batches([clouds, onehot_all],
+                                          self.batch_size):
             feats = jnp.asarray(chunk) if self.with_xyz_feats else None
             probs = self._forward(
                 self.variables, jnp.asarray(chunk), jnp.asarray(oh), feats
