@@ -34,6 +34,12 @@ class ShapeNetPart:
         self.train = split in ("train", "trainval")
         self._rng = np.random.default_rng(seed)
 
+        if data_root is None:
+            raise FileNotFoundError(
+                "ShapeNetPart needs data_root=<dir with the reference "
+                "hdf5 files> (shapenet_part_seg_hdf5_data); pass "
+                "synthetic=True via make_shapenet to train without "
+                "the real dataset")
         root = Path(data_root)
         if split == "trainval":
             files = sorted(glob.glob(str(root / "*train*.h5"))) + sorted(

@@ -30,18 +30,34 @@ def build(force: bool = False) -> bool:
     """Compile the shared library. Returns True on success."""
     global _build_failed
     if _LIB.exists() and not force:
-        return True
+        # stale-source guard: recompile when preprocess.cpp is newer
+        # than the built library
+        if _LIB.stat().st_mtime >= _SRC.stat().st_mtime:
+            return True
+    # build to a temp path and rename atomically: concurrent worker
+    # processes may race this, and ctypes.CDLL of a half-written .so
+    # segfaults
+    import os
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(
+        suffix=".so", dir=str(_LIB.parent))
+    os.close(fd)
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        str(_SRC), "-o", str(_LIB),
+        str(_SRC), "-o", tmp,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True)
+        os.replace(tmp, str(_LIB))
         _build_failed = False
         return True
     except (subprocess.CalledProcessError, FileNotFoundError):
         _build_failed = True
         return False
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -104,9 +120,14 @@ def grid_subsample(
     points = np.ascontiguousarray(points, np.float32)
     n = len(points)
     cap = max_out if max_out is not None else n
+    if labels is not None and n_label_classes <= 0:
+        # the C++ voter allocates n_label_classes slots per voxel; 0
+        # would silently discard every vote and return all-zero labels
+        n_label_classes = int(np.max(labels)) + 1 if len(labels) else 1
     lib = _load()
     if lib is None:
-        return _grid_subsample_np(points, dl, features, labels, cap)
+        return _grid_subsample_np(points, dl, features, labels, cap,
+                                  n_label_classes)
     fdim = features.shape[1] if features is not None else 0
     feats = (
         np.ascontiguousarray(features, np.float32)
@@ -158,6 +179,8 @@ def radius_neighbors(
 
 def fps(points: np.ndarray, m: int, skip_near_origin: bool = True) -> np.ndarray:
     points = np.ascontiguousarray(points, np.float32)
+    if m <= 0:
+        return np.empty((0,), np.int32)
     lib = _load()
     if lib is None:
         return _fps_np(points, m, skip_near_origin)
@@ -169,25 +192,39 @@ def fps(points: np.ndarray, m: int, skip_near_origin: bool = True) -> np.ndarray
 
 # ----------------------------------------------------------------- fallbacks
 
-def _grid_subsample_np(points, dl, features, labels, cap):
+def _grid_subsample_np(points, dl, features, labels, cap,
+                       n_label_classes=0):
     v = np.floor(points / dl).astype(np.int64)
     key = (v[:, 0] << 42) + (v[:, 1] << 21) + v[:, 2]
-    uniq, inv = np.unique(key, return_inverse=True)
-    n_out = min(len(uniq), cap)
-    cnt = np.bincount(inv).astype(np.float32)
-    centers = np.zeros((len(uniq), 3), np.float32)
+    # FIRST-OCCURRENCE voxel order, like the C++ path: np.unique's
+    # sorted order would make a cap-truncation keep only the lowest-
+    # coordinate corner of the cloud (a spatially degenerate subset)
+    uniq_sorted, first_pos, inv_sorted = np.unique(
+        key, return_index=True, return_inverse=True)
+    order = np.argsort(np.argsort(first_pos))  # sorted-id -> arrival-id
+    inv = order[inv_sorted]
+    n_vox = len(uniq_sorted)
+    n_out = min(n_vox, cap)
+    cnt = np.bincount(inv, minlength=n_vox).astype(np.float32)
+    centers = np.zeros((n_vox, 3), np.float32)
     np.add.at(centers, inv, points)
     centers /= cnt[:, None]
     res = [centers[:n_out]]
     if features is not None:
-        f = np.zeros((len(uniq), features.shape[1]), np.float32)
+        f = np.zeros((n_vox, features.shape[1]), np.float32)
         np.add.at(f, inv, features.astype(np.float32))
         res.append((f / cnt[:, None])[:n_out])
     if labels is not None:
-        lab = np.zeros(len(uniq), np.int32)
-        for u in range(len(uniq)):
-            vals, c = np.unique(labels[inv == u], return_counts=True)
-            lab[u] = vals[np.argmax(c)]
+        lab = np.zeros(n_vox, np.int32)
+        for u in range(n_out):
+            vox_labels = labels[inv == u]
+            if n_label_classes > 0:
+                # match the C++ voter: ignore out-of-range labels
+                vox_labels = vox_labels[
+                    (vox_labels >= 0) & (vox_labels < n_label_classes)]
+            if len(vox_labels):
+                vals, c = np.unique(vox_labels, return_counts=True)
+                lab[u] = vals[np.argmax(c)]
         res.append(lab[:n_out])
     return tuple(res) if len(res) > 1 else res[0]
 

@@ -221,6 +221,7 @@ int32_t pcl_radius_neighbors(const float* queries, int32_t m,
 // misc/ops.py:162-163 semantics).
 void pcl_fps(const float* points, int32_t n, int32_t m,
              int32_t skip_near_origin, int32_t* out_idx) {
+  if (m <= 0 || n <= 0) return;  // out_idx may be zero-length
   std::vector<float> mind((size_t)n, 1e10f);
   std::vector<uint8_t> elig((size_t)n, 1);
   if (skip_near_origin) {

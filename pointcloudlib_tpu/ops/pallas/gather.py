@@ -12,8 +12,10 @@ The one-hot never touches HBM (the naive jnp one-hot materializes
 B·M·K·N — gigabytes), and the multiply runs at MXU speed.
 
 Precision: the selection matrix is exactly representable in bf16; the
-gathered values are kept at f32 accuracy by a hi/lo split (two bf16
-matmuls), so results match the XLA gather to ~1 ulp.
+gathered values are kept near f32 accuracy by a hi/lo split (two bf16
+matmuls). The lo term is itself bf16-rounded, so results match the XLA
+gather to ~2^-17 RELATIVE (measured max |Δ| ≈ 1.5e-5 on N(0,1) data) —
+not 1 ulp; write parity tests against that envelope.
 
 Cost: 2·M·K·N·C FLOPs — for PointNet++ SA1 (64×512×64 gathers from
 1024×6) ≈ 52 GFLOP ≈ 0.6 ms at bf16, vs ~90 ms for the XLA gather.
@@ -84,7 +86,10 @@ def _tile_m(m: int, k: int, n: int) -> int:
     for mt in range(cap - cap % 8, 0, -8):
         if m % mt == 0:
             return mt
-    return m
+    # no multiple-of-8 divisor <= cap (odd m etc.): signal the caller
+    # to pad m rather than abandon the VMEM budget (mt=m would build a
+    # [m*k, n] one-hot — hundreds of MB at production shapes)
+    return 0
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -101,13 +106,29 @@ def gather_neighbors(
     return _gather_fwd_impl(points, idx, interpret)
 
 
+def _row_pad_plan(m: int, k: int, n: int):
+    """(mt, pad): tile size and the row padding that makes it valid.
+    Padding rows carry the sentinel index (>= n -> all-zero one-hot
+    rows) so they gather/scatter exact zeros and are sliced away."""
+    mt = _tile_m(m, k, n)
+    if mt:
+        return mt, 0
+    pad = (-m) % 8
+    mt = _tile_m(m + pad, k, n) or 8
+    return mt, pad
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _gather_fwd_impl(points, idx, interpret=False):
     b, n, c = points.shape
     _, m, k = idx.shape
-    mt = _tile_m(m, k, n)
+    mt, pad = _row_pad_plan(m, k, n)
+    if pad:
+        idx = jnp.pad(idx, ((0, 0), (0, pad), (0, 0)),
+                      constant_values=n)
+        m += pad
     grid = (b, m // mt)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _gather_kernel,
         grid=grid,
         in_specs=[
@@ -123,12 +144,18 @@ def _gather_fwd_impl(points, idx, interpret=False):
         out_shape=jax.ShapeDtypeStruct((b, m, k, c), jnp.float32),
         interpret=interpret,
     )(points.astype(jnp.float32), idx.astype(jnp.int32))
+    return out[:, :m - pad] if pad else out
 
 
 @functools.partial(jax.jit, static_argnames=("n", "interpret"))
 def _gather_bwd_impl(g, idx, n, interpret=False):
     b, m, k, c = g.shape
-    mt = _tile_m(m, k, n)
+    mt, pad = _row_pad_plan(m, k, n)
+    if pad:
+        g = jnp.pad(g, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        idx = jnp.pad(idx, ((0, 0), (0, pad), (0, 0)),
+                      constant_values=n)
+        m += pad
     grid = (b, m // mt)
     return pl.pallas_call(
         _scatter_kernel,

@@ -82,10 +82,17 @@ def shard_map_train_step(step_fn, mesh: Mesh, axis: str = DATA_AXIS):
     """
     from jax import shard_map
 
+    def per_shard(state, batch, rng):
+        # fold the shard index in: a replicated rng would give every
+        # shard the SAME dropout mask for its local rows (W-fold
+        # correlated dropout vs jit-SPMD's single global mask)
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        return step_fn(state, batch, rng)
+
     repl, data = P(), P(axis)
     return jax.jit(
         shard_map(
-            step_fn, mesh=mesh,
+            per_shard, mesh=mesh,
             in_specs=(repl, data, repl),
             out_specs=(repl, repl),
             check_vma=False,  # pallas outputs carry no vma metadata

@@ -88,3 +88,30 @@ def test_vjp_matches_xla():
     g1 = jax.grad(f_pallas)(pts)
     g2 = jax.grad(f_xla)(pts)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+
+def test_gather_odd_m_pads_rows():
+    """m with no multiple-of-8 divisor (e.g. 37): _tile_m signals a
+    row-pad instead of abandoning the VMEM budget with mt=m; sentinel
+    padding rows gather/scatter exact zeros and are sliced away."""
+    import jax
+
+    from pointcloudlib_tpu.ops.pallas.gather import (
+        _row_pad_plan, gather_neighbors,
+    )
+
+    mt, pad = _row_pad_plan(37, 5, 256)
+    assert pad > 0 and (37 + pad) % mt == 0 and mt % 8 == 0
+
+    rng = np.random.default_rng(3)
+    b, n, m, k, c = 2, 256, 37, 5, 8
+    pts = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, n, (b, m, k)), jnp.int32)
+    out = gather_neighbors(pts, idx, True)
+    ref = jax.vmap(lambda p, i: p[i])(pts, idx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5)
+    g = jax.grad(lambda p: gather_neighbors(p, idx, True).sum())(pts)
+    gr = jax.grad(
+        lambda p: jax.vmap(lambda pp, ii: pp[ii])(p, idx).sum())(pts)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=3e-5)
