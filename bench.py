@@ -41,6 +41,30 @@ BASELINES = {
 }
 
 
+# Analytic FLOPs per sample of each workload's TRAIN step (GFLOP),
+# derived from the XLA HLO cost analysis of the plain-XLA formulation
+# (scripts/flops_table.py — implementation-independent: the Pallas/fused
+# paths execute a different, usually smaller, op stream). mfu = achieved
+# FLOP/s on this yardstick / bf16 peak.
+FLOPS_PER_SAMPLE = {  # GFLOP/sample, scripts/flops_table.py
+    "pointnet_modelnet40_train_throughput": 0.96,
+    "pointnet2_ssg_n4096_normals_train_throughput": 6.75,
+    "pointnet2_msg_modelnet40_train_throughput": 24.79,
+    "dgcnn_modelnet40_train_throughput": 15.35,
+    "pointcnn_modelnet40_train_throughput": 1.34,
+    "pointconv_modelnet40_train_throughput": 7.51,
+    "kpconv_modelnet40_train_throughput": 0.93,
+    "pointnet2_shapenet_partseg_train_throughput": 8.40,
+    "dgcnn_shapenet_partseg_train_throughput": 22.33,
+    "pointcnn_shapenet_partseg_train_throughput": 70.07,
+    "pointconv_shapenet_partseg_train_throughput": 39.66,
+    "pointnet2_ssg_modelnet40_train_throughput": 6.69,
+}
+
+# TPU v5e (v5 lite) bf16 peak per chip — the matmul dtype here
+PEAK_BF16_FLOPS = 197e12
+
+
 def _bench_cls(model_name, batch_size, n_points, with_normals,
                iters=30, warmup=3):
     import optax  # noqa: F401
@@ -146,12 +170,16 @@ def _bench_partseg(model_name="pointnet2", with_feats=True,
 
 
 def _emit(metric, sps):
-    print(json.dumps({
+    row = {
         "metric": metric,
         "value": round(sps, 1),
         "unit": "samples/sec",
         "vs_baseline": round(sps / BASELINES[metric], 3),
-    }), flush=True)
+    }
+    gflop = FLOPS_PER_SAMPLE.get(metric)
+    if gflop is not None:
+        row["mfu"] = round(sps * gflop * 1e9 / PEAK_BF16_FLOPS, 4)
+    print(json.dumps(row), flush=True)
 
 
 def main():

@@ -113,6 +113,30 @@ class ModelNet40:
             pts = A.random_scale_translate(pts, self._rng)
         return pts.astype(np.float32), nrm.astype(np.float32), label
 
+    def get_batch(self, idx: np.ndarray):
+        """Vectorized batch fetch: one numpy call per stage for the
+        whole batch — ~4x the per-item loop's feed rate on a single
+        core (scripts/bench_feed_rate.py), same per-item semantics
+        (subset distribution, normalization, augment draws).
+
+        Returns ``(pts [b, n, 3], normals [b, n, 3], labels [b])``.
+        """
+        all_pts, m = self._data[0], self._data[0].shape[1]
+        b = len(idx)
+        if self.permute:
+            sel = A.subsample_rows_batch(m, self.n_points, b, self._rng)
+            # one fused fancy-index from the full cache: measured ~1.7x
+            # faster than materializing [b, M, 6] then take_along_axis
+            item = all_pts[np.asarray(idx)[:, None], sel]
+        else:
+            item = all_pts[idx][:, : self.n_points]
+        pts, nrm = item[..., :3], item[..., 3:6]
+        pts = A.normalize_unit_sphere_batch(pts)
+        if self.augment:
+            pts = A.random_scale_translate_batch(pts, self._rng)
+        return (pts.astype(np.float32), nrm.astype(np.float32),
+                self._data[1][idx].astype(np.int32))
+
 
 def make_modelnet40(
     n_points: int,

@@ -47,6 +47,29 @@ SEG_MODELS: Dict[str, Callable] = {
 }
 
 
+def dp_kwargs(model_cls, axis_name, world: int = 1) -> Dict:
+    """Constructor kwargs to run ``model_cls`` under shard_map data
+    parallelism: ``axis_name`` syncs every BatchNorm over the mesh axis
+    and ``world`` scales the fused kernels' stat reductions. Filtered to
+    the fields the class actually declares (pointcnn/pointconv/kpconv
+    derive world from the psum'd counts and take only ``axis_name``).
+
+    No-op (empty) when ``axis_name`` is None — single device or
+    jit-SPMD, where XLA inserts the reductions itself.
+    """
+    import dataclasses
+
+    if axis_name is None:
+        return {}
+    names = {f.name for f in dataclasses.fields(model_cls)}
+    kw = {}
+    if "axis_name" in names:
+        kw["axis_name"] = axis_name
+    if "world" in names:
+        kw["world"] = world
+    return kw
+
+
 def get_cls_model(name: str, n_classes: int = 40, **kw):
     if name not in CLS_MODELS:
         raise KeyError(f"unknown cls model {name!r}; have {sorted(CLS_MODELS)}")

@@ -466,6 +466,15 @@ class KPCNN(nn.Module):
             cfg.deform_radius, cfg.architecture, cfg.neighborhood_limits,
             subsample_input=subsample_input, caps=cfg.caps,
         )
+        if pyr.overflow is not None:
+            # truncated-voxel count across the batch/levels: 0 when the
+            # calibrated caps are lossless; surfaced by the trainer so a
+            # mis-calibrated cap shows up in one epoch, not as silent
+            # accuracy drift (VERDICT r2 #9)
+            self.sow(
+                "intermediates", "voxel_overflow",
+                jnp.sum(pyr.overflow.astype(jnp.float32)),
+            )
 
         x = jnp.ones(
             (*pyr.points[0].shape[:2], cfg.in_features_dim), jnp.float32
@@ -516,6 +525,16 @@ class KPCNN(nn.Module):
         return UnaryBlock(cfg.num_classes, use_bn=False, no_relu=True)(
             g, bmask, training
         )
+
+
+def sum_overflow(intermediates) -> Optional[Array]:
+    """Total truncated-voxel count sown by KPCNN pyramids this step, or
+    None when no module sowed one (non-KPConv models)."""
+    total = None
+    for path, leaf in jax.tree_util.tree_leaves_with_path(intermediates):
+        if "voxel_overflow" in str(path):
+            total = jnp.sum(leaf) if total is None else total + jnp.sum(leaf)
+    return total
 
 
 def sum_reg_losses(intermediates) -> Array:

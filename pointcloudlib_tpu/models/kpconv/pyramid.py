@@ -55,10 +55,14 @@ def _voxel_keys(xyz: Array, mask: Array, dl: float) -> Array:
 
 def _grid_subsample_one(
     xyz: Array, mask: Array, dl: float, n_max: int
-) -> Tuple[Array, Array]:
+) -> Tuple[Array, Array, Array]:
     """One cloud: ``xyz [N,3]``, ``mask [N]`` → ``(centers [n_max,3],
-    vmask [n_max])``. Barycenter per occupied voxel (reference
-    grid_subsampling.cpp:5-107 semantics)."""
+    vmask [n_max], dropped [])``. Barycenter per occupied voxel
+    (reference grid_subsampling.cpp:5-107 semantics). ``dropped`` is the
+    number of occupied voxels truncated by the static cap — free to
+    compute (the voxel count already exists as ``sum(first)``) and the
+    overflow signal the trainer surfaces (a silently mis-calibrated cap
+    otherwise degrades accuracy with no symptom)."""
     n = xyz.shape[0]
     key = _voxel_keys(xyz, mask, dl)
 
@@ -80,13 +84,21 @@ def _grid_subsample_one(
         smask.astype(jnp.float32), seg, num_segments=n_max + 1
     )[:n_max]
     centers = sums / jnp.maximum(cnt[:, None], 1.0)
-    return centers, cnt > 0
+    dropped = jnp.maximum(jnp.sum(first.astype(jnp.int32)) - n_max, 0)
+    return centers, cnt > 0, dropped
 
 
 def grid_subsample(
     xyz: Array, mask: Array, dl: float, n_max: int
 ) -> Tuple[Array, Array]:
     """Batched voxel-grid subsampling ``[B,N,3] → [B,n_max,3]`` + mask."""
+    return grid_subsample_counted(xyz, mask, dl, n_max)[:2]
+
+
+def grid_subsample_counted(
+    xyz: Array, mask: Array, dl: float, n_max: int
+) -> Tuple[Array, Array, Array]:
+    """:func:`grid_subsample` + per-cloud truncated-voxel count ``[B]``."""
     return jax.vmap(
         functools.partial(_grid_subsample_one, dl=dl, n_max=n_max)
     )(xyz, mask)
@@ -207,6 +219,9 @@ class Pyramid(NamedTuple):
     neighbor_masks: List[Array]
     pools: List[Array]
     pool_masks: List[Array]
+    # [B, n_subsample_sites] truncated-voxel counts (0 = lossless; a
+    # nonzero column means that level's static cap clipped real voxels)
+    overflow: Optional[Array] = None
 
 
 def layer_blocks(architecture: Sequence[str]) -> List[List[str]]:
@@ -266,9 +281,10 @@ def build_pyramid(
     if caps is None:
         caps = default_caps
 
-    points, masks = [], []
+    points, masks, overflow = [], [], []
     if subsample_input:
-        p0, m0 = grid_subsample(xyz, mask, first_dl, caps[0])
+        p0, m0, d0 = grid_subsample_counted(xyz, mask, first_dl, caps[0])
+        overflow.append(d0)
     else:
         p0, m0 = xyz, mask
     points.append(p0)
@@ -292,9 +308,10 @@ def build_pyramid(
         neighbors.append(idx)
         nmasks.append(nm)
         if l + 1 < n_layers:
-            nxt_p, nxt_m = grid_subsample(
+            nxt_p, nxt_m, nxt_d = grid_subsample_counted(
                 points[l], masks[l], 2 * dl, caps[l + 1]
             )
+            overflow.append(nxt_d)
             pidx, pm = radius_neighbors(
                 nxt_p, nxt_m, points[l], masks[l],
                 wide if deform_pool else r, ks[l]
@@ -305,4 +322,5 @@ def build_pyramid(
             pmasks.append(pm)
             dl *= 2
             r *= 2
-    return Pyramid(points, masks, neighbors, nmasks, pools, pmasks)
+    ov = jnp.stack(overflow, axis=1) if overflow else None
+    return Pyramid(points, masks, neighbors, nmasks, pools, pmasks, ov)

@@ -27,6 +27,7 @@ class PointNet(nn.Module):
 
     n_classes: int = 40
     dropout: float = 0.5  # reference rate; 0 for deterministic tests
+    axis_name: Optional[str] = None  # shard_map DP: sync-BN
 
     @nn.compact
     def __call__(
@@ -36,9 +37,10 @@ class PointNet(nn.Module):
         training: bool = False,
     ) -> Array:
         del feats  # xyz-only model
-        x = PointMLP([64, 64, 64, 128, 1024])(xyz, training)
+        ax = self.axis_name
+        x = PointMLP([64, 64, 64, 128, 1024], axis_name=ax)(xyz, training)
         x = jnp.max(x, axis=1)  # global max pool over points
-        x = DenseBNAct(512)(x, training)
+        x = DenseBNAct(512, axis_name=ax)(x, training)
         x = nn.Dropout(self.dropout, deterministic=not training)(x)
         return nn.Dense(self.n_classes)(x)
 
@@ -48,12 +50,13 @@ class STN(nn.Module):
     (identity-initialised via residual add — misc/layers.py:11-92)."""
 
     k: int = 3
+    axis_name: Optional[str] = None  # shard_map DP: sync-BN
 
     @nn.compact
     def __call__(self, x: Array, training: bool = False) -> Array:
-        h = PointMLP([64, 128, 1024])(x, training)
+        h = PointMLP([64, 128, 1024], axis_name=self.axis_name)(x, training)
         h = jnp.max(h, axis=1)
-        h = PointMLP([512, 256])(h, training)
+        h = PointMLP([512, 256], axis_name=self.axis_name)(h, training)
         mat = nn.Dense(
             self.k * self.k,
             kernel_init=nn.initializers.zeros,
@@ -73,6 +76,7 @@ class PointNetPartSeg(nn.Module):
     """
 
     part_num: int = 50
+    axis_name: Optional[str] = None  # shard_map DP: sync-BN
 
     @nn.compact
     def __call__(
@@ -83,20 +87,21 @@ class PointNetPartSeg(nn.Module):
         training: bool = False,
     ) -> Array:
         del feats
+        ax = self.axis_name
         n = xyz.shape[1]
-        trans = STN(k=3)(xyz, training)
+        trans = STN(k=3, axis_name=ax)(xyz, training)
         x = jnp.einsum("bnc,bcd->bnd", xyz, trans)
 
-        out1 = PointMLP([64])(x, training)
-        out2 = PointMLP([128])(out1, training)
-        out3 = PointMLP([128])(out2, training)
+        out1 = PointMLP([64], axis_name=ax)(x, training)
+        out2 = PointMLP([128], axis_name=ax)(out1, training)
+        out3 = PointMLP([128], axis_name=ax)(out2, training)
 
-        ftrans = STN(k=128)(out3, training)
+        ftrans = STN(k=128, axis_name=ax)(out3, training)
         xt = jnp.einsum("bnc,bcd->bnd", out3, ftrans)
 
-        out4 = PointMLP([512])(xt, training)
+        out4 = PointMLP([512], axis_name=ax)(xt, training)
         # conv5+bn5 without relu (pointnet_partseg.py:57)
-        out5 = DenseBNAct(2048, act=None)(out4, training)
+        out5 = DenseBNAct(2048, act=None, axis_name=ax)(out4, training)
 
         gmax = jnp.max(out5, axis=1)  # [B, 2048]
         gvec = jnp.concatenate([gmax, cls_label.astype(x.dtype)], -1)
@@ -104,5 +109,5 @@ class PointNetPartSeg(nn.Module):
             gvec[:, None, :], (x.shape[0], n, gvec.shape[-1])
         )
         h = jnp.concatenate([expand, out1, out2, out3, out4, out5], -1)
-        h = PointMLP([256, 256, 128])(h, training)
+        h = PointMLP([256, 256, 128], axis_name=ax)(h, training)
         return nn.Dense(self.part_num)(h)  # [B, N, parts]

@@ -101,6 +101,31 @@ def shard_map_train_step(step_fn, mesh: Mesh, axis: str = DATA_AXIS):
     )
 
 
+def shard_map_eval_step(step_fn, mesh: Mesh, axis: str = DATA_AXIS,
+                        out_specs=None):
+    """shard_map an eval step ``(state, batch) -> out`` — the eval-side
+    companion of :func:`shard_map_train_step`, required for the same
+    reason (jit-SPMD cannot partition Pallas custom calls on a real
+    multi-chip mesh). ``state`` is replicated, the batch split over
+    ``axis``. ``out_specs`` defaults to replicated — the step must then
+    psum its own reductions over ``axis``; pass ``P(axis)`` (or a tree)
+    for per-sample outputs like seg predictions.
+    """
+    from jax import shard_map
+
+    repl, data = P(), P(axis)
+    if out_specs is None:
+        out_specs = repl
+    return jax.jit(
+        shard_map(
+            step_fn, mesh=mesh,
+            in_specs=(repl, data),
+            out_specs=out_specs,
+            check_vma=False,  # pallas outputs carry no vma metadata
+        )
+    )
+
+
 def shard_train_step(step_fn, mesh: Mesh, axis: str = DATA_AXIS):
     """jit a ``(state, batch, rng) -> (state, metrics)`` step for DP.
 

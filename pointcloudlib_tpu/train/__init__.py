@@ -17,7 +17,10 @@ from pointcloudlib_tpu.train.state import (
 )
 from pointcloudlib_tpu.train.trainer import (
     make_cls_eval_step,
+    make_cls_pred_step,
     make_cls_train_step,
+    make_seg_eval_step,
+    make_seg_train_step,
 )
 
 __all__ = [
@@ -27,7 +30,10 @@ __all__ = [
     "create_train_state",
     "cross_entropy_seg",
     "make_cls_eval_step",
+    "make_cls_pred_step",
     "make_cls_train_step",
+    "make_seg_eval_step",
+    "make_seg_train_step",
     "reference_flat_lr",
     "sgd_momentum",
     "soft_cross_entropy",

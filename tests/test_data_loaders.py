@@ -90,3 +90,82 @@ class TestBatching:
         ds = SyntheticShapeNetPart(n_points=32, size=10, train=True)
         batches = list(seg_batches(ds, batch_size=4, drop_last=True))
         assert len(batches) == 2
+
+
+class TestWorkerPool:
+    """Fork-pool batch assembly (data/workers.py) and the vectorized
+    ModelNet40.get_batch path."""
+
+    def test_pool_matches_serial_contract(self):
+        ds = SyntheticModelNet(n_points=32, size=20, train=False)
+        serial = list(cls_batches(ds, batch_size=8, shuffle=True, seed=3))
+        pooled = list(cls_batches(ds, batch_size=8, shuffle=True, seed=3,
+                                  workers=2))
+        assert len(serial) == len(pooled)
+        for a, b in zip(serial, pooled):
+            assert a["xyz"].shape == b["xyz"].shape
+            np.testing.assert_array_equal(a["label"], b["label"])
+            np.testing.assert_array_equal(a["valid"], b["valid"])
+            # eval datasets draw no augment randomness → identical
+            np.testing.assert_allclose(a["xyz"], b["xyz"])
+
+    def test_seg_pool(self):
+        ds = SyntheticShapeNetPart(n_points=32, size=10, train=False)
+        serial = list(seg_batches(ds, batch_size=4))
+        pooled = list(seg_batches(ds, batch_size=4, workers=2))
+        assert len(serial) == len(pooled)
+        for a, b in zip(serial, pooled):
+            np.testing.assert_array_equal(a["seg"], b["seg"])
+            np.testing.assert_allclose(a["xyz"], b["xyz"])
+
+
+class TestGetBatchFastPath:
+    def _mk(self, **kw):
+        from pointcloudlib_tpu.data.modelnet40 import ModelNet40
+
+        ds = ModelNet40.__new__(ModelNet40)
+        ds.n_points = 16
+        ds.train = kw.get("train", False)
+        ds.augment = kw.get("augment", False)
+        ds.permute = kw.get("permute", False)
+        ds._rng = np.random.default_rng(0)
+        rng = np.random.default_rng(1)
+        ds._data = (
+            rng.standard_normal((6, 64, 6)).astype(np.float32),
+            np.arange(6, dtype=np.int32),
+        )
+        return ds
+
+    def test_matches_item_path_deterministic(self):
+        """permute=False, augment=False: the vectorized batch equals
+        stacked __getitem__ items exactly."""
+        ds = self._mk()
+        idx = np.array([4, 0, 2])
+        bp, bn, bl = ds.get_batch(idx)
+        for row, i in enumerate(idx):
+            p, n, l = ds[int(i)]
+            np.testing.assert_allclose(bp[row], p, rtol=1e-6, atol=1e-6)
+            np.testing.assert_array_equal(bn[row], n)
+            assert bl[row] == l
+
+    def test_permuted_batch_statistics(self):
+        """permute=True: rows are unit-sphere normalized subsets of the
+        source cloud (set membership, no duplicates)."""
+        ds = self._mk(permute=True)
+        idx = np.array([1, 3])
+        bp, bn, _ = ds.get_batch(idx)
+        assert bp.shape == (2, 16, 3)
+        for row, i in enumerate(idx):
+            src = ds._data[0][i][:, 3:6]
+            # all normal rows must come from the source cloud
+            matches = (bn[row][:, None, :] == src[None]).all(-1).any(1)
+            assert matches.all()
+            # no duplicate selections
+            assert len(np.unique(bn[row], axis=0)) == 16
+
+    def test_cls_batches_uses_fast_path(self):
+        ds = self._mk()
+        batches = list(cls_batches(ds, batch_size=4))
+        assert len(batches) == 2
+        assert batches[-1]["valid"].sum() == 2
+        assert batches[0]["xyz"].shape == (4, 16, 3)

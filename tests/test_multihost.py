@@ -53,7 +53,7 @@ def test_two_process_dp_matches_single_process():
     ]
     outs, fouts = [], []
     for p in procs:
-        out, err = p.communicate(timeout=600)
+        out, err = p.communicate(timeout=1200)
         assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
         m = re.search(r"MH_LOSS ([0-9.]+)", out)
         assert m, out
@@ -69,7 +69,7 @@ def test_two_process_dp_matches_single_process():
     env1["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
     one = subprocess.run(
         [sys.executable, str(WORKER), addr, "1", "0"],
-        env=env1, cwd=ROOT, capture_output=True, text=True, timeout=600,
+        env=env1, cwd=ROOT, capture_output=True, text=True, timeout=1200,
     )
     assert one.returncode == 0, one.stdout + one.stderr
     m = re.search(r"MH_LOSS ([0-9.]+)", one.stdout)

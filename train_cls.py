@@ -71,6 +71,15 @@ def parse_args(argv=None):
                         "(kpconv_loader.py:704); 1 = single shape")
     p.add_argument("--n-devices", type=int, default=None,
                    help="devices in the data mesh (default: all)")
+    p.add_argument("--dp", default="auto",
+                   choices=["auto", "spmd", "shard_map"],
+                   help="multi-device DP mode. shard_map runs the step "
+                        "per shard with explicit sync-BN/grad psums — "
+                        "REQUIRED for the Pallas models on real "
+                        "multi-chip meshes (jit-SPMD has no partitioner "
+                        "for custom calls and would replicate them). "
+                        "auto = shard_map whenever the mesh has >1 "
+                        "device")
     p.add_argument("--debug", action="store_true",
                    help="NaN faulting (jax_debug_nans) + checkify "
                         "OOB/NaN checks on the first eval batch "
@@ -80,6 +89,12 @@ def parse_args(argv=None):
                         "from the standard env before building the mesh")
     p.add_argument("--checkpoint-dir", default="checkpoints")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num-workers", type=int, default=0,
+                   help="fork-based batch-assembly workers (the "
+                        "reference's dataloader num_workers=4, "
+                        "kpconv_loader.py:199-201); 0 = assemble in "
+                        "the prefetch thread. Only pays on multi-core "
+                        "hosts — scripts/bench_feed_rate.py measures")
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--log-dir", default=None,
                    help="write JSONL metrics here")
@@ -119,8 +134,17 @@ def main(argv=None):
         raise SystemExit(
             f"batch_size {args.batch_size} not divisible by mesh size {n_dev}"
         )
+    # DP mode: >1 device defaults to shard_map — the only mode whose
+    # step partitions the Pallas custom calls on real multi-chip
+    # hardware; the model is built with axis_name so every BatchNorm
+    # syncs (sync-BN = jit-SPMD's implicit semantics, made explicit)
+    dp = args.dp
+    if dp == "auto":
+        dp = "shard_map" if n_dev > 1 else "spmd"
+    axis_name = "data" if (dp == "shard_map" and n_dev > 1) else None
     print(f"devices: {n_dev} × {jax.devices()[0].device_kind}, "
-          f"model={args.model}, N={args.num_points}, B={args.batch_size}")
+          f"model={args.model}, N={args.num_points}, B={args.batch_size}"
+          + (f", dp={dp}" if n_dev > 1 else ""))
 
     # only PointNet++ consumes normals as features (reference
     # train_cls.py:63-69 passes bare pts to every other model)
@@ -143,7 +167,10 @@ def main(argv=None):
         seed=args.seed,
     )
 
-    model_kw = {}
+    from pointcloudlib_tpu.models import CLS_MODELS, dp_kwargs
+
+    model_kw = (dict(dp_kwargs(CLS_MODELS[args.model], axis_name, n_dev))
+                if args.model in CLS_MODELS else {})
     kp_sampler = kp_rng = kp_bcal = None
     if is_kpconv:
         # reference KPConv pipeline: potential-based epoch sampling +
@@ -197,7 +224,7 @@ def main(argv=None):
             )
             print(f"kpconv calibration ({n_cal} clouds): "
                   f"{calib.describe()}")
-        model_kw = dict(
+        model_kw.update(
             caps=calib.caps,
             neighborhood_limits=calib.neighborhood_limits,
         )
@@ -256,8 +283,8 @@ def main(argv=None):
     print(f"params: {n_params/1e6:.2f}M")
     state = replicate(mesh, state)
 
-    train_step = make_cls_train_step(model, mesh)
-    eval_step = make_cls_eval_step(model, mesh)
+    train_step = make_cls_train_step(model, mesh, axis_name=axis_name)
+    eval_step = make_cls_eval_step(model, mesh, axis_name=axis_name)
     bucket_steps = None
     if kp_bcal is not None:
         # one compiled program per occupancy bucket; parameters are
@@ -268,7 +295,7 @@ def main(argv=None):
                 neighborhood_limits=c.neighborhood_limits))
             for c in kp_bcal.buckets
         ]
-        bucket_steps = [make_cls_train_step(m, mesh)
+        bucket_steps = [make_cls_train_step(m, mesh, axis_name=axis_name)
                         for m in bucket_models]
     ckpt = CheckpointManager(Path(args.checkpoint_dir) / args.model)
     from pointcloudlib_tpu.utils.logging import MetricsLogger
@@ -281,15 +308,13 @@ def main(argv=None):
         pred_step = None
         needs_check = args.debug
         if confusion:
-            import jax.numpy as jnp
+            from pointcloudlib_tpu.train import make_cls_pred_step
 
             # ONE forward per batch: predictions come back and
             # correct/total derive from them on host (the plain path
             # keeps the cheaper count-only eval_step)
-            pred_step = jax.jit(
-                lambda st, b: jnp.argmax(
-                    model.apply(st.variables(), b["xyz"], b.get("feats"),
-                                training=False), -1))
+            pred_step = make_cls_pred_step(model, mesh,
+                                           axis_name=axis_name)
         for batch in cls_batches(test_ds, args.batch_size,
                                  with_normals=with_normals):
             sb = shard_batch(mesh, batch)
@@ -301,6 +326,25 @@ def main(argv=None):
                 checked(
                     lambda v, x, f: model.apply(v, x, f, training=False)
                 )(state.variables(), batch["xyz"], batch.get("feats"))
+                if is_kpconv:
+                    # voxel-cap audit: the sown truncation count must be
+                    # zero or the calibrated caps are clipping real
+                    # voxels (silent accuracy drift otherwise)
+                    from pointcloudlib_tpu.models.kpconv.model import (
+                        sum_overflow,
+                    )
+
+                    _, mut = model.apply(
+                        state.variables(), batch["xyz"], None,
+                        training=False, mutable=["intermediates"],
+                    )
+                    ov = sum_overflow(mut.get("intermediates", {}))
+                    if ov is not None and float(jax.device_get(ov)) > 0:
+                        raise RuntimeError(
+                            f"pyramid caps truncated {int(ov)} voxels "
+                            "on the first eval batch — re-calibrate "
+                            "(--kp-buckets or larger caps)"
+                        )
                 needs_check = False
             if confusion:
                 pred = np.asarray(pred_step(state, sb))
@@ -327,15 +371,10 @@ def main(argv=None):
         """Average softmax over re-augmented passes (reference
         classification_test: incremental per-model prob average,
         train_cls.py:309-313)."""
-        import jax.numpy as jnp
+        from pointcloudlib_tpu.train import make_cls_pred_step
 
-        prob_step = jax.jit(
-            lambda st, b: jax.nn.softmax(
-                model.apply(st.variables(), b["xyz"], b.get("feats"),
-                            training=False),
-                axis=-1,
-            )
-        )
+        prob_step = make_cls_pred_step(model, mesh, axis_name=axis_name,
+                                       probs=True)
         vote_ds = make_modelnet40(
             args.num_points, train=False, data_root=args.data_root,
             synthetic=args.synthetic,
@@ -365,13 +404,10 @@ def main(argv=None):
         classification_test loop (train_cls.py:252-313, potentials
         refreshed at :263, averaging at :309-313)."""
         from pointcloudlib_tpu.data import PotentialSampler, kpconv_augment
+        from pointcloudlib_tpu.train import make_cls_pred_step
 
-        prob_step = jax.jit(
-            lambda st, b: jax.nn.softmax(
-                model.apply(st.variables(), b["xyz"], None, training=False),
-                axis=-1,
-            )
-        )
+        prob_step = make_cls_pred_step(model, mesh, axis_name=axis_name,
+                                       probs=True)
         vote_ds = make_modelnet40(
             args.num_points, train=False, data_root=args.data_root,
             synthetic=args.synthetic,
@@ -445,7 +481,7 @@ def main(argv=None):
             batches = cls_batches(
                 train_ds, args.batch_size, shuffle=True,
                 seed=args.seed + epoch, drop_last=True,
-                with_normals=with_normals,
+                with_normals=with_normals, workers=args.num_workers,
             )
         for i, batch in enumerate(prefetch(batches)):
             if args.steps_per_epoch and i >= args.steps_per_epoch:
@@ -477,6 +513,11 @@ def main(argv=None):
             pot = kp_sampler.potentials
             extra = (f" potentials=[{pot.min():.2f},{pot.max():.2f}]"
                      f" (kpconv_augment active)")
+        if float(m.get("voxel_overflow", 0)) > 0:
+            # silent-truncation guard (pyramid caps clipped real
+            # voxels in the LAST step of the epoch — re-calibrate)
+            extra += (f" VOXEL-OVERFLOW={int(m['voxel_overflow'])} "
+                      "(pyramid caps truncating; re-calibrate)")
         print(f"epoch {epoch}: loss={float(m['loss']):.4f} "
               f"test OA={oa:.2f}% "
               f"({seen/dt:.1f} samples/s){extra}")

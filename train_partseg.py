@@ -37,6 +37,14 @@ def parse_args(argv=None):
     p.add_argument("--synthetic-size", type=int, default=256)
     p.add_argument("--steps-per-epoch", type=int, default=None)
     p.add_argument("--n-devices", type=int, default=None)
+    p.add_argument("--dp", default="auto",
+                   choices=["auto", "spmd", "shard_map"],
+                   help="multi-device DP mode. shard_map runs the step "
+                        "per shard with explicit sync-BN/grad psums — "
+                        "REQUIRED for the Pallas models on real "
+                        "multi-chip meshes (jit-SPMD has no partitioner "
+                        "for custom calls). auto = shard_map whenever "
+                        "the mesh has >1 device")
     p.add_argument("--debug", action="store_true",
                    help="NaN faulting (jax_debug_nans) + checkify "
                         "OOB/NaN checks on the first eval batch "
@@ -46,6 +54,10 @@ def parse_args(argv=None):
                         "from the standard env before building the mesh")
     p.add_argument("--checkpoint-dir", default="checkpoints")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num-workers", type=int, default=0,
+                   help="fork-based batch-assembly workers (reference "
+                        "num_workers analogue); 0 = prefetch thread "
+                        "only. Only pays on multi-core hosts")
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--log-dir", default=None,
                    help="write JSONL metrics here")
@@ -105,8 +117,15 @@ def main(argv=None):
         raise SystemExit(
             f"batch_size {args.batch_size} not divisible by mesh size {n_dev}"
         )
+    # DP mode (see train_cls.py): shard_map is the only mode that
+    # partitions Pallas custom calls on real multi-chip meshes
+    dp = args.dp
+    if dp == "auto":
+        dp = "shard_map" if n_dev > 1 else "spmd"
+    axis_name = "data" if (dp == "shard_map" and n_dev > 1) else None
     print(f"devices: {n_dev} × {jax.devices()[0].device_kind}, "
-          f"model={args.model}, N={args.num_points}, B={args.batch_size}")
+          f"model={args.model}, N={args.num_points}, B={args.batch_size}"
+          + (f", dp={dp}" if n_dev > 1 else ""))
 
     train_ds = make_shapenet(
         "trainval", args.num_points, data_root=args.data_root,
@@ -120,7 +139,11 @@ def main(argv=None):
         class_choice=args.class_choice,
     )
 
-    model = get_seg_model(args.model, part_num=50)
+    from pointcloudlib_tpu.models import SEG_MODELS, dp_kwargs
+
+    model_kw = (dict(dp_kwargs(SEG_MODELS[args.model], axis_name, n_dev))
+                if args.model in SEG_MODELS else {})
+    model = get_seg_model(args.model, part_num=50, **model_kw)
     rng = jax.random.key(args.seed)
     sample = _prep(
         next(seg_batches(train_ds, args.batch_size)), args.model
@@ -158,8 +181,8 @@ def main(argv=None):
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     print(f"params: {n_params/1e6:.2f}M")
 
-    train_step = make_seg_train_step(model, mesh)
-    eval_step = make_seg_eval_step(model, mesh)
+    train_step = make_seg_train_step(model, mesh, axis_name=axis_name)
+    eval_step = make_seg_eval_step(model, mesh, axis_name=axis_name)
     ckpt = CheckpointManager(Path(args.checkpoint_dir) / f"{args.model}_partseg")
     from pointcloudlib_tpu.utils.logging import MetricsLogger
 
@@ -217,7 +240,8 @@ def main(argv=None):
         t0, seen = time.perf_counter(), 0
         for i, batch in enumerate(prefetch(
             seg_batches(train_ds, args.batch_size, shuffle=True,
-                        seed=args.seed + epoch, drop_last=True)
+                        seed=args.seed + epoch, drop_last=True,
+                        workers=args.num_workers)
         )):
             if args.steps_per_epoch and i >= args.steps_per_epoch:
                 break
