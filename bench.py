@@ -65,6 +65,24 @@ FLOPS_PER_SAMPLE = {  # GFLOP/sample, scripts/flops_table.py
 PEAK_BF16_FLOPS = 197e12
 
 
+def _surface_clouds(batch_size, n_points, seed=0):
+    """Object-SURFACE clouds (data/synthetic.py primitives, unit-sphere
+    normalized + train augments) — the density profile the kernels'
+    occupancy-dependent tuning must be measured at. The previous
+    gaussians-normalized-to-the-shell clouds put every point ON the
+    sphere, ~uniform in solid angle: real ModelNet items are 2-D
+    surfaces inside the ball with seams/edges, and DESIGN.md records a
+    2x slot-cap overstatement from exactly this profile mismatch
+    (VERDICT r2 #7). Returns (xyz [B,N,3], normals [B,N,3]) f32."""
+    from pointcloudlib_tpu.data.synthetic import SyntheticModelNet
+
+    ds = SyntheticModelNet(n_points=n_points, size=batch_size,
+                           train=True, seed=seed)
+    items = [ds[i] for i in range(batch_size)]
+    return (np.stack([it[0] for it in items]).astype(np.float32),
+            np.stack([it[1] for it in items]).astype(np.float32))
+
+
 def _bench_cls(model_name, batch_size, n_points, with_normals,
                iters=30, warmup=3):
     import optax  # noqa: F401
@@ -81,16 +99,13 @@ def _bench_cls(model_name, batch_size, n_points, with_normals,
     mesh = make_mesh()
     batch_size = max(batch_size, 8 * mesh.devices.size)
     model = get_cls_model(model_name, n_classes=40)
-    rng = np.random.default_rng(0)
-    xyz = rng.standard_normal((batch_size, n_points, 3)).astype(np.float32)
-    xyz /= np.linalg.norm(xyz, axis=-1, keepdims=True)
+    xyz, normals = _surface_clouds(batch_size, n_points)
     batch = {
         "xyz": xyz,
         "label": (np.arange(batch_size) % 40).astype(np.int32),
     }
     if with_normals:
-        batch["feats"] = rng.standard_normal(
-            (batch_size, n_points, 3)).astype(np.float32)
+        batch["feats"] = normals
 
     key = jax.random.key(0)
     tx = sgd_momentum(step_decay(0.1), momentum=0.9)
@@ -131,9 +146,7 @@ def _bench_partseg(model_name="pointnet2", with_feats=True,
     mesh = make_mesh()
     batch_size = max(batch_size, 8 * mesh.devices.size)
     model = get_seg_model(model_name, part_num=50)
-    rng = np.random.default_rng(0)
-    xyz = rng.standard_normal((batch_size, n_points, 3)).astype(np.float32)
-    xyz /= np.linalg.norm(xyz, axis=-1, keepdims=True)
+    xyz, _ = _surface_clouds(batch_size, n_points)
     batch = {
         "xyz": xyz,
         "cls_onehot": np.eye(16, dtype=np.float32)[

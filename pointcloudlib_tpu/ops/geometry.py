@@ -314,11 +314,20 @@ def three_nn_interpolate(query: Array, points: Array, feats: Array) -> Array:
     the XLA path's knn uses), and the weighted sum is slot-order-
     invariant, so the kernel's selection order never matters.
     """
+    import os
+
     n = points.shape[1]
     cv = 3 + feats.shape[-1]
     from pointcloudlib_tpu.ops.dispatch import USE_PALLAS  # lazy: no cycle
 
     if (USE_PALLAS and n % 128 == 0 and cv >= 16 and n >= 3
+            # DEFAULT OFF (round 3): measured on-chip at the partseg
+            # decoder shapes on surface clouds, the XLA route (knn
+            # top_k + routed gather) beats the fused kernel 929 vs 818
+            # sa/s end-to-end (scripts/bench_partseg_ab.py) — k=3 is
+            # too few rounds to amortize the kernel's per-tile one-hot
+            # builds. POINTCLOUDLIB_FUSED_3NN=1 re-enables for A/B.
+            and os.environ.get("POINTCLOUDLIB_FUSED_3NN") == "1"
             and query.dtype == jnp.float32
             and feats.dtype == jnp.float32):
         from pointcloudlib_tpu.ops.pallas.neighbors import knn_gather

@@ -304,6 +304,20 @@ def _kc_variants(k: int):
     r=.4/k=128: mean 41, max ~66 → the 3k/4 rung), so three rungs
     cover the distribution without blowing up compile time (each rung
     compiles 5 kernels)."""
+    import os
+
+    if os.environ.get("POINTCLOUDLIB_SA_RUNGS") != "1":
+        # DEFAULT OFF (round 3): on realistic object-SURFACE clouds the
+        # occupancy tail almost always lands above the top rung — every
+        # batch then pays the cond chain AND runs the full branch.
+        # Measured on-chip (scripts/bench_partseg_ab.py, surface
+        # clouds): headline 1765 -> 1904 sa/s and partseg 818 -> 876
+        # with the chain off. The +23% recorded in round 2b was an
+        # artifact of sphere-SHELL profiling clouds (max(cnt) <= 24 at
+        # SA1 k=32 vs 27-400 on surfaces) — see DESIGN.md "profile
+        # data density sets the rung". POINTCLOUDLIB_SA_RUNGS=1
+        # re-enables for shell-like (LiDAR ring / hollow-scan) data.
+        return [k]
     out = []
     for kc in (k // 4, k // 2, 3 * k // 4):
         if kc >= 8 and kc % 8 == 0 and kc < k and kc not in out:
@@ -317,10 +331,12 @@ def _cap_gather() -> bool:
     gather's one-hot build + matmul scale with the slot count, so this
     is the largest remaining capped-away cost (the bq route caps its
     gather in-kernel already — this covers the external-idx route, e.g.
-    MSG's k=128 scale). DEFAULT OFF until compile-validated on hardware
-    (the tunnel was down when this landed); POINTCLOUDLIB_CAP_GATHER=1
-    to enable, =0 to force off. Flip the default after
-    scripts/compile_sweep.py and a step bench pass on the chip."""
+    MSG's k=128 scale). Subordinate to POINTCLOUDLIB_SA_RUNGS: with the
+    rung chain off (the round-3 default — a net loss on object-surface
+    density, see _kc_variants) _kc_variants returns [k] and this gate
+    has no effect. POINTCLOUDLIB_CAP_GATHER=1 enables it alongside
+    SA_RUNGS=1 for shell-like data; compiled+executed on-chip by the
+    SA_RUNGS validation runs and on the CPU mesh by dryrun_multichip."""
     import os
 
     return os.environ.get("POINTCLOUDLIB_CAP_GATHER") == "1"
@@ -1655,7 +1671,8 @@ def fused_sa_eval(q, off, idx, params, stats, interpret=False,
     return _fused_sa_eval_jit(
         q, off, idx, params, stats, interpret=interpret, cnt=cnt,
         _gates=_gate_key("POINTCLOUDLIB_CAP_GATHER",
-                         "POINTCLOUDLIB_SA_WINDOW"))
+                         "POINTCLOUDLIB_SA_WINDOW",
+                         "POINTCLOUDLIB_SA_RUNGS"))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "_gates"))

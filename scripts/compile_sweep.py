@@ -214,6 +214,9 @@ def sweep_capped_gather():
     )
 
     rng = np.random.default_rng(3)
+    # rungs are opt-in since round 3; without them _kc_variants returns
+    # [k] and the capped (e > 0) kernels would never compile
+    os.environ["POINTCLOUDLIB_SA_RUNGS"] = "1"
     os.environ["POINTCLOUDLIB_CAP_GATHER"] = "1"
     try:
         # SA1, MSG k=128, windowed N=4096
@@ -251,6 +254,7 @@ def sweep_capped_gather():
             print(f"capg ok  B={b} N={n} M={m} K={k}", flush=True)
     finally:
         os.environ.pop("POINTCLOUDLIB_CAP_GATHER", None)
+        os.environ.pop("POINTCLOUDLIB_SA_RUNGS", None)
 
 
 if __name__ == "__main__":

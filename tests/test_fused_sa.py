@@ -489,6 +489,7 @@ def test_slot_capped_passes_match_full(cap_gather, monkeypatch):
     from pointcloudlib_tpu.ops import ball_query, fps, index_points
     from pointcloudlib_tpu.ops.pallas import fused_sa as fs
 
+    monkeypatch.setenv("POINTCLOUDLIB_SA_RUNGS", "1")  # rungs are opt-in
     monkeypatch.setenv("POINTCLOUDLIB_CAP_GATHER",
                        "1" if cap_gather else "0")
 
@@ -628,6 +629,7 @@ def test_capped_eval_exactly_matches_full(monkeypatch):
         m1=jnp.zeros(c1), v1=jnp.ones(c1), m2=jnp.zeros(c2),
         v2=jnp.ones(c2), m3=jnp.zeros(c3), v3=jnp.ones(c3))
 
+    monkeypatch.setenv("POINTCLOUDLIB_SA_RUNGS", "1")  # rungs are opt-in
     monkeypatch.setenv("POINTCLOUDLIB_CAP_GATHER", "1")
     o_cap = fs.fused_sa_eval(q, off, nidx, params, stats, True, cnt)
     monkeypatch.setenv("POINTCLOUDLIB_CAP_GATHER", "0")

@@ -122,6 +122,7 @@ def test_full_pointnet2_shard_map_step(cap_gather):
     )
 
     os.environ["POINTCLOUDLIB_FUSED_SA"] = "1"
+    os.environ["POINTCLOUDLIB_SA_RUNGS"] = "1"  # rungs are opt-in
     os.environ["POINTCLOUDLIB_CAP_GATHER"] = cap_gather
     try:
         mesh = make_mesh(8)
@@ -152,6 +153,7 @@ def test_full_pointnet2_shard_map_step(cap_gather):
     finally:
         del os.environ["POINTCLOUDLIB_FUSED_SA"]
         del os.environ["POINTCLOUDLIB_CAP_GATHER"]
+        del os.environ["POINTCLOUDLIB_SA_RUNGS"]
 
 
 def test_edge_conv_dp_matches_single_device():

@@ -174,6 +174,10 @@ class TestThreeNN:
         p = jnp.asarray(rng.standard_normal((b, n, 3)), jnp.float32)
         f = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
 
+        # fused route is opt-in since round 3 (slower than the XLA
+        # route at the FP decoder shapes on realistic clouds)
+        monkeypatch.setenv("POINTCLOUDLIB_FUSED_3NN", "1")
+
         def loss(f, use):
             monkeypatch.setattr(dispatch, "USE_PALLAS", use)
             out = geometry.three_nn_interpolate(q, p, f)

@@ -77,6 +77,7 @@ def test_fused_sa_module_grads_match_torch(cap_gather, monkeypatch):
     query's cnt fed through, so the slot-capped cond chain runs here —
     and with POINTCLOUDLIB_CAP_GATHER=1, the capped gather pass too:
     torch-independent evidence for both capping variants."""
+    monkeypatch.setenv("POINTCLOUDLIB_SA_RUNGS", "1")  # rungs are opt-in
     monkeypatch.setenv("POINTCLOUDLIB_CAP_GATHER", cap_gather)
     torch.manual_seed(1)
     tsa = TorchSA(3, [64, 64, 128], 512, 0.2, 64)
