@@ -96,6 +96,7 @@ def make_shapenet(
             size=synthetic_size,
             train=split in ("train", "trainval"),
             seed=seed,
+            class_choice=class_choice,
         )
     return ShapeNetPart(split=split, n_points=n_points, data_root=data_root,
                         seed=seed, class_choice=class_choice)

@@ -15,6 +15,8 @@ must learn shape structure to separate them.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 
 _SHAPES = [
@@ -155,19 +157,30 @@ class SyntheticShapeNetPart:
     SEG_NUM = [4, 2, 2, 4, 4, 3, 3, 2, 4, 2, 6, 2, 3, 3, 3, 3]
     INDEX_START = np.concatenate([[0], np.cumsum(SEG_NUM)[:-1]]).astype(int)
 
+    # same category order as the reference hdf5 set (shapenet.py)
+    CATEGORIES = ["airplane", "bag", "cap", "car", "chair", "earphone",
+                  "guitar", "knife", "lamp", "laptop", "motorbike", "mug",
+                  "pistol", "rocket", "skateboard", "table"]
+
     def __init__(
         self,
         n_points: int = 2048,
         size: int = 256,
         train: bool = True,
         seed: int = 0,
+        class_choice: Optional[str] = None,
     ):
         self.n_points = n_points
         self.size = size
         self.train = train
         rng = np.random.default_rng(seed + (0 if train else 20_000))
         self._seeds = rng.integers(0, 2**31 - 1, size)
-        self._labels = (np.arange(size) % self.N_CATEGORIES).astype(np.int32)
+        if class_choice is not None:
+            cat = self.CATEGORIES.index(class_choice.lower())
+            self._labels = np.full(size, cat, np.int32)
+        else:
+            self._labels = (
+                np.arange(size) % self.N_CATEGORIES).astype(np.int32)
 
     def __len__(self):
         return self.size

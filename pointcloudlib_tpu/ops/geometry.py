@@ -106,10 +106,12 @@ def index_points(points: Array, idx: Array) -> Array:
     # Pallas pays off only when total rows B·M·K clears the crossover
     # for this N — SA1-scale gathers (2.1M rows, N=1024) win 1.8x,
     # KPConv's calibrated layers (~320k rows, N≈904) lose slightly.
-    # Lane-aligned sources keep the round-1 behavior (always Pallas) so
-    # the canonicalize/take_rows path is unchanged; non-aligned sources
-    # are zero-padded into the kernel only when the model says it pays
-    # (indices are < n by contract, so pad rows are never selected).
+    # The model decides for EVERY shape (round 3: the old lane-aligned
+    # short-circuit sent canonicalize's take_rows at B=32 N=4096 to the
+    # one-hot kernel at 4.9 ms where XLA's gather takes 0.87 ms —
+    # exactly what the model predicts; scratch_canon_pieces.py).
+    # Non-aligned sources are zero-padded into the kernel (indices are
+    # < n by contract, so pad rows are never selected).
     if (
         USE_PALLAS
         and points.dtype == jnp.float32
@@ -121,7 +123,7 @@ def index_points(points: Array, idx: Array) -> Array:
         for d in idx.shape:
             rows *= int(d)
         benefit = rows * (6e-6 - 3.5e-9 * (n + pad))
-        if pad == 0 or benefit > 1.0:
+        if benefit > 1.0:
             from pointcloudlib_tpu.ops.pallas.gather import (
                 gather_neighbors,
             )

@@ -1,4 +1,8 @@
-"""Per-pass timing of the fused SA pipeline at SA1 shape."""
+"""Per-pass timing of the fused SA pipeline.
+
+Usage: bench_fused_passes.py [B N M K]  (default 64 1024 512 64 = SA1)
+Indices come from a real ball query on surface clouds so the windowed
+kernels (N >= 4096) see realistic index spans."""
 
 import sys
 import time
@@ -26,11 +30,24 @@ def main():
     import pointcloudlib_tpu.ops.pallas.fused_sa as fs
 
     rng = np.random.default_rng(0)
-    B, N, M, K = 64, 1024, 512, 64
+    B, N, M, K = (64, 1024, 512, 64) if len(sys.argv) < 5 else map(
+        int, sys.argv[1:5])
     c1, c2, c3 = 64, 64, 128
     q = jnp.asarray(rng.standard_normal((B, N, c1)), jnp.float32)
     off = jnp.asarray(rng.standard_normal((B, M, c1)) * .1, jnp.float32)
-    idx = jnp.asarray(rng.integers(0, N, (B, M, K)), jnp.int32)
+    # real neighbor structure: windowed kernels compute per-chunk spans
+    # from the indices, so uniform-random idx would understate them
+    from pointcloudlib_tpu.ops.geometry import ball_query
+    from pointcloudlib_tpu.ops.spatial import canonicalize
+    from bench import _surface_clouds
+    xs, _ = _surface_clouds(B, N)
+    xs, _ = canonicalize(jnp.asarray(xs))
+    from pointcloudlib_tpu.ops.dispatch import fps
+    from pointcloudlib_tpu.ops.geometry import index_points
+    centers = jax.jit(lambda x: index_points(x, fps(x, M)))(xs)
+    idx, _bqcnt = jax.jit(
+        lambda c, x: ball_query(c, x, 0.2, K))(centers, xs)
+    idx = jnp.asarray(idx)
     params = fs.SAParams(
         w2=jnp.asarray(rng.standard_normal((c1, c2)) * .2, jnp.float32),
         w3=jnp.asarray(rng.standard_normal((c2, c3)) * .2, jnp.float32),
