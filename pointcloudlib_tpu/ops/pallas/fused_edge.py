@@ -236,9 +236,14 @@ def _ke_knn_f1(x_ref, q_ref, off_ref, idx_ref, h_ref, psum_ref,
             h2 = h.reshape(ck * mt, c)
             s = s + jnp.sum(h2, axis=0, keepdims=True)
             ss = ss + jnp.sum(h2 * h2, axis=0, keepdims=True)
+            # zero-width concat parts are rejected by Mosaic (vector
+            # sizes must be positive) — build only the non-empty ones
             place = jnp.concatenate(
-                [jnp.zeros((mt, j0), jnp.float32), idxt,
-                 jnp.zeros((mt, k - j0 - ck), jnp.float32)], axis=1)
+                [p for p in (
+                    jnp.zeros((mt, j0), jnp.float32) if j0 else None,
+                    idxt,
+                    jnp.zeros((mt, k - j0 - ck), jnp.float32)
+                    if k - j0 - ck else None) if p is not None], axis=1)
             idx_out = jnp.where((kcol >= j0) & (kcol < j0 + ck),
                                 place.astype(jnp.int32), idx_out)
         idx_ref[0] = idx_out

@@ -135,10 +135,39 @@ def _chunk(mt: int, k: int) -> int:
     return _divisor_tile(mt, max(1, 2048 // k))
 
 
+def _split_cnt(c1: int) -> bool:
+    """Split-scatter gate: when 2·c1 is MXU-lane-tile aligned, drop the
+    8 count columns from the scatter right operand (one fewer 128-lane
+    output tile) and derive the counts from a slot-summed one-hot matmul
+    — bit-exact (integer products; see _k_p2). POINTCLOUDLIB_SPLIT_CNT=0
+    forces the single-matmul layout for subprocess A/Bs."""
+    import os
+
+    return (2 * c1) % 128 == 0 and os.environ.get(
+        "POINTCLOUDLIB_SPLIT_CNT") != "0"
+
+
 def _gchunk(mt: int, k: int, n: int) -> int:
     """Chunk for gather/scatter kernels: the one-hot block
     [cm·K, N] bf16 plus its int32 iota (6 B/element) stay ~3 MB."""
     return _divisor_tile(mt, max(1, (3 << 20) // (6 * k * n)))
+
+
+def _gchunk_w(mt: int, k: int, w: int, cmax: int) -> int:
+    """Chunk for the WINDOWED gather/scatter kernels. The one-hot block
+    is [cm·K, w], so budgeting on w instead of n gives 4x bigger chunks
+    at w = n/4 — fewer per-chunk cond/loop trips, the dominant overhead
+    at small cm (measured N=4096 fwd+bwd 27.3 → 21.4 ms). But the ~10
+    f32 chunk temporaries [cm·K, c] are then no longer bounded by
+    n ≥ 4w: charge them explicitly (~2.5 MB across 10 copies) or
+    wide-channel shapes blow scoped VMEM (the forced-window SA2 sweep
+    shape OOMed at 16.43 MB with the onehot-only budget)."""
+    by_onehot = (3 << 20) // (6 * k * w)
+    by_temps = (5 << 19) // (40 * k * cmax)
+    # floor at 8: Mosaic rejects sub-sublane-tile dynamic stores of the
+    # per-chunk output rows at wide c (vector<1x4x256> store, sweep);
+    # the temps estimate is conservative enough to absorb 8 rows
+    return _divisor_tile(mt, max(8, min(by_onehot, by_temps)))
 
 
 # ------------------------------------------------------------- windowing
@@ -722,7 +751,15 @@ def _k_p2(h1_ref, dout_ref, idx_ref, st1_ref, st2_ref, st3_ref,
     contract = (((0,), (0,)), ((), ()))
     lane = lax.broadcasted_iota(jnp.int32, (cm, kc, n), 2)
     wrow = _slot_w(cm, kc, e) if e else None
-    ones8 = jnp.ones((cm * kc, 8), jnp.bfloat16)
+    # MXU output lanes pad to 128-tiles: [dz1 ‖ xh1 ‖ ones8] = 2c1+8
+    # costs a whole extra tile for 8 integer-count columns. When 2c1 is
+    # tile-aligned, ship [dz1 ‖ xh1] alone and derive the counts from a
+    # slot-summed one-hot S [cm, w] (integers ≤ k: bf16-exact) dotted
+    # with ones over the cm-contraction — ~1% of the main matmul. The
+    # products are identical integers → bit-exact vs the ones8 column.
+    split_cnt = _split_cnt(c1)
+    ones8 = (jnp.ones((cm, 8), jnp.bfloat16) if split_cnt
+             else jnp.ones((cm * kc, 8), jnp.bfloat16))
 
     def body(i, acc):
         dw2, s, ss = acc
@@ -761,11 +798,16 @@ def _k_p2(h1_ref, dout_ref, idx_ref, st1_ref, st2_ref, st3_ref,
             dz1w.reshape(cm, kc, c1), axis=1)
         d2_ref[0, pl.ds(i * cm, cm), :] = jnp.sum(
             xh1w.reshape(cm, kc, c1), axis=1)
-        onehot = (lane == idx[:, :, None]).astype(jnp.bfloat16)
-        onehot = onehot.reshape(cm * kc, n)
-        right = jnp.concatenate(
-            [dz1.astype(jnp.bfloat16), xh1.astype(jnp.bfloat16), ones8],
-            axis=1)
+        onehot3 = (lane == idx[:, :, None]).astype(jnp.bfloat16)
+        onehot = onehot3.reshape(cm * kc, n)
+        if split_cnt:
+            right = jnp.concatenate(
+                [dz1.astype(jnp.bfloat16), xh1.astype(jnp.bfloat16)],
+                axis=1)
+        else:
+            right = jnp.concatenate(
+                [dz1.astype(jnp.bfloat16), xh1.astype(jnp.bfloat16),
+                 ones8], axis=1)
         # accumulate straight into the (VMEM-resident) output block —
         # an [N, 2C1+8] loop carry would double the footprint
         scat = lax.dot_general(
@@ -774,7 +816,17 @@ def _k_p2(h1_ref, dout_ref, idx_ref, st1_ref, st2_ref, st3_ref,
             scat = scat + float(e) * lax.dot_general(
                 _slot0(onehot, cm, kc), _slot0(right, cm, kc), contract,
                 preferred_element_type=jnp.float32)
-        scat_ref[0] += scat
+        if split_cnt:
+            sslot = jnp.sum(onehot3, axis=1)           # [cm, n] ≤ k
+            if e:
+                sslot = sslot + float(e) * onehot3[:, 0, :]
+            cnt8 = lax.dot_general(
+                sslot.astype(jnp.bfloat16), ones8, contract,
+                preferred_element_type=jnp.float32)    # [n, 8]
+            scat_ref[0, :, : 2 * c1] += scat
+            scat_ref[0, :, 2 * c1:] += cnt8
+        else:
+            scat_ref[0] += scat
         return (dw2,
                 s + jnp.sum(dz1w, axis=0, keepdims=True),
                 ss + jnp.sum(dz1w * xh1, axis=0, keepdims=True))
@@ -812,7 +864,9 @@ def _k_p2w(s_ref, nb_ref, h1_ref, dout_ref, idx_ref, st1_ref, st2_ref,
     contract = (((0,), (0,)), ((), ()))
     lane = lax.broadcasted_iota(jnp.int32, (cm, kc, w), 2)
     wrow = _slot_w(cm, kc, e) if e else None
-    ones8 = jnp.ones((cm * kc, 8), jnp.bfloat16)
+    split_cnt = _split_cnt(c1)  # see _k_p2's split-scatter note
+    ones8 = (jnp.ones((cm, 8), jnp.bfloat16) if split_cnt
+             else jnp.ones((cm * kc, 8), jnp.bfloat16))
 
     def body(i, acc):
         dw2, sa, ss = acc
@@ -853,18 +907,23 @@ def _k_p2w(s_ref, nb_ref, h1_ref, dout_ref, idx_ref, st1_ref, st2_ref,
             dz1w.reshape(cm, kc, c1), axis=1)
         d2_ref[0, pl.ds(i * cm, cm), :] = jnp.sum(
             xh1w.reshape(cm, kc, c1), axis=1)
-        right = jnp.concatenate(
-            [dz1.astype(jnp.bfloat16), xh1.astype(jnp.bfloat16),
-             ones8], axis=1)
+        if split_cnt:
+            right = jnp.concatenate(
+                [dz1.astype(jnp.bfloat16), xh1.astype(jnp.bfloat16)],
+                axis=1)
+        else:
+            right = jnp.concatenate(
+                [dz1.astype(jnp.bfloat16), xh1.astype(jnp.bfloat16),
+                 ones8], axis=1)
         right0 = _slot0(right, cm, kc) if e else None
         s = s_ref[pid * nch + i]
         nb = nb_ref[pid * nch + i]
         n = scat_ref.shape[1]
 
         def blk(base):
-            onehot = (lane == (idx - base)[:, :, None]).astype(
+            onehot3 = (lane == (idx - base)[:, :, None]).astype(
                 jnp.bfloat16)
-            oh = onehot.reshape(cm * kc, w)
+            oh = onehot3.reshape(cm * kc, w)
             acc = lax.dot_general(
                 oh, right, contract,
                 preferred_element_type=jnp.float32)
@@ -872,7 +931,17 @@ def _k_p2w(s_ref, nb_ref, h1_ref, dout_ref, idx_ref, st1_ref, st2_ref,
                 acc = acc + float(e) * lax.dot_general(
                     _slot0(oh, cm, kc), right0, contract,
                     preferred_element_type=jnp.float32)
-            scat_ref[0, pl.ds(base, w), :] += acc
+            if split_cnt:
+                sslot = jnp.sum(onehot3, axis=1)       # [cm, w] ≤ k
+                if e:
+                    sslot = sslot + float(e) * onehot3[:, 0, :]
+                cnt8 = lax.dot_general(
+                    sslot.astype(jnp.bfloat16), ones8, contract,
+                    preferred_element_type=jnp.float32)  # [w, 8]
+                scat_ref[0, pl.ds(base, w), : 2 * c1] += acc
+                scat_ref[0, pl.ds(base, w), 2 * c1:] += cnt8
+            else:
+                scat_ref[0, pl.ds(base, w), :] += acc
 
         @pl.when(nb == 1)
         def _():
@@ -1228,8 +1297,8 @@ def _call_f1(q, idx, off, interpret, kc=None):
         )(q.astype(jnp.bfloat16), idx.astype(jnp.int32),
           off.astype(jnp.float32))
         return h1, psum
-    # chunk temporaries are budgeted for full-n lanes (the wide
-    # fallback still materializes them); w only narrows the reads
+    # windowed chunks budget on w, not n (see _gchunk_w)
+    cm = _gchunk_w(mt, k, w, c1)
     starts, nblocks = _window_plan(idx, cm, w, n)
     h1, psum = pl.pallas_call(
         functools.partial(_k_f1w, cm=cm, w=w, e=e),
@@ -1519,7 +1588,9 @@ def _call_p2(h1, dout, idx, st1, st2, st3, w2, w3, us3, us2, n,
             interpret=interpret,
         )(*args)
         return dw2[0], ps1, scat, d1, d2
-    cm = _gchunk(mt, kc, n)
+    # windowed chunks budget on w + temporaries (see _gchunk_w); the
+    # p2 kernel recomputes the chain through h2/y2 → charge max(c1, c2)
+    cm = _gchunk_w(mt, kc, w, max(c1, c2))
     starts, nblocks = _window_plan(idx, cm, w, n)
     dw2, ps1, scat, d1, d2 = pl.pallas_call(
         functools.partial(_k_p2w, cm=cm, w=w, e=k - kc),
@@ -1723,6 +1794,8 @@ def _fused_sa_eval_jit(q, off, idx, params: SAParams, stats: SAStats,
     sigma, inv = _row_perm(idx)
     idx = _take_rows(idx, sigma)
     off = _take_rows(off, sigma)
+    # eval runs the full chain in-kernel → charge max(c1..c3) temps
+    cm = _gchunk_w(mt, k, w, max(c1, c2, c3))
     starts, wide = _window_plan(idx, cm, w, n)
 
     def runw(kc):

@@ -61,13 +61,16 @@ def _cumsum_lanes(x: Array) -> Array:
 
 
 def _mxu_cumsum() -> bool:
-    """Gate for the MXU cumsum in the default-path kernels. DEFAULT
-    OFF until compile-validated on hardware (the tunnel was down when
-    this landed); POINTCLOUDLIB_MXU_CUMSUM=1 to enable, =0 to force
-    the rolls. Flip the default with the bisect gate."""
+    """Gate for the MXU cumsum in the default-path kernels. DEFAULT ON
+    since round 3: validated on chip BIT-EXACT vs the rolls (the 0/1
+    operands are bf16-exact and counts ≤ n ≪ 2²⁴ are integers in f32)
+    and faster at every production shape — ball query 512×1024 k=64:
+    1.55 → 1.24 ms; 512×4096: 8.71 → 7.24 ms (surface clouds,
+    scripts/bench_bisect_knn.py). POINTCLOUDLIB_MXU_CUMSUM=0 forces
+    the log-roll shift-adds."""
     import os
 
-    return os.environ.get("POINTCLOUDLIB_MXU_CUMSUM") == "1"
+    return os.environ.get("POINTCLOUDLIB_MXU_CUMSUM") != "0"
 
 
 def _cumsum_matmul(mask: Array, w: int = 512) -> Array:
@@ -132,21 +135,25 @@ def _knn_select(d2: Array, k: int, n_bisect: int = 16):
                 jnp.where(cnt >= k, mid, hi))
 
     lo, hi = lax.fori_loop(0, n_bisect, bis, (lo, hi))
-    member = d2i <= lo
-    need = k - jnp.sum(member.astype(jnp.int32), axis=1)   # ≥ 1
+    member0 = d2i <= lo
+    need = k - jnp.sum(member0.astype(jnp.int32), axis=1)   # ≥ 1
     cand = jnp.where((d2i > lo) & (d2i <= hi), d2, jnp.inf)
 
     def pick(j, carry):
-        cand, member = carry
+        # carry the mask as int32: Mosaic rejects wide i1 vectors in
+        # scf loop carries (internal layout error on the yield)
+        cand, memberi = carry
         best = jnp.argmin(cand, axis=1).astype(jnp.int32)
         sel = lane == best[:, None]
-        member = member | (sel & (j < need)[:, None])
-        return jnp.where(sel, jnp.inf, cand), member
+        memberi = jnp.where(sel & (j < need)[:, None], 1, memberi)
+        return jnp.where(sel, jnp.inf, cand), memberi
 
     # adaptive trip: the tile's worst row decides (bq-kernel pattern)
-    _, member = lax.fori_loop(0, jnp.max(need), pick, (cand, member))
-    ranks = _cumsum_matmul(member)
-    return member, ranks * member.astype(jnp.int32)
+    _, memberi = lax.fori_loop(0, jnp.max(need), pick,
+                               (cand, member0.astype(jnp.int32)))
+    member = memberi > 0
+    ranks = _cumsum_matmul(memberi)
+    return member, ranks * memberi
 
 
 def _slot_chunk(k: int, cap: int = 8) -> int:
@@ -442,9 +449,14 @@ def _knn_gather_kernel(c_ref, p_ref, v_ref, idx_ref, g_ref, *, k: int,
         idx_out = jnp.zeros((mt, k), jnp.int32)
         for j0, g, idxt in _knn_slots(ranks, (v_hi, v_lo), k, ck, True):
             g_ref[0, j0:j0 + ck, :, :] = g
+            # zero-width concat parts are rejected by Mosaic (vector
+            # sizes must be positive) — build only the non-empty ones
             place = jnp.concatenate(
-                [jnp.zeros((mt, j0), jnp.float32), idxt,
-                 jnp.zeros((mt, k - j0 - ck), jnp.float32)], axis=1)
+                [p for p in (
+                    jnp.zeros((mt, j0), jnp.float32) if j0 else None,
+                    idxt,
+                    jnp.zeros((mt, k - j0 - ck), jnp.float32)
+                    if k - j0 - ck else None) if p is not None], axis=1)
             idx_out = jnp.where((kcol >= j0) & (kcol < j0 + ck),
                                 place.astype(jnp.int32), idx_out)
         idx_ref[0] = idx_out

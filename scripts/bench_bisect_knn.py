@@ -85,11 +85,23 @@ def main():
     # --- ball-query MXU cumsum ---
     from pointcloudlib_tpu.ops.pallas.neighbors import ball_query_pallas
 
-    b, n, m, k = 32, 1024, 512, 64
-    xyz = rng.standard_normal((b, n, 3)).astype(np.float32)
-    xyz /= np.linalg.norm(xyz, axis=-1, keepdims=True)
-    xyz = jnp.asarray(xyz)
-    cen = xyz[:, :m]
+    from pointcloudlib_tpu.ops.dispatch import fps
+    from pointcloudlib_tpu.ops.geometry import index_points
+    from pointcloudlib_tpu.ops.spatial import canonicalize
+    from bench import _surface_clouds
+
+    for b, n, m, k in ((32, 1024, 512, 64), (32, 4096, 512, 64)):
+        _bq_shape(rng, b, n, m, k, fps, index_points, canonicalize,
+                  _surface_clouds)
+
+
+def _bq_shape(rng, b, n, m, k, fps, index_points, canonicalize,
+              _surface_clouds):
+    from pointcloudlib_tpu.ops.pallas.neighbors import ball_query_pallas
+
+    xyz, _ = _surface_clouds(b, n)
+    xyz, _ = canonicalize(jnp.asarray(xyz))
+    cen = jax.jit(lambda x: index_points(x, fps(x, m)))(xyz)
 
     # the public wrapper now keys its jit cache on the gate values
     # (neighbors._gate_key), so env flips retrace correctly
@@ -107,7 +119,7 @@ def main():
         os.environ["POINTCLOUDLIB_MXU_CUMSUM"] = flag
         per, tl, th = slope(bq_chain, xyz)
         name = "mxu-cumsum" if flag == "1" else "rolls"
-        print(f"ball query n=1024      {name}: {per:6.2f} ms/call",
+        print(f"ball query n={n:<5d}     {name}: {per:6.2f} ms/call",
               flush=True)
         outs[flag] = jax.jit(
             lambda c, x: bq_raw(c, x, 0.2, k, False))(cen, xyz)

@@ -40,10 +40,11 @@ def check(xyz, m, r, k, c1, label):
 
 
 def main():
+    sys.path.insert(0, "/root/repo")
+    from bench import _surface_clouds
     rng = np.random.default_rng(0)
     for n in (1024, 4096):
-        x = rng.standard_normal((16, n, 3)).astype(np.float32)
-        x /= np.linalg.norm(x, axis=-1, keepdims=True)
+        x, _ = _surface_clouds(16, n)
         xs, _ = canonicalize(jnp.asarray(x))
         check(xs, 512, 0.2, 64, 64, f"SA1(n={n})")
         # SA2 operates on SA1 centers (FPS order, unsorted)
