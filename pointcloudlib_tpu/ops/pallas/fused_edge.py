@@ -179,19 +179,8 @@ def _ke_bwd(h_ref, dout_ref, idx_ref, st_ref, ps_ref, scat_ref,
     ps_ref[0] += jnp.concatenate([s, ss], axis=0)
 
 
-def _knn_slots(ranks, q2d, k: int, ck: int, want_idx: bool):
-    """Shared with the knn_gather kernel — see neighbors._knn_slots
-    (single-array ``values`` → one mixed-precision MXU gather pass, as
-    these kernels' bf16 h checkpoint tolerates)."""
-    from pointcloudlib_tpu.ops.pallas.neighbors import (
-        _knn_slots as _slots,
-    )
-
-    return _slots(ranks, q2d, k, ck, want_idx)
-
-
 def _ke_knn_f1(x_ref, q_ref, off_ref, idx_ref, h_ref, psum_ref,
-               *, k: int, nt: int, bisect: bool = False):
+               *, k: int, nt: int):
     """Fused kNN + gather: the argmin round's selection mask
     ``lane == best`` IS the one-hot gather row, so the separate gather
     kernel's one-hot build (rows·k·N compares) disappears — each round
@@ -201,10 +190,12 @@ def _ke_knn_f1(x_ref, q_ref, off_ref, idx_ref, h_ref, psum_ref,
     zeroes the accumulator exactly once (program_id(0)==0), never per
     batch-0 tile.
 
-    ``bisect``: replace the k argmin rounds with bisection top-k
-    selection (neighbors._knn_select — same SET, slots in index order
-    instead of distance order; EdgeConv is slot-order-invariant) and
-    batched chunk extraction — ~2× fewer VPU passes at k ≥ 20."""
+    A bisection-top-k selection variant (batched chunk extraction,
+    ~2× fewer VPU passes in theory) was built, compile-validated and
+    A/B'd on chip in round 3 — it LOST at every production shape
+    (0.71× at k=20 n=1024, 0.75× at k=40 n=2048: the rank matmuls and
+    extra masks outweigh the saved argmin rounds) and was removed;
+    see docs/DESIGN.md and scripts/bench_bisect_knn.py history."""
     n, c = q_ref.shape[1], q_ref.shape[2]
     mt = off_ref.shape[1]
     lane = lax.broadcasted_iota(jnp.int32, (mt, n), 1)
@@ -220,35 +211,6 @@ def _ke_knn_f1(x_ref, q_ref, off_ref, idx_ref, h_ref, psum_ref,
                             preferred_element_type=jnp.float32)
     d2 = jnp.maximum(x2 - 2.0 * inner + p2.T, 0.0)
     off = off_ref[0]
-
-    if bisect:
-        from pointcloudlib_tpu.ops.pallas.neighbors import (
-            _knn_select, _slot_chunk,
-        )
-
-        _, ranks = _knn_select(d2, k)
-        ck = _slot_chunk(k, cap=4 if n >= 2048 else 8)
-        idx_out = jnp.zeros((mt, k), jnp.int32)
-        s, ss = _zeros2(c)
-        for j0, g, idxt in _knn_slots(ranks, q_ref[0], k, ck, True):
-            h = g - off[None]                            # [ck, mt, c]
-            h_ref[0, j0:j0 + ck, :, :] = h.astype(jnp.bfloat16)
-            h2 = h.reshape(ck * mt, c)
-            s = s + jnp.sum(h2, axis=0, keepdims=True)
-            ss = ss + jnp.sum(h2 * h2, axis=0, keepdims=True)
-            # zero-width concat parts are rejected by Mosaic (vector
-            # sizes must be positive) — build only the non-empty ones
-            place = jnp.concatenate(
-                [p for p in (
-                    jnp.zeros((mt, j0), jnp.float32) if j0 else None,
-                    idxt,
-                    jnp.zeros((mt, k - j0 - ck), jnp.float32)
-                    if k - j0 - ck else None) if p is not None], axis=1)
-            idx_out = jnp.where((kcol >= j0) & (kcol < j0 + ck),
-                                place.astype(jnp.int32), idx_out)
-        idx_ref[0] = idx_out
-        psum_ref[0] += jnp.concatenate([s, ss], axis=0)
-        return
 
     def body(j, carry):
         d2cur, idx_out, s, ss = carry
@@ -275,10 +237,9 @@ def _ke_knn_f1(x_ref, q_ref, off_ref, idx_ref, h_ref, psum_ref,
 
 
 def _ke_knn_eval(x_ref, q_ref, off_ref, st_ref, out_ref, *, k: int,
-                 slope: float, bisect: bool = False):
+                 slope: float):
     """Eval: kNN selection + gather + BN + LeakyReLU + running max —
-    no h checkpoint at all. ``bisect`` as in _ke_knn_f1 (max over the
-    neighbor set is slot-order-invariant)."""
+    no h checkpoint at all."""
     n, c = q_ref.shape[1], q_ref.shape[2]
     mt = off_ref.shape[1]
     lane = lax.broadcasted_iota(jnp.int32, (mt, n), 1)
@@ -292,22 +253,6 @@ def _ke_knn_eval(x_ref, q_ref, off_ref, st_ref, out_ref, *, k: int,
                             preferred_element_type=jnp.float32)
     d2 = jnp.maximum(x2 - 2.0 * inner + p2.T, 0.0)
     off = off_ref[0]
-
-    if bisect:
-        from pointcloudlib_tpu.ops.pallas.neighbors import (
-            _knn_select, _slot_chunk,
-        )
-
-        _, ranks = _knn_select(d2, k)
-        ck = _slot_chunk(k, cap=4 if n >= 2048 else 8)
-        macc = jnp.full((mt, c), -jnp.inf, jnp.float32)
-        for _, g, _idx in _knn_slots(ranks, q_ref[0], k, ck, False):
-            y = _bn_leaky((g - off[None]).reshape(ck * mt, c),
-                          st_ref, slope)
-            macc = jnp.maximum(macc, jnp.max(
-                y.reshape(ck, mt, c), axis=0))
-        out_ref[0] = macc
-        return
 
     def body(j, carry):
         d2cur, macc = carry
@@ -326,61 +271,30 @@ def _ke_knn_eval(x_ref, q_ref, off_ref, st_ref, out_ref, *, k: int,
     out_ref[0] = macc
 
 
-def _use_bisect(n: int, k: int) -> bool:
-    """Bisection selection pays when the k argmin rounds dominate —
-    large n (per-pass cost) and k ≥ 16 (round count). Env override
-    ``POINTCLOUDLIB_KNN_BISECT=0/1`` for A/B.
-
-    DEFAULT OFF until the Mosaic lowering is compile-validated and
-    measured on chip (interpret parity is green; the TPU tunnel was
-    down when this landed — flip the default after scripts/
-    compile_sweep.py and a slope bench pass on hardware)."""
-    import os
-
-    v = os.environ.get("POINTCLOUDLIB_KNN_BISECT")
-    if v is not None:
-        return v == "1"
-    return False  # TODO(bisect): n >= 1024 and k >= 16 once validated
-
-
-def _bisect_row_bytes(n: int) -> int:
-    """Extra per-row VMEM for the bisect path: the [ck, mt, n] bf16
-    one-hot chunk plus d2i/cand/member/ranks i32 planes."""
-    return n * 28
-
-
 def fused_edge_eval_knn(x, q, off, gamma, beta, stats, k,
                         slope=0.2, interpret=False):
-    """Eval-mode EdgeConv with in-kernel graph construction
-    (jit-cached per route-gate values — neighbors._gate_key)."""
-    from pointcloudlib_tpu.ops.pallas.neighbors import _gate_key
-
+    """Eval-mode EdgeConv with in-kernel graph construction."""
     return _fused_edge_eval_knn_jit(
         x, q, off, gamma, beta, stats, k=k, slope=slope,
-        interpret=interpret,
-        _gates=_gate_key("POINTCLOUDLIB_KNN_BISECT"))
+        interpret=interpret)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "slope", "interpret", "_gates")
+    jax.jit, static_argnames=("k", "slope", "interpret")
 )
 def _fused_edge_eval_knn_jit(x, q, off, gamma, beta, stats: EdgeStats,
                              k: int, slope: float = 0.2,
-                             interpret: bool = False, _gates=()):
+                             interpret: bool = False):
     b, n, cf = x.shape
     c = q.shape[2]
     st = _stack_stats(stats.mean, stats.var, gamma, beta)
-    bisect = _use_bisect(n, k)
     per_row = 2 * (c * 4 * 2) + n * 4
-    if bisect:
-        per_row += _bisect_row_bytes(n)
     budget = (5 << 20) - 4 * n * (cf + c)
     from pointcloudlib_tpu.ops.pallas.fused_sa import _block_tile
 
     mt = _block_tile(n, max(8, budget // per_row))
     return pl.pallas_call(
-        functools.partial(_ke_knn_eval, k=k, slope=slope,
-                          bisect=bisect),
+        functools.partial(_ke_knn_eval, k=k, slope=slope),
         grid=(b, n // mt),
         in_specs=[
             pl.BlockSpec((1, n, cf), lambda i, j: (i, 0, 0)),
@@ -401,17 +315,14 @@ def _call_eknn_f1(x, q, off, k, interpret):
     c = q.shape[2]
     # per-row blocks: h [k,c] bf16 + idx [k] i32 + off [c] f32, double
     # buffered; d2 [mt, n] f32 is a live temporary; x/q stay resident
-    bisect = _use_bisect(n, k)
     per_row = 2 * (k * c * 2 + k * 4 + c * 4) + n * 4
-    if bisect:
-        per_row += _bisect_row_bytes(n)
     budget = (5 << 20) - 4 * n * (cf + c)
     from pointcloudlib_tpu.ops.pallas.fused_sa import _block_tile
 
     mt = _block_tile(n, max(8, budget // per_row))
     nt = n // mt
     idx, h, psum = pl.pallas_call(
-        functools.partial(_ke_knn_f1, k=k, nt=nt, bisect=bisect),
+        functools.partial(_ke_knn_f1, k=k, nt=nt),
         # flat grid: _psum_init zeroes at program_id(0)==0 exactly once
         grid=(b * nt,),
         in_specs=[
@@ -1069,8 +980,7 @@ fused_edge2_conv_knn.defvjp(_e2_knn_fwd_rule, _e2_knn_bwd_rule)
 
 
 def _ke2_knn_eval(x_ref, q_ref, off_ref, st1_ref, st2_ref, w2_ref,
-                  out_ref, *, k: int, slope: float,
-                  bisect: bool = False):
+                  out_ref, *, k: int, slope: float):
     """Two-layer eval with in-kernel kNN selection + running max."""
     n, c1 = q_ref.shape[1], q_ref.shape[2]
     mt = off_ref.shape[1]
@@ -1086,25 +996,6 @@ def _ke2_knn_eval(x_ref, q_ref, off_ref, st1_ref, st2_ref, w2_ref,
                             preferred_element_type=jnp.float32)
     d2 = jnp.maximum(x2 - 2.0 * inner + p2.T, 0.0)
     off = off_ref[0]
-
-    if bisect:
-        from pointcloudlib_tpu.ops.pallas.neighbors import (
-            _knn_select, _slot_chunk,
-        )
-
-        _, ranks = _knn_select(d2, k)
-        ck = _slot_chunk(k, cap=4 if n >= 2048 else 8)
-        macc = jnp.full((mt, c2), -jnp.inf, jnp.float32)
-        for _, g, _idx in _knn_slots(ranks, q_ref[0], k, ck, False):
-            y1 = _bn_leaky((g - off[None]).reshape(ck * mt, c1),
-                           st1_ref, slope)
-            h2 = jnp.dot(y1.astype(jnp.bfloat16), w2_ref[:, :],
-                         preferred_element_type=jnp.float32)
-            y2 = _bn_leaky(h2, st2_ref, slope)
-            macc = jnp.maximum(macc, jnp.max(
-                y2.reshape(ck, mt, c2), axis=0))
-        out_ref[0] = macc
-        return
 
     def body(j, carry):
         d2cur, macc = carry
@@ -1128,38 +1019,31 @@ def _ke2_knn_eval(x_ref, q_ref, off_ref, st1_ref, st2_ref, w2_ref,
 
 def fused_edge2_eval_knn(x, q, off, w2, g1, b1, g2, b2, stats, k,
                          slope=0.2, interpret=False):
-    """2-layer eval EdgeConv (jit-cached per route-gate values)."""
-    from pointcloudlib_tpu.ops.pallas.neighbors import _gate_key
-
+    """2-layer eval EdgeConv with in-kernel graph construction."""
     return _fused_edge2_eval_knn_jit(
         x, q, off, w2, g1, b1, g2, b2, stats, k=k, slope=slope,
-        interpret=interpret,
-        _gates=_gate_key("POINTCLOUDLIB_KNN_BISECT"))
+        interpret=interpret)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "slope", "interpret", "_gates")
+    jax.jit, static_argnames=("k", "slope", "interpret")
 )
 def _fused_edge2_eval_knn_jit(x, q, off, w2, g1, b1, g2, b2,
                               stats: Edge2Stats, k: int,
                               slope: float = 0.2,
-                              interpret: bool = False, _gates=()):
+                              interpret: bool = False):
     b, n, cf = x.shape
     c1 = q.shape[2]
     c2 = w2.shape[1]
     st1 = _stack_stats(stats.m1, stats.v1, g1, b1)
     st2 = _stack_stats(stats.m2, stats.v2, g2, b2)
-    bisect = _use_bisect(n, k)
     per_row = 2 * ((c1 + c2) * 4 * 2) + n * 4
-    if bisect:
-        per_row += _bisect_row_bytes(n)
     budget = (5 << 20) - 4 * n * (cf + c1)
     from pointcloudlib_tpu.ops.pallas.fused_sa import _block_tile
 
     mt = _block_tile(n, max(8, budget // per_row))
     return pl.pallas_call(
-        functools.partial(_ke2_knn_eval, k=k, slope=slope,
-                          bisect=bisect),
+        functools.partial(_ke2_knn_eval, k=k, slope=slope),
         grid=(b, n // mt),
         in_specs=[
             pl.BlockSpec((1, n, cf), lambda i, j: (i, 0, 0)),

@@ -99,131 +99,6 @@ def _cumsum_matmul(mask: Array, w: int = 512) -> Array:
     return ranks.astype(jnp.int32)
 
 
-def _knn_select(d2: Array, k: int, n_bisect: int = 16):
-    """Exact top-k membership + slot ranks WITHOUT k argmin rounds.
-
-    Returns ``(member, ranks)``: ``member [mt, n]`` bool marks the same
-    set ``lax.top_k`` selects (k smallest d2, ties to the lower index);
-    ``ranks [mt, n]`` int32 numbers the members 1..k in INDEX order
-    (not distance order) and is 0 elsewhere — ``ranks == j+1`` is slot
-    j's one-hot gather row. Callers must be order-invariant across
-    slots (max-pool / sum semantics — EdgeConv, grouping+pool).
-
-    Method: the f32 bit pattern of d2 ≥ 0 is order-isomorphic to the
-    value, so ``n_bisect`` integer bisection steps bracket the k-th
-    smallest value to ~2⁻¹⁶ of the value range; each step is one
-    compare + row-sum over [mt, n]. Lanes at or below the bracket floor
-    are definite members; the handful of unresolved boundary lanes are
-    settled by exact masked-argmin rounds whose trip count adapts to
-    the tile's worst row (max(k − c_lo), typically 1-3) — versus k
-    rounds for the classic kernel. ~2× fewer VPU passes at k ≥ 20.
-    """
-    mt, n = d2.shape
-    assert k <= n, (k, n)
-    lane = lax.broadcasted_iota(jnp.int32, (mt, n), 1)
-    d2i = lax.bitcast_convert_type(d2, jnp.int32)
-    # invariant: count(≤ lo) < k ≤ count(≤ hi); lo starts below rowmin
-    lo = jnp.min(d2i, axis=1, keepdims=True) - 1
-    hi = jnp.max(d2i, axis=1, keepdims=True)
-
-    def bis(_, carry):
-        lo, hi = carry
-        mid = lo + (hi - lo) // 2          # ∈ [lo, hi)
-        cnt = jnp.sum((d2i <= mid).astype(jnp.int32), axis=1,
-                      keepdims=True)
-        return (jnp.where(cnt < k, mid, lo),
-                jnp.where(cnt >= k, mid, hi))
-
-    lo, hi = lax.fori_loop(0, n_bisect, bis, (lo, hi))
-    member0 = d2i <= lo
-    need = k - jnp.sum(member0.astype(jnp.int32), axis=1)   # ≥ 1
-    cand = jnp.where((d2i > lo) & (d2i <= hi), d2, jnp.inf)
-
-    def pick(j, carry):
-        # carry the mask as int32: Mosaic rejects wide i1 vectors in
-        # scf loop carries (internal layout error on the yield)
-        cand, memberi = carry
-        best = jnp.argmin(cand, axis=1).astype(jnp.int32)
-        sel = lane == best[:, None]
-        memberi = jnp.where(sel & (j < need)[:, None], 1, memberi)
-        return jnp.where(sel, jnp.inf, cand), memberi
-
-    # adaptive trip: the tile's worst row decides (bq-kernel pattern)
-    _, memberi = lax.fori_loop(0, jnp.max(need), pick,
-                               (cand, member0.astype(jnp.int32)))
-    member = memberi > 0
-    ranks = _cumsum_matmul(memberi)
-    return member, ranks * memberi
-
-
-def _slot_chunk(k: int, cap: int = 8) -> int:
-    """Largest divisor of k ≤ cap — slots extracted per batched-onehot
-    chunk in the bisect-kNN kernels."""
-    for ck in range(min(cap, k), 0, -1):
-        if k % ck == 0:
-            return ck
-    return 1
-
-
-def _lane_bytes(n: int) -> Array:
-    """[n, 8] bf16 whose cols 0/1 hold each lane id's low/high byte —
-    dotting a one-hot row against it extracts the selected lane index
-    exactly (bf16 holds ints ≤ 256; f32 accumulate)."""
-    r = lax.broadcasted_iota(jnp.int32, (n, 8), 0)
-    c8 = lax.broadcasted_iota(jnp.int32, (n, 8), 1)
-    return jnp.where(c8 == 0, r % 256,
-                     jnp.where(c8 == 1, r // 256, 0)
-                     ).astype(jnp.bfloat16)
-
-
-def _knn_slots(ranks, values, k: int, ck: int, want_idx: bool):
-    """Iterate slot chunks of a bisect-selected graph: yields
-    ``(j0, g [ck, mt, c], idx [mt, ck] | None)`` per chunk, where g is
-    the gathered value rows (slot-major). The rank mask ``ranks == j+1``
-    IS the one-hot gather row; chunking batches ck slots into one MXU
-    call. idx rides a bf16 byte-split matvec and a first-dim-contract
-    identity transpose (both exact — see _lane_bytes; widening past
-    n = 65536 means touching only THIS helper).
-
-    ``values``: a single ``[n, c]`` array (one mixed-precision MXU
-    pass — the fused-edge kernels, whose h checkpoint is bf16 anyway),
-    or an ``(v_hi, v_lo)`` bf16 hi/lo-split pair for ~1-ulp-exact f32
-    gathers (the knn_gather kernel; ops/pallas/gather.py's trick).
-    """
-    mt, n = ranks.shape
-    split = isinstance(values, tuple)
-    lmat = _lane_bytes(n) if want_idx else None
-    eye = None
-    if want_idx:
-        eye = (lax.broadcasted_iota(jnp.int32, (ck, ck), 0)
-               == lax.broadcasted_iota(jnp.int32, (ck, ck), 1)
-               ).astype(jnp.float32)
-    contract0 = (((0,), (0,)), ((), ()))
-    for j0 in range(0, k, ck):
-        sid = (j0 + 1 + lax.broadcasted_iota(jnp.int32, (ck, 1, 1), 0))
-        t = (ranks[None, :, :] == sid).astype(jnp.bfloat16)
-        t2 = t.reshape(ck * mt, n)
-        if split:
-            v_hi, v_lo = values
-            g = (jnp.dot(t2, v_hi, preferred_element_type=jnp.float32)
-                 + jnp.dot(t2, v_lo,
-                           preferred_element_type=jnp.float32))
-            g = g.reshape(ck, mt, v_hi.shape[1])
-        else:
-            g = jnp.dot(t2, values, preferred_element_type=jnp.float32)
-            g = g.reshape(ck, mt, values.shape[1])
-        idx = None
-        if want_idx:
-            ic = jnp.dot(t2, lmat, preferred_element_type=jnp.float32)
-            ic = ic.reshape(ck, mt, 8)
-            idxf = ic[:, :, 0] + 256.0 * ic[:, :, 1]       # [ck, mt]
-            idx = lax.dot_general(
-                idxf, eye, contract0,
-                precision=lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)         # [mt, ck]
-        yield j0, g, idx
-
-
 def _ball_query_kernel(r2_ref, c_ref, p_ref, idx_ref, cnt_ref):
     mt = c_ref.shape[1]
     n = p_ref.shape[1]
@@ -415,22 +290,17 @@ def knn_pallas(
 
 
 def _knn_gather_kernel(c_ref, p_ref, v_ref, idx_ref, g_ref, *, k: int,
-                       bisect: bool = False, stride: int = 1):
+                       stride: int = 1):
     """Fused kNN + gather: each argmin round's selection mask
     (``lane == best``) doubles as the one-hot gather row, so the
     separate gather's rows·k·N one-hot build and the idx round-trip
     disappear (same trick as fused_edge._ke_knn_f1). Gathered values
     ride a [k, mt, cv] layout (round index on an untiled dim).
 
-    ``bisect`` replaces the k argmin rounds with _knn_select (same
-    neighbor SET; slots in index order — the PointConv consumers sum
-    weight·feature pairs per slot, order-invariant).
-
     ``stride`` implements PointCNN's dilated kNN (reference
     misc/layers.py:354-358: kNN of k·D then every D-th rank): slot s
     gathers rank s·stride; the skipped ranks advance with argmin+mask
-    rounds only — no gather matmuls. Requires the distance-ordered
-    classic path (slots ARE ranks), so stride > 1 excludes bisect."""
+    rounds only — no gather matmuls."""
     n = p_ref.shape[1]
     mt = c_ref.shape[1]
     lane = lax.broadcasted_iota(jnp.int32, (mt, n), 1)
@@ -442,25 +312,6 @@ def _knn_gather_kernel(c_ref, p_ref, v_ref, idx_ref, g_ref, *, k: int,
     v = v_ref[0]
     v_hi = v.astype(jnp.bfloat16)
     v_lo = (v - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-
-    if bisect:
-        _, ranks = _knn_select(d2, k)
-        ck = _slot_chunk(k, cap=4 if n >= 2048 else 8)
-        idx_out = jnp.zeros((mt, k), jnp.int32)
-        for j0, g, idxt in _knn_slots(ranks, (v_hi, v_lo), k, ck, True):
-            g_ref[0, j0:j0 + ck, :, :] = g
-            # zero-width concat parts are rejected by Mosaic (vector
-            # sizes must be positive) — build only the non-empty ones
-            place = jnp.concatenate(
-                [p for p in (
-                    jnp.zeros((mt, j0), jnp.float32) if j0 else None,
-                    idxt,
-                    jnp.zeros((mt, k - j0 - ck), jnp.float32)
-                    if k - j0 - ck else None) if p is not None], axis=1)
-            idx_out = jnp.where((kcol >= j0) & (kcol < j0 + ck),
-                                place.astype(jnp.int32), idx_out)
-        idx_ref[0] = idx_out
-        return
 
     def slot(j, d2cur, idx_out):
         best = jnp.argmin(d2cur, axis=1).astype(jnp.int32)
@@ -497,20 +348,12 @@ def _knn_gather_kernel(c_ref, p_ref, v_ref, idx_ref, g_ref, *, k: int,
 
 def _knn_gather_fwd_call(query, points, values, k, interpret,
                          stride=1, ordered=False):
-    from pointcloudlib_tpu.ops.pallas.fused_edge import _use_bisect
-
     b, m, cf = query.shape
     n, cv = values.shape[1], values.shape[2]
     assert k * stride <= n, (k, stride, n)
-    # bisect numbers slots in index order; dilation strides by RANK and
-    # `ordered` callers (XConv) consume slots positionally — both need
-    # the distance-ordered classic rounds
-    bisect = stride == 1 and not ordered and _use_bisect(n, k)
     # Mosaic pads block lanes to 128-wide tiles: budget the PADDED
     # double-buffered g block (k × mt × pad(cv)) — the dominant resident
     per_row = 2 * (k * max(cv, 128) * 4 + k * 4 + 128 * 4) + n * 8
-    if bisect:
-        per_row += n * 28
     budget = (5 << 20) - 4 * n * (cf + cv)
     cap = max(1, min(m, budget // per_row))
     for mt in range(cap - cap % 8, 0, -8):
@@ -520,8 +363,7 @@ def _knn_gather_fwd_call(query, points, values, k, interpret,
         mt = m
     nt = m // mt
     idx, g = pl.pallas_call(
-        functools.partial(_knn_gather_kernel, k=k, bisect=bisect,
-                          stride=stride),
+        functools.partial(_knn_gather_kernel, k=k, stride=stride),
         grid=(b * nt,),
         in_specs=[
             pl.BlockSpec((1, mt, cf), lambda i: (i // nt, i % nt, 0)),
@@ -555,10 +397,12 @@ def knn_gather(query, points, values, k, interpret=False, stride=1,
     rounding.
 
     ``stride=D`` returns ranks 0, D, 2D, … (PointCNN dilated kNN,
-    misc/layers.py:354-358); ``ordered=True`` guarantees slots are in
-    ascending-distance order (forces the classic selection even when
-    the bisect gate is on) — required by positional consumers like
-    XConv."""
+    misc/layers.py:354-358); ``ordered=True`` asserts the positional
+    consumer's requirement (XConv) that slots are in ascending-distance
+    order — the argmin-rounds selection always is, so the flag is a
+    documented contract, not a route (a bisect selection route that
+    numbered slots in index order was removed in round 3 after losing
+    its on-chip A/B)."""
     idx, grouped = _knn_gather_fwd_call(
         lax.stop_gradient(query), lax.stop_gradient(points),
         values, k, interpret, stride, ordered)

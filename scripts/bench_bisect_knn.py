@@ -1,10 +1,13 @@
-"""A/B the bisect-selection kNN kernels against the argmin-rounds
-path on the real chip: compile check + chained-slope timing + compiled
-numeric parity (idx as sets, outputs to tolerance).
+"""A/B the ball-query MXU cumsum against the log-roll shift-adds on
+the real chip: chained-slope timing + compiled bit-parity.
 
-Run with the tunnel healthy:  python scripts/bench_bisect_knn.py
-Flips to validate: POINTCLOUDLIB_KNN_BISECT and
-POINTCLOUDLIB_MXU_CUMSUM (the ball-query MXU cumsum rides along).
+Historical note (round 3): this script also A/B'd a bisection-top-k
+selection variant of the fused kNN kernels (POINTCLOUDLIB_KNN_BISECT).
+Measured on chip 2026-08-19: bisect LOST at every production shape --
+0.71x at k=20 n=1024, 0.75x at k=40 n=2048 (compiled set-parity OK) --
+so the whole bisect path was deleted (no tuned dead code). The MXU
+cumsum won (1.59 -> 1.29 ms at 512x1024, 8.75 -> 6.85 ms at 512x4096,
+bit-equal) and is the default; POINTCLOUDLIB_MXU_CUMSUM=0 forces rolls.
 """
 
 import os
@@ -36,55 +39,7 @@ def slope(make_chain, x, lo=2, hi=6):
 
 
 def main():
-    from pointcloudlib_tpu.ops.pallas import fused_edge as fe
-
     rng = np.random.default_rng(0)
-
-    # --- fused edge f1 (the DGCNN train-path selection) ---
-    for label, b, n, k, c in [("cls k=20 n=1024", 8, 1024, 20, 64),
-                              ("partseg k=40 n=2048", 4, 2048, 40, 64)]:
-        x = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
-        q = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
-        off = jnp.asarray(rng.standard_normal((b, n, c)) * .1,
-                          jnp.float32)
-
-        def chain(x, r):
-            f = x
-            for _ in range(r):
-                idx, h, ps = fe._call_eknn_f1(f, q, off, k, False)
-                f = f + jnp.mean(ps[0]) * 1e-9 + (
-                    jnp.mean(idx.astype(jnp.float32)) * 1e-9)
-            return f
-
-        res = {}
-        for flag in ("0", "1"):
-            os.environ["POINTCLOUDLIB_KNN_BISECT"] = flag
-            per, tl, th = slope(chain, x)
-            res[flag] = per
-            name = "bisect" if flag == "1" else "rounds"
-            print(f"{label:22s} {name}: {per:6.2f} ms/call "
-                  f"(chain2 {tl:.1f}, chain6 {th:.1f})", flush=True)
-        print(f"{label:22s} speedup: {res['0'] / res['1']:.2f}x",
-              flush=True)
-
-        # compiled numeric parity
-        os.environ["POINTCLOUDLIB_KNN_BISECT"] = "0"
-        i0, h0, p0 = jax.jit(
-            lambda x: fe._call_eknn_f1(x, q, off, k, False))(x)
-        os.environ["POINTCLOUDLIB_KNN_BISECT"] = "1"
-        i1, h1, p1 = jax.jit(
-            lambda x: fe._call_eknn_f1(x, q, off, k, False))(x)
-        np.testing.assert_array_equal(
-            np.sort(np.asarray(i0), -1), np.sort(np.asarray(i1), -1))
-        np.testing.assert_allclose(np.asarray(p0), np.asarray(p1),
-                                   rtol=1e-4, atol=1e-4)
-        print(f"{label:22s} compiled parity OK (idx sets, stats)",
-              flush=True)
-    os.environ.pop("POINTCLOUDLIB_KNN_BISECT", None)
-
-    # --- ball-query MXU cumsum ---
-    from pointcloudlib_tpu.ops.pallas.neighbors import ball_query_pallas
-
     from pointcloudlib_tpu.ops.dispatch import fps
     from pointcloudlib_tpu.ops.geometry import index_points
     from pointcloudlib_tpu.ops.spatial import canonicalize

@@ -517,100 +517,3 @@ def test_knn_fused_edge2_matches_separate():
                                k, 0.2, True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
-
-
-def test_knn_select_oracle():
-    """neighbors._knn_select (bisection top-k membership + index-order
-    ranks) against a numpy oracle, including tie storms, duplicate
-    values, and k == n. Pure jnp — runs outside pallas."""
-    from pointcloudlib_tpu.ops.pallas.neighbors import _knn_select
-
-    rng = np.random.default_rng(0)
-    cases = [
-        (rng.standard_normal((16, 256)).astype(np.float32) ** 2, 7),
-        (rng.standard_normal((8, 512)).astype(np.float32) ** 2, 64),
-        # heavy duplicates: only ~8 distinct values
-        (rng.integers(0, 8, (16, 256)).astype(np.float32), 20),
-        # all-equal rows (total tie storm)
-        (np.ones((8, 128), np.float32), 5),
-        # k == n
-        (rng.standard_normal((8, 128)).astype(np.float32) ** 2, 128),
-    ]
-    for d2, k in cases:
-        member, ranks = jax.jit(
-            lambda d: _knn_select(d, k), backend=None)(jnp.asarray(d2))
-        member = np.asarray(member)
-        ranks = np.asarray(ranks)
-        mt, n = d2.shape
-        for r in range(mt):
-            # oracle: k smallest, ties to the lower index (lax.top_k)
-            order = np.lexsort((np.arange(n), d2[r]))
-            want = np.zeros(n, bool)
-            want[order[:k]] = True
-            np.testing.assert_array_equal(member[r], want,
-                                          err_msg=f"row {r} k={k}")
-            # ranks: 1..k in index order on members, 0 elsewhere
-            np.testing.assert_array_equal(
-                ranks[r][member[r]], np.arange(1, k + 1))
-            assert (ranks[r][~member[r]] == 0).all()
-
-
-def test_knn_bisect_matches_rounds():
-    """The bisect selection path (POINTCLOUDLIB_KNN_BISECT=1) must
-    reproduce the rounds path: identical neighbor SETS (slot order is
-    index- vs distance-based — EdgeConv is order-invariant), equal
-    outputs/stats/grads to f32 accumulation noise, and bit-equal
-    eval outputs. n=1024 forces a multi-tile grid."""
-    import os
-
-    from pointcloudlib_tpu.ops.pallas.fused_edge import (
-        Edge2Stats, EdgeStats, _call_eknn_f1, fused_edge2_eval_knn,
-        fused_edge_conv_knn, fused_edge_eval_knn,
-    )
-
-    b, n, k, cf, c = 2, 1024, 20, 3, 64
-    rng = np.random.default_rng(1)
-    x = jnp.asarray(rng.standard_normal((b, n, cf)), jnp.float32)
-    q = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
-    off = jnp.asarray(rng.standard_normal((b, n, c)) * .1, jnp.float32)
-    gamma, beta = jnp.ones(c), jnp.zeros(c)
-
-    def run(bisect):
-        os.environ["POINTCLOUDLIB_KNN_BISECT"] = "1" if bisect else "0"
-        try:
-            def loss(q, off, gamma, beta):
-                out, stats = fused_edge_conv_knn(
-                    x, q, off, gamma, beta, k, interpret=True)
-                w = jnp.cos(jnp.arange(out.size, dtype=jnp.float32)
-                            ).reshape(out.shape)
-                return jnp.sum(out * w), (out, stats)
-
-            (l, aux), g = jax.value_and_grad(
-                loss, argnums=(0, 1, 2, 3), has_aux=True)(
-                    q, off, gamma, beta)
-            idx, _, _ = _call_eknn_f1(x, q, off, k, True)
-            # the public wrapper keys its jit cache on the gate
-            # values (neighbors._gate_key), so no __wrapped__ bypass
-            ev = fused_edge_eval_knn(
-                x, q, off, gamma, beta,
-                EdgeStats(jnp.zeros(c), jnp.ones(c)), k, 0.2, True)
-            return aux, g, idx, ev
-        finally:
-            os.environ.pop("POINTCLOUDLIB_KNN_BISECT", None)
-
-    (o0, s0), g0, idx0, ev0 = run(False)
-    (o1, s1), g1, idx1, ev1 = run(True)
-    np.testing.assert_array_equal(np.sort(np.asarray(idx0), axis=-1),
-                                  np.sort(np.asarray(idx1), axis=-1))
-    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1),
-                               rtol=2e-4, atol=2e-4)
-    for a, b_ in zip(jax.tree_util.tree_leaves(s0),
-                     jax.tree_util.tree_leaves(s1)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
-                                   rtol=1e-4, atol=1e-4)
-    for a, b_ in zip(jax.tree_util.tree_leaves(g0),
-                     jax.tree_util.tree_leaves(g1)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
-                                   rtol=2e-3, atol=2e-3)
-    np.testing.assert_allclose(np.asarray(ev0), np.asarray(ev1),
-                               rtol=2e-4, atol=2e-4)

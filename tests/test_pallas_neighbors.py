@@ -82,42 +82,6 @@ def test_knn_matches_xla(b, m, n, k):
     )
 
 
-def test_knn_gather_bisect_matches_rounds():
-    """knn_gather's bisect selection path (POINTCLOUDLIB_KNN_BISECT=1)
-    yields the same neighbor SET and bit-equal gathered values as the
-    argmin-rounds path; slots differ only in order (index- vs
-    distance-based), which every consumer (PointConv grouping) is
-    invariant to."""
-    import os
-
-    from pointcloudlib_tpu.ops.pallas.neighbors import (
-        _knn_gather_fwd_call,
-    )
-
-    b, m, n, k, cf, cv = 2, 256, 1024, 16, 3, 32
-    rng = np.random.default_rng(2)
-    q = jnp.asarray(rng.standard_normal((b, m, cf)), jnp.float32)
-    p = jnp.asarray(rng.standard_normal((b, n, cf)), jnp.float32)
-    v = jnp.asarray(rng.standard_normal((b, n, cv)), jnp.float32)
-
-    def run(flag):
-        os.environ["POINTCLOUDLIB_KNN_BISECT"] = flag
-        try:
-            return _knn_gather_fwd_call(q, p, v, k, True)
-        finally:
-            os.environ.pop("POINTCLOUDLIB_KNN_BISECT", None)
-
-    i0, g0 = run("0")
-    i1, g1 = run("1")
-    np.testing.assert_array_equal(np.sort(np.asarray(i0), -1),
-                                  np.sort(np.asarray(i1), -1))
-    o0 = np.take_along_axis(
-        np.asarray(g0), np.argsort(np.asarray(i0), -1)[..., None], 2)
-    o1 = np.take_along_axis(
-        np.asarray(g1), np.argsort(np.asarray(i1), -1)[..., None], 2)
-    np.testing.assert_array_equal(o0, o1)
-
-
 def test_mxu_cumsum_bitexact():
     """The MXU cumsum path (POINTCLOUDLIB_MXU_CUMSUM=1) must produce
     bit-identical ball-query results to the log-roll path: counts are
