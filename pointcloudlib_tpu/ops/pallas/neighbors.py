@@ -118,12 +118,6 @@ def _ball_query_kernel(r2_ref, c_ref, p_ref, idx_ref, cnt_ref):
     # one compare+select+reduce per extraction slot
     ramp = maski * rank
 
-    def body(j, idx_out):
-        # at most one lane has ramp == j+1, so a sum-extract recovers
-        # its index (0 when the slot is empty — overwritten below)
-        idx_j = jnp.sum(jnp.where(ramp == j + 1, lane, 0), axis=1)
-        return jnp.where(kcol == j, idx_j[:, None], idx_out)
-
     cnt = rank[:, n - 1 :]                                # [Mt, 1]
     # adaptive slot bound: no row in this tile has more than max(cnt)
     # in-radius points, so later slots would extract nothing — they
@@ -132,7 +126,23 @@ def _ball_query_kernel(r2_ref, c_ref, p_ref, idx_ref, cnt_ref):
     # usually far below k (the reference pads the same way,
     # misc/ops.py:321-326), so this cuts most extraction passes.
     nslots = jnp.minimum(jnp.max(cnt), k)
-    idx = lax.fori_loop(0, nslots, body, jnp.zeros((mt, k), jnp.int32))
+    # NOTE(round 3): a chunked-MXU extraction variant (ck slot one-hots
+    # per trip, indices recovered by a [ck·Mt, N] @ [N, 8] byte-split
+    # matmul) was built and A/B'd on chip 2026-08-19: bit-equal but
+    # 0.57x at 512x1024 (1.16 -> 2.03 ms) and 0.70x at 512x4096
+    # (7.21 -> 10.29 ms) — the [ck·Mt, N] one-hot build costs more VPU
+    # than the ck select+reduce passes it replaces. Deleted, do not
+    # retry (scripts/bench_bisect_knn.py docstring has the numbers).
+
+    def body(j, idx_out):
+        # at most one lane has ramp == j+1, so a sum-extract
+        # recovers its index (0 when the slot is empty —
+        # overwritten below)
+        idx_j = jnp.sum(jnp.where(ramp == j + 1, lane, 0), axis=1)
+        return jnp.where(kcol == j, idx_j[:, None], idx_out)
+
+    idx = lax.fori_loop(0, nslots, body,
+                        jnp.zeros((mt, k), jnp.int32))
     valid = kcol < cnt
     first = idx[:, 0:1]                                   # 0 when cnt==0
     idx_ref[0] = jnp.where(valid, idx, first)

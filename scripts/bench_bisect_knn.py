@@ -1,13 +1,22 @@
 """A/B the ball-query MXU cumsum against the log-roll shift-adds on
 the real chip: chained-slope timing + compiled bit-parity.
 
-Historical note (round 3): this script also A/B'd a bisection-top-k
-selection variant of the fused kNN kernels (POINTCLOUDLIB_KNN_BISECT).
-Measured on chip 2026-08-19: bisect LOST at every production shape --
-0.71x at k=20 n=1024, 0.75x at k=40 n=2048 (compiled set-parity OK) --
-so the whole bisect path was deleted (no tuned dead code). The MXU
-cumsum won (1.59 -> 1.29 ms at 512x1024, 8.75 -> 6.85 ms at 512x4096,
-bit-equal) and is the default; POINTCLOUDLIB_MXU_CUMSUM=0 forces rolls.
+Historical notes (round 3) — two losing variants, both deleted (no
+tuned dead code):
+
+* bisection-top-k selection in the fused kNN kernels
+  (POINTCLOUDLIB_KNN_BISECT). Measured on chip 2026-08-19: LOST at
+  every production shape -- 0.71x at k=20 n=1024, 0.75x at k=40 n=2048
+  (compiled set-parity OK). The MXU cumsum won (1.59 -> 1.29 ms at
+  512x1024, 8.75 -> 6.85 ms at 512x4096, bit-equal) and is the
+  default; POINTCLOUDLIB_MXU_CUMSUM=0 forces rolls.
+* chunked-MXU slot extraction in the standalone ball query
+  (POINTCLOUDLIB_BQ_CHUNK): 8 slot one-hots per loop trip, indices
+  recovered by one [ck·Mt, N] @ [N, 8] byte-split matmul. Measured on
+  chip 2026-08-19: bit-equal but 0.57x at 512x1024 (1.16 -> 2.03
+  ms/call) and 0.70x at 512x4096 (7.21 -> 10.29 ms/call) — building
+  the [ck·Mt, N] bf16 one-hot costs more VPU than the ck
+  select+reduce passes it replaces. Do not retry.
 """
 
 import os

@@ -116,3 +116,4 @@ def test_mxu_cumsum_bitexact():
     i1, c1 = run("1")
     np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
     np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+
