@@ -18,6 +18,7 @@ BASELINE.md "Derived absolute throughput baselines".
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
@@ -223,6 +224,10 @@ def main():
         ("pointnet2_ssg_modelnet40_train_throughput",
          lambda: _bench_cls("pointnet2", 64, 1024, True, iters=30)),
     ]
+    only = sys.argv[1:]  # substring filters, e.g. `bench.py ssg 4096`
+    if only:
+        jobs = [(m, f) for m, f in jobs
+                if any(s in m for s in only)]
     for metric, fn in jobs:
         try:
             _emit(metric, fn())
