@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from pointcloudlib_tpu.nn.layers import DenseBNAct
+from pointcloudlib_tpu.nn.layers import DenseBNAct, reference_linear_init
 from pointcloudlib_tpu.ops import index_points, knn
 
 Array = jax.Array
@@ -95,7 +95,7 @@ class FusedEdgeConv(nn.Module):
             _, idx = knn(x, x, self.k)
             idx = jax.lax.stop_gradient(idx)
 
-        w = self.param("w", nn.initializers.lecun_normal(),
+        w = self.param("w", reference_linear_init,
                        (2 * c, self.features), jnp.float32)
         wa, wb = w[:c], w[c:]
         # match nn.Dense(dtype=bf16): bf16 operands, f32 accumulation
@@ -171,7 +171,7 @@ class Fused2EdgeConv(nn.Module):
             _, idx = knn(x, x, self.k)
             idx = jax.lax.stop_gradient(idx)
 
-        w = self.param("w", nn.initializers.lecun_normal(),
+        w = self.param("w", reference_linear_init,
                        (2 * c, f1), jnp.float32)
         wa, wb = w[:c], w[c:]
         q = jnp.dot(x.astype(jnp.bfloat16), wa.astype(jnp.bfloat16),
@@ -179,7 +179,7 @@ class Fused2EdgeConv(nn.Module):
         off = jnp.dot(x.astype(jnp.bfloat16),
                       (wa - wb).astype(jnp.bfloat16),
                       preferred_element_type=jnp.float32)
-        w2 = self.param("w2", nn.initializers.lecun_normal(),
+        w2 = self.param("w2", reference_linear_init,
                         (f1, f2), jnp.float32)
         g1 = self.param("bn1_scale", nn.initializers.ones, (f1,))
         b1 = self.param("bn1_bias", nn.initializers.zeros, (f1,))
@@ -252,7 +252,8 @@ class DGCNN(nn.Module):
         x = DenseBNAct(256, act=_lrelu, use_bias=True,
                        axis_name=self.axis_name)(x, training)
         x = nn.Dropout(0.5, deterministic=not training)(x)
-        return nn.Dense(self.n_classes)(x)
+        return nn.Dense(self.n_classes,
+                        kernel_init=reference_linear_init)(x)
 
 
 class DGCNNPartSeg(nn.Module):
@@ -317,4 +318,5 @@ class DGCNNPartSeg(nn.Module):
         h = DenseBNAct(256, act=_lrelu, **ax)(h, training)
         h = nn.Dropout(0.5, deterministic=not training)(h)
         h = DenseBNAct(128, act=_lrelu, **ax)(h, training)
-        return nn.Dense(self.part_num, use_bias=False)(h)
+        return nn.Dense(self.part_num, use_bias=False,
+                        kernel_init=reference_linear_init)(h)

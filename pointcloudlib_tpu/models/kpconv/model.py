@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from pointcloudlib_tpu.models.kpconv.kernel_points import load_kernels
+from pointcloudlib_tpu.nn.layers import reference_linear_init
 from pointcloudlib_tpu.models.kpconv.pyramid import Pyramid, build_pyramid
 
 Array = jax.Array
@@ -159,7 +160,8 @@ class UnaryBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, mask: Array, training: bool) -> Array:
-        x = nn.Dense(self.out_dim, use_bias=False)(x)
+        x = nn.Dense(self.out_dim, use_bias=False,
+                     kernel_init=reference_linear_init)(x)
         x = MaskedBatchNorm(self.use_bn, self.momentum,
                             self.axis_name)(x, mask, training)
         return x if self.no_relu else _lrelu(x)

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from pointcloudlib_tpu.nn.layers import reference_linear_init
 from pointcloudlib_tpu.ops import fps, index_points, knn
 
 Array = jax.Array
@@ -59,7 +60,8 @@ class DenseBlock(nn.Module):
     @nn.compact
     def __call__(self, x: Array, training: bool = False) -> Array:
         # reference Dense_Conv*/Conv keep conv bias except Conv w/ bn
-        x = nn.Dense(self.features, use_bias=True)(x)
+        x = nn.Dense(self.features, use_bias=True,
+                     kernel_init=reference_linear_init)(x)
         def bn(v):
             return nn.BatchNorm(
                 use_running_average=not training, momentum=0.9,
@@ -126,7 +128,10 @@ class XConv(nn.Module):
         # depthwise-separable conv over the neighbor axis
         c = h.shape[-1]
         dw = self.param(
-            "depthwise", nn.initializers.lecun_normal(),
+            # torch grouped-conv fan_in is K alone (channels are groups):
+            # batch_axis=0 keeps the per-channel fan the reference has
+            "depthwise", nn.initializers.variance_scaling(
+                1.0 / 3.0, "fan_in", "uniform", batch_axis=0),
             (c, k, self.depth_multiplier),
         )
         h = jnp.einsum("bpkc,ckm->bpcm", h, dw)
@@ -139,7 +144,8 @@ class XConv(nn.Module):
             "depthwise_bias", nn.initializers.zeros,
             (c * self.depth_multiplier,),
         )
-        h = nn.Dense(self.c_out, use_bias=False)(h)
+        h = nn.Dense(self.c_out, use_bias=False,
+                     kernel_init=reference_linear_init)(h)
         h = nn.relu(h)  # reference SepConv: act before BN
         h = nn.BatchNorm(
             use_running_average=not training, momentum=0.9,

@@ -27,7 +27,11 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from pointcloudlib_tpu.nn.layers import DenseBNAct, PointMLP
+from pointcloudlib_tpu.nn.layers import (
+    DenseBNAct,
+    PointMLP,
+    reference_linear_init,
+)
 from pointcloudlib_tpu.ops import (
     compute_density,
     index_points,
@@ -119,7 +123,8 @@ class PointConvSA(nn.Module):
         agg = jnp.einsum("bskc,bskw->bscw", h, w,
                          preferred_element_type=jnp.float32)
         agg = agg.reshape(b, s, self.mlp[-1] * 16)
-        out = nn.Dense(self.mlp[-1], use_bias=True)(agg)
+        out = nn.Dense(self.mlp[-1], use_bias=True,
+                       kernel_init=reference_linear_init)(agg)
         out = nn.BatchNorm(
             use_running_average=not training, momentum=0.9,
             epsilon=1e-5, axis_name=self.axis_name,
@@ -172,7 +177,8 @@ class PointConvInterp(nn.Module):
         agg = jnp.einsum("bskc,bskw->bscw", h, w,
                          preferred_element_type=jnp.float32)
         agg = agg.reshape(b, n, self.mlp[-1] * 16)
-        out = nn.Dense(self.mlp[-1], use_bias=True)(agg)
+        out = nn.Dense(self.mlp[-1], use_bias=True,
+                       kernel_init=reference_linear_init)(agg)
         out = nn.BatchNorm(
             use_running_average=not training, momentum=0.9,
             epsilon=1e-5, axis_name=self.axis_name,
@@ -226,7 +232,8 @@ class PointConvPartSeg(nn.Module):
 
         h = DenseBNAct(128, use_bias=True, axis_name=ax)(l0f, training)
         h = nn.Dropout(0.4, deterministic=not training)(h)
-        return nn.Dense(self.part_num, use_bias=True)(h)
+        return nn.Dense(self.part_num, use_bias=True,
+                        kernel_init=reference_linear_init)(h)
 
 
 class PointConvDensityCls(nn.Module):
@@ -257,4 +264,5 @@ class PointConvDensityCls(nn.Module):
         x = nn.Dropout(0.4, deterministic=not training)(x)
         x = DenseBNAct(256, use_bias=True, axis_name=ax)(x, training)
         x = nn.Dropout(0.4, deterministic=not training)(x)
-        return nn.Dense(self.n_classes)(x)
+        return nn.Dense(self.n_classes,
+                        kernel_init=reference_linear_init)(x)

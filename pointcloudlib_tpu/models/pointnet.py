@@ -13,7 +13,11 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from pointcloudlib_tpu.nn.layers import DenseBNAct, PointMLP
+from pointcloudlib_tpu.nn.layers import (
+    DenseBNAct,
+    PointMLP,
+    reference_linear_init,
+)
 
 Array = jax.Array
 
@@ -42,7 +46,8 @@ class PointNet(nn.Module):
         x = jnp.max(x, axis=1)  # global max pool over points
         x = DenseBNAct(512, axis_name=ax)(x, training)
         x = nn.Dropout(self.dropout, deterministic=not training)(x)
-        return nn.Dense(self.n_classes)(x)
+        return nn.Dense(self.n_classes,
+                        kernel_init=reference_linear_init)(x)
 
 
 class STN(nn.Module):
@@ -110,4 +115,5 @@ class PointNetPartSeg(nn.Module):
         )
         h = jnp.concatenate([expand, out1, out2, out3, out4, out5], -1)
         h = PointMLP([256, 256, 128], axis_name=ax)(h, training)
-        return nn.Dense(self.part_num)(h)  # [B, N, parts]
+        return nn.Dense(self.part_num,
+                        kernel_init=reference_linear_init)(h)  # [B, N, parts]

@@ -19,6 +19,7 @@ from pointcloudlib_tpu.nn.layers import (
     FeaturePropagation,
     SetAbstraction,
     SetAbstractionMSG,
+    reference_linear_init,
 )
 
 Array = jax.Array
@@ -34,7 +35,8 @@ class _ClsHead(nn.Module):
         x = DenseBNAct(512, axis_name=self.axis_name)(x, training)
         x = DenseBNAct(256, axis_name=self.axis_name)(x, training)
         x = nn.Dropout(self.dropout, deterministic=not training)(x)
-        return nn.Dense(self.n_classes)(x)
+        return nn.Dense(self.n_classes,
+                        kernel_init=reference_linear_init)(x)
 
 
 class PointNet2SSG(nn.Module):
@@ -126,7 +128,8 @@ class PointNet2PartSeg(nn.Module):
         f = DenseBNAct(128, act=None, use_bias=True,
                        axis_name=self.axis_name)(f, training)
         f = nn.Dropout(0.5, deterministic=not training)(f)
-        return nn.Dense(self.part_num)(f)
+        return nn.Dense(self.part_num,
+                        kernel_init=reference_linear_init)(f)
 
 
 class PointNet2MSG(nn.Module):

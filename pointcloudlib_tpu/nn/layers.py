@@ -29,6 +29,21 @@ from pointcloudlib_tpu.ops import (
 
 Array = jax.Array
 
+# Reference-matched linear init: the torch/jittor nn.Conv / nn.Linear
+# default is kaiming_uniform(a=sqrt(5)) = U(+-1/sqrt(fan_in)), whose
+# squared norm is 3x SMALLER than flax's lecun_normal default. Nearly
+# every linear here feeds a BatchNorm, and under BN the forward pass is
+# invariant to the weight's scale — with the reference's SGD+momentum
+# the effective learning rate on the weight's direction goes as
+# lr/||w||^2, so the init scale IS a training hyperparameter and must
+# match the reference. Measured effect is modest in isolation
+# (pointconv-seg 10-epoch probe: 7.55 -> 8.22 IoU,
+# scripts/probe_pointconv_seg_torchinit.py) — kept for parity, not as
+# the convergence-gap fix; gradient parity at EQUAL weights is exact
+# on CPU (scripts/probe_pointconv_seg_gradparity.py, ratios <= 1.02).
+reference_linear_init = nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform")
+
 
 def compute_dtype():
     """Matmul compute dtype: bf16 on TPU (MXU native, f32 accumulate via
@@ -66,7 +81,8 @@ class DenseBNAct(nn.Module):
     @nn.compact
     def __call__(self, x: Array, training: bool = False) -> Array:
         bias = (not self.use_bn) if self.use_bias is None else self.use_bias
-        x = nn.Dense(self.features, use_bias=bias, dtype=compute_dtype())(x)
+        x = nn.Dense(self.features, use_bias=bias, dtype=compute_dtype(),
+                     kernel_init=reference_linear_init)(x)
         if self.use_bn:
             x = nn.BatchNorm(
                 use_running_average=not training,
@@ -249,7 +265,7 @@ class FusedSetAbstraction(nn.Module):
             p, recenter = feats, 0
         c0 = p.shape[-1]
         w1 = self.param(
-            "w1", nn.initializers.lecun_normal(), (c0, c1), jnp.float32
+            "w1", reference_linear_init, (c0, c1), jnp.float32
         )
         # match nn.Dense(dtype=bf16): bf16 operands, f32 accumulation
         q = jnp.dot(
@@ -269,9 +285,9 @@ class FusedSetAbstraction(nn.Module):
             return self.param(name, init, (c,), jnp.float32)
 
         params = SAParams(
-            w2=self.param("w2", nn.initializers.lecun_normal(), (c1, c2),
+            w2=self.param("w2", reference_linear_init, (c1, c2),
                           jnp.float32),
-            w3=self.param("w3", nn.initializers.lecun_normal(), (c2, c3),
+            w3=self.param("w3", reference_linear_init, (c2, c3),
                           jnp.float32),
             g1=bn_param("bn1_scale", c1, nn.initializers.ones),
             b1=bn_param("bn1_bias", c1, nn.initializers.zeros),

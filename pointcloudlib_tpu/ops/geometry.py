@@ -66,7 +66,7 @@ def top_k(x: Array, k: int, largest: bool = True) -> Tuple[Array, Array]:
     return -neg_vals, idx
 
 
-def square_distance(a: Array, b: Array) -> Array:
+def square_distance(a: Array, b: Array, exact: bool = False) -> Array:
     """Pairwise squared euclidean distance ``[B, N, C] x [B, M, C] -> [B, N, M]``.
 
     Uses the ``|a|^2 + |b|^2 - 2 a.b`` expansion so the inner term runs on
@@ -74,11 +74,18 @@ def square_distance(a: Array, b: Array) -> Array:
     misc/ops.py:30, misc/utils.py:34, misc/pointconv_utils.py:34).
 
     The cross term is accumulated in float32 regardless of input dtype.
+    With TPU's default matmul precision the cross term multiplies in
+    bf16, leaving d2 noise of order 2^-8·|x|² — harmless when only the
+    ORDER is consumed (top_k/argmin selection), but not when the d2
+    VALUES feed weights. ``exact=True`` forces a high-precision cross
+    term for value consumers (compute_density's Gaussian kernel; the
+    torch reference is f32 throughout).
     """
     a2 = jnp.sum(a.astype(jnp.float32) ** 2, axis=-1, keepdims=True)  # [B,N,1]
     b2 = jnp.sum(b.astype(jnp.float32) ** 2, axis=-1, keepdims=True)  # [B,M,1]
     inner = jnp.einsum(
-        "bnc,bmc->bnm", a, b, preferred_element_type=jnp.float32
+        "bnc,bmc->bnm", a, b, preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST if exact else None,
     )
     d2 = a2 - 2.0 * inner + jnp.swapaxes(b2, -1, -2)
     # Guard tiny negatives from cancellation; distances are >= 0.
@@ -297,7 +304,19 @@ def three_nn(query: Array, points: Array) -> Tuple[Array, Array]:
     epsilon matches its ``1e-8``,
     misc/ops.py:90 and pointconv_utils.py:300).
     """
-    d2, idx = knn(query, points, 3)
+    _, idx = knn(query, points, 3)
+    # Recompute the selected d2 EXACTLY from the gathered coords:
+    # the knn routes' returned d2 comes from the MXU expansion (bf16
+    # cross term under default precision), whose ~2^-8·|x|² noise is
+    # fine for SELECTION but poisons these inverse-distance WEIGHTS —
+    # interpolation queries include the coarse support points
+    # themselves (FPS subsets), where exact d2=0 must produce a hard
+    # copy (normalized self-weight 1.0), not a bf16-noise blend. The
+    # direct (q−g)² form is f32-exact with no cancellation, and costs
+    # B·M·3·3 VPU flops. (Root cause of the pointconv-seg TPU
+    # convergence gap — scripts/probe_d2_precision.py.)
+    g = index_points(lax.stop_gradient(points), idx)  # [B, M, 3, 3]
+    d2 = jnp.sum((lax.stop_gradient(query)[:, :, None, :] - g) ** 2, -1)
     return idx, _inverse_distance_weights(d2)
 
 
@@ -440,7 +459,11 @@ def group_all(xyz: Array, feats: Array, use_xyz: bool = True) -> Array:
 def compute_density(xyz: Array, bandwidth: float) -> Array:
     """Gaussian-KDE point density ``[B, N]`` (reference
     misc/pointconv_utils.py:174-184)."""
-    d2 = square_distance(xyz, xyz)
+    # exact d2: the Gaussian argument divides by 2σ² (σ = 0.05…0.1 →
+    # 0.005…0.02), so the default-precision bf16 cross-term noise
+    # (~2^-8·|x|²) perturbs exp() arguments by O(0.1) — the densities
+    # feed DensityNet as VALUES, not ranks. Torch reference is f32.
+    d2 = square_distance(xyz, xyz, exact=True)
     g = jnp.exp(-d2 / (2.0 * bandwidth * bandwidth)) / (
         2.5 * bandwidth
     )

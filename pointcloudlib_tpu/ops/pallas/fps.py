@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
+from pointcloudlib_tpu.ops.pallas.prec import pin_default_matmul_precision
 from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
@@ -34,6 +35,7 @@ Array = jax.Array
 _VMEM_BUDGET = 8 * 1024 * 1024  # leave headroom below the ~16MB/core
 
 
+@pin_default_matmul_precision
 def _fps_kernel(x_ref, y_ref, z_ref, elig_ref, out_ref, mind_ref):
     """One [Bt, N] tile: full FPS for every cloud in the tile.
 

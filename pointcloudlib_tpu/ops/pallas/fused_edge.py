@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
+from pointcloudlib_tpu.ops.pallas.prec import pin_default_matmul_precision
 
 from pointcloudlib_tpu.ops.pallas.fused_sa import (
     _flat,
@@ -67,6 +68,7 @@ def _xhat_e(h2d, st_ref):
 # ---------------------------------------------------------------- kernels
 
 
+@pin_default_matmul_precision
 def _ke_f1(q_ref, idx_ref, off_ref, h_ref, psum_ref, *, cm: int):
     """h = Q[idx] − Off (bf16 checkpoint) + Σ/Σ² for the BN stats."""
     n, c = q_ref.shape[1], q_ref.shape[2]
@@ -90,6 +92,7 @@ def _ke_f1(q_ref, idx_ref, off_ref, h_ref, psum_ref, *, cm: int):
     psum_ref[0] += jnp.concatenate([s, ss], axis=0)
 
 
+@pin_default_matmul_precision
 def _ke_out(h_ref, st_ref, out_ref, *, cm: int, slope: float):
     mt, k, c = h_ref.shape[1], h_ref.shape[2], h_ref.shape[3]
 
@@ -104,6 +107,7 @@ def _ke_out(h_ref, st_ref, out_ref, *, cm: int, slope: float):
     lax.fori_loop(0, mt // cm, body, 0)
 
 
+@pin_default_matmul_precision
 def _ke_eval(q_ref, idx_ref, off_ref, st_ref, out_ref, *, cm: int,
              slope: float):
     n, c = q_ref.shape[1], q_ref.shape[2]
@@ -125,6 +129,7 @@ def _ke_eval(q_ref, idx_ref, off_ref, st_ref, out_ref, *, cm: int,
     lax.fori_loop(0, mt // cm, body, 0)
 
 
+@pin_default_matmul_precision
 def _ke_bwd(h_ref, dout_ref, idx_ref, st_ref, ps_ref, scat_ref,
             d1_ref, d2_ref, *, cm: int, slope: float):
     """Single backward pass: dz per row (max-pool even tie split +
@@ -179,6 +184,7 @@ def _ke_bwd(h_ref, dout_ref, idx_ref, st_ref, ps_ref, scat_ref,
     ps_ref[0] += jnp.concatenate([s, ss], axis=0)
 
 
+@pin_default_matmul_precision
 def _ke_knn_f1(x_ref, q_ref, off_ref, idx_ref, h_ref, psum_ref,
                *, k: int, nt: int):
     """Fused kNN + gather: the argmin round's selection mask
@@ -236,6 +242,7 @@ def _ke_knn_f1(x_ref, q_ref, off_ref, idx_ref, h_ref, psum_ref,
     psum_ref[0] += jnp.concatenate([s, ss], axis=0)
 
 
+@pin_default_matmul_precision
 def _ke_knn_eval(x_ref, q_ref, off_ref, st_ref, out_ref, *, k: int,
                  slope: float):
     """Eval: kNN selection + gather + BN + LeakyReLU + running max —
@@ -563,6 +570,7 @@ def _leaky_mask(z, slope):
     return jnp.where(z > 0, 1.0, slope)
 
 
+@pin_default_matmul_precision
 def _ke2_stats2(h_ref, st1_ref, w2_ref, psum_ref, *, cm: int,
                 slope: float):
     """Σ/Σ² of h2 = leaky(BN1(h1))·W2."""
@@ -583,6 +591,7 @@ def _ke2_stats2(h_ref, st1_ref, w2_ref, psum_ref, *, cm: int,
     psum_ref[0] += jnp.concatenate([s, ss], axis=0)
 
 
+@pin_default_matmul_precision
 def _ke2_out(h_ref, st1_ref, st2_ref, w2_ref, out_ref, *, cm: int,
              slope: float):
     mt, k, c1 = h_ref.shape[1], h_ref.shape[2], h_ref.shape[3]
@@ -602,6 +611,7 @@ def _ke2_out(h_ref, st1_ref, st2_ref, w2_ref, out_ref, *, cm: int,
     lax.fori_loop(0, mt // cm, body, 0)
 
 
+@pin_default_matmul_precision
 def _ke2_p1(h_ref, dout_ref, st1_ref, st2_ref, w2_ref,
             ps2_ref, vec_ref, mats_ref, *, cm: int, slope: float):
     """Backward pass 1: S2 sums + [y1|m1|m1·x̂1]ᵀ·[dz2|x̂2]."""
@@ -655,6 +665,7 @@ def _ke2_p1(h_ref, dout_ref, st1_ref, st2_ref, w2_ref,
     mats_ref[0] += mats
 
 
+@pin_default_matmul_precision
 def _ke2_p2(h_ref, dout_ref, idx_ref, st1_ref, st2_ref, w2_ref,
             wt2_ref, us2_ref, us1_ref, dq_ref, doff_ref,
             *, cm: int, slope: float):
@@ -887,6 +898,7 @@ def fused_edge2_eval(q, off, idx, w2, g1, b1, g2, b2,
       off.astype(jnp.float32), st1, st2, w2.astype(jnp.bfloat16))
 
 
+@pin_default_matmul_precision
 def _ke2_eval(q_ref, idx_ref, off_ref, st1_ref, st2_ref, w2_ref,
               out_ref, *, cm: int, slope: float):
     n, c1 = q_ref.shape[1], q_ref.shape[2]
@@ -979,6 +991,7 @@ def _e2_knn_bwd_rule(k, slope, interpret, axis_name, world, res, cts):
 fused_edge2_conv_knn.defvjp(_e2_knn_fwd_rule, _e2_knn_bwd_rule)
 
 
+@pin_default_matmul_precision
 def _ke2_knn_eval(x_ref, q_ref, off_ref, st1_ref, st2_ref, w2_ref,
                   out_ref, *, k: int, slope: float):
     """Two-layer eval with in-kernel kNN selection + running max."""

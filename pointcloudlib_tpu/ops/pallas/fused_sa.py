@@ -57,6 +57,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
+from pointcloudlib_tpu.ops.pallas.prec import pin_default_matmul_precision
 from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
@@ -405,6 +406,7 @@ def _cond_chain(maxcnt, variants, fn):
 # ------------------------------------------------------------ fwd kernels
 
 
+@pin_default_matmul_precision
 def _k_f1(q_ref, idx_ref, off_ref, h1_ref, psum_ref, *, cm: int,
           e: int = 0):
     """Gather pass: h1 = Q[idx] − off (bf16 checkpoint), Σ/Σ² of h1.
@@ -474,6 +476,7 @@ def _gather_blocks(q_ref, idx, s, nb, lane, cm, k, w):
     return lax.cond(nb == 1, narrow, wide, 0)
 
 
+@pin_default_matmul_precision
 def _k_f1w(s_ref, nb_ref, q_ref, idx_ref, off_ref, h1_ref, psum_ref,
            *, cm: int, w: int, e: int = 0):
     """Windowed gather pass: rows are pre-clustered (σ); each chunk
@@ -514,6 +517,7 @@ def _k_f1w(s_ref, nb_ref, q_ref, idx_ref, off_ref, h1_ref, psum_ref,
     psum_ref[0] += jnp.concatenate([sm, ss], axis=0)
 
 
+@pin_default_matmul_precision
 def _k_stats2(h1_ref, st1_ref, w2_ref, psum_ref, *, cm: int, e: int = 0):
     """Σ/Σ² of h2 = relu(BN1(h1))·W2 (nothing written but the sums).
     The block's slot dim may be capped at kc < k; each row's slot 0
@@ -539,6 +543,7 @@ def _k_stats2(h1_ref, st1_ref, w2_ref, psum_ref, *, cm: int, e: int = 0):
     psum_ref[0] += jnp.concatenate([s, ss], axis=0)
 
 
+@pin_default_matmul_precision
 def _k_stats3(h1_ref, st1_ref, st2_ref, w2_ref, w3_ref, psum_ref,
               *, cm: int, e: int = 0):
     """Σ/Σ² of h3, recomputed from h1 (slot-capped like _k_stats2)."""
@@ -562,6 +567,7 @@ def _k_stats3(h1_ref, st1_ref, st2_ref, w2_ref, w3_ref, psum_ref,
     psum_ref[0] += jnp.concatenate([s, ss], axis=0)
 
 
+@pin_default_matmul_precision
 def _k_out(h1_ref, st1_ref, st2_ref, st3_ref, w2_ref, w3_ref, out_ref,
            *, cm: int):
     """out = max_k relu(BN3(h3)), recomputed from h1."""
@@ -582,6 +588,7 @@ def _k_out(h1_ref, st1_ref, st2_ref, st3_ref, w2_ref, w3_ref, out_ref,
     lax.fori_loop(0, mt // cm, body, 0)
 
 
+@pin_default_matmul_precision
 def _k_eval(q_ref, idx_ref, off_ref, st1_ref, st2_ref, st3_ref,
             w2_ref, w3_ref, out_ref, *, cm: int, e: int = 0):
     """Eval: gather → chain → max in one kernel (running stats given).
@@ -616,6 +623,7 @@ def _k_eval(q_ref, idx_ref, off_ref, st1_ref, st2_ref, st3_ref,
     lax.fori_loop(0, mt // cm, body, 0)
 
 
+@pin_default_matmul_precision
 def _k_evalw(s_ref, nb_ref, q_ref, idx_ref, off_ref, st1_ref, st2_ref,
              st3_ref, w2_ref, w3_ref, out_ref, *, cm: int, w: int,
              e: int = 0):
@@ -665,6 +673,7 @@ def _k_evalw(s_ref, nb_ref, q_ref, idx_ref, off_ref, st1_ref, st2_ref,
 #   XLA: dQ = sc1·(Σo·dz1 − cnt·u1 − Σo·x̂1·u2).
 
 
+@pin_default_matmul_precision
 def _k_p1(h1_ref, dout_ref, st1_ref, st2_ref, st3_ref, w2_ref, w3_ref,
           ps3_ref, ps2_ref, mats_ref, *, cm: int, e: int = 0):
     """Backward pass 1: S3 sums + the 6 row-contraction accumulators.
@@ -725,6 +734,7 @@ def _k_p1(h1_ref, dout_ref, st1_ref, st2_ref, st3_ref, w2_ref, w3_ref,
     mats_ref[0] += mats
 
 
+@pin_default_matmul_precision
 def _k_p2(h1_ref, dout_ref, idx_ref, st1_ref, st2_ref, st3_ref,
           w2_ref, w3_ref, wt3_ref, wt2_ref, us3_ref, us2_ref,
           dw2_ref, ps1_ref, scat_ref, d1_ref, d2_ref, *, cm: int,
@@ -839,6 +849,7 @@ def _k_p2(h1_ref, dout_ref, idx_ref, st1_ref, st2_ref, st3_ref,
     ps1_ref[0] += jnp.concatenate([s, ss], axis=0)
 
 
+@pin_default_matmul_precision
 def _k_p2w(s_ref, nb_ref, h1_ref, dout_ref, idx_ref, st1_ref, st2_ref,
            st3_ref, w2_ref, w3_ref, wt3_ref, wt2_ref, us3_ref, us2_ref,
            dw2_ref, ps1_ref, scat_ref, d1_ref, d2_ref, *, cm: int,
@@ -1005,6 +1016,7 @@ def _bq_setup(c_ref, p_ref, r2_ref):
     return ramp, cnt, lane
 
 
+@pin_default_matmul_precision
 def _k_bqf1(r2_ref, c_ref, p_ref, q_ref, off_ref, idx_ref, h_ref,
             cnt_ref, psum_ref, *, k: int):
     """Fused ball query + gather + BN stats. The extraction mask
@@ -1098,6 +1110,7 @@ def _call_bqf1(new_xyz, pts, q, off, radius, k, interpret):
     return idx, jnp.swapaxes(h, 1, 2), cnt[..., 0], psum
 
 
+@pin_default_matmul_precision
 def _k_bqeval(r2_ref, c_ref, p_ref, q_ref, off_ref, st1_ref, st2_ref,
               st3_ref, w2_ref, w3_ref, out_ref, *, k: int):
     """Eval: ball query + gather + the whole chain per slot + running

@@ -29,11 +29,13 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
+from pointcloudlib_tpu.ops.pallas.prec import pin_default_matmul_precision
 from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
 
+@pin_default_matmul_precision
 def _gather_kernel(pts_ref, idx_ref, out_ref):
     """pts [1, N, C] f32, idx [1, Mt, K] i32 → out [1, Mt, K, C] f32."""
     n, c = pts_ref.shape[1], pts_ref.shape[2]
@@ -51,6 +53,7 @@ def _gather_kernel(pts_ref, idx_ref, out_ref):
     out_ref[0] = vals.reshape(mt, k, c)
 
 
+@pin_default_matmul_precision
 def _scatter_kernel(g_ref, idx_ref, out_ref):
     """Transposed gather (scatter-add): g [1,Mt,K,C], idx [1,Mt,K] →
     accumulate into out [1,N,C] across the M-tile grid dimension."""

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
+from pointcloudlib_tpu.ops.pallas.prec import pin_default_matmul_precision
 from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
@@ -99,6 +100,7 @@ def _cumsum_matmul(mask: Array, w: int = 512) -> Array:
     return ranks.astype(jnp.int32)
 
 
+@pin_default_matmul_precision
 def _ball_query_kernel(r2_ref, c_ref, p_ref, idx_ref, cnt_ref):
     mt = c_ref.shape[1]
     n = p_ref.shape[1]
@@ -149,6 +151,7 @@ def _ball_query_kernel(r2_ref, c_ref, p_ref, idx_ref, cnt_ref):
     cnt_ref[0] = cnt  # [Mt, 1]
 
 
+@pin_default_matmul_precision
 def _knn_kernel(c_ref, p_ref, idx_ref, d2_ref, *, exact: bool = False):
     mt = c_ref.shape[1]
     n = p_ref.shape[1]
@@ -299,6 +302,7 @@ def knn_pallas(
     return d2, idx
 
 
+@pin_default_matmul_precision
 def _knn_gather_kernel(c_ref, p_ref, v_ref, idx_ref, g_ref, *, k: int,
                        stride: int = 1):
     """Fused kNN + gather: each argmin round's selection mask

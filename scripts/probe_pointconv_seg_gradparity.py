@@ -22,8 +22,13 @@ import os
 import sys
 from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ["PALLAS_AXON_POOL_IPS"] = ""
+# default: CPU (XLA compute paths). PROBE_TPU=1 keeps the axon TPU
+# backend so the jax arm runs through the Pallas kernel routes (gather
+# custom VJP, fps, knn) — the torch arm is CPU either way, so this
+# A/Bs the TPU gradient path against the same torch reference.
+if os.environ.get("PROBE_TPU") != "1":
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""
 
 ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))

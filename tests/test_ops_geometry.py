@@ -159,6 +159,28 @@ class TestThreeNN:
         _, w = ops.three_nn(jnp.asarray(q), jnp.asarray(p))
         np.testing.assert_allclose(np.asarray(w).sum(-1), 1.0, atol=1e-5)
 
+    def test_weights_independent_of_knn_d2(self, monkeypatch):
+        """three_nn must recompute d2 from the gathered coords, never
+        trust the knn route's returned values: on TPU the routes'
+        expansion-form d2 carries bf16 cross-term noise (~2^-8·|x|²),
+        which poisons 1/(d2+1e-8) weights at self-pairs (true d2=0 →
+        hard copy). Guard: corrupt the returned d2 and require
+        identical weights."""
+        from pointcloudlib_tpu.ops import geometry
+
+        q, p = _clouds(2, 30, seed=2), _clouds(2, 50, seed=3)
+        _, w0 = geometry.three_nn(jnp.asarray(q), jnp.asarray(p))
+
+        real_knn = geometry.knn
+
+        def noisy_knn(query, points, k):
+            d2, idx = real_knn(query, points, k)
+            return d2 + 1e-3, idx  # bf16-scale corruption
+
+        monkeypatch.setattr(geometry, "knn", noisy_knn)
+        _, w1 = geometry.three_nn(jnp.asarray(q), jnp.asarray(p))
+        np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))
+
     def test_fused_route_matches_xla(self, monkeypatch):
         """The TPU route (knn_gather kernel, interpret mode here)
         matches the XLA route: outputs to the weight-rounding
