@@ -12,6 +12,7 @@ here reproduces it. KPConv uses 0.05 → 0.95 (datasets/ModelNet40.py:1375).
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional, Sequence, Tuple
 
 import jax
@@ -41,8 +42,11 @@ Array = jax.Array
 # scripts/probe_pointconv_seg_torchinit.py) — kept for parity, not as
 # the convergence-gap fix; gradient parity at EQUAL weights is exact
 # on CPU (scripts/probe_pointconv_seg_gradparity.py, ratios <= 1.02).
-reference_linear_init = nn.initializers.variance_scaling(
-    1.0 / 3.0, "fan_in", "uniform")
+reference_linear_init = (
+    nn.initializers.lecun_normal()
+    if os.environ.get("POINTCLOUDLIB_REF_INIT", "1") == "0"
+    else nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+)
 
 
 def compute_dtype():

@@ -42,7 +42,13 @@ LADDER = [
     ("cls", "pointnet2_msg", [], 34.0),   # measured 42.97
     ("cls", "dgcnn", [], 36.0),           # measured 46.09
     ("cls", "pointcnn", [], 38.0),        # measured 47.66
-    ("cls", "pointconv", [], 33.0),       # measured 42.19
+    # re-based round 3: reference_linear_init (intentional parity,
+    # nn/layers.py:32) slows the 10-epoch budget for this family — the
+    # reference-keyed torch mirror itself lands 31.25 best OA here
+    # (scripts/probe_pointconv_cls_convergence.py); ours measured
+    # 25.0-29.7 under the matched init (and 35.9 with the old lecun
+    # init via POINTCLOUDLIB_REF_INIT=0), ±5 trajectory noise
+    ("cls", "pointconv", [], 22.0),       # measured 25.0-29.7 (ref init)
     ("cls", "kpconv", [], 38.0),          # measured 47.66
     ("cls", "kpconv_deform", [], 36.0),   # measured 45.31 (frozen offsets)
     ("seg", "pointnet", [], 38.0),        # measured 48.51
