@@ -92,14 +92,17 @@ def main() -> int:
     ap.add_argument("--record", action="store_true",
                     help="measure and print; do not assert floors")
     ap.add_argument("--only", default=None,
-                    help="comma-separated model filter")
+                    help="comma-separated model filter; entries may be "
+                         "qualified as task/model (e.g. cls/pointconv) "
+                         "to select one row of a family that appears "
+                         "in both tasks")
     args = ap.parse_args()
 
     only = set(args.only.split(",")) if args.only else None
     log = ROOT / "accuracy_ladder.jsonl"
     failures = []
     for task, model, extra, floor in LADDER:
-        if only and model not in only:
+        if only and model not in only and f"{task}/{model}" not in only:
             continue
         t0 = time.time()
         try:
