@@ -18,8 +18,15 @@ BASELINE.md "Derived absolute throughput baselines".
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+# Quiet the axon host's rust tracing INFO spew BEFORE jax/libtpu load:
+# the round-3 driver tail (2000 chars) was flooded by it and preserved
+# only 2 of 12 result rows. Real failures still surface as Python
+# exceptions and as {"failed": true} rows below.
+os.environ.setdefault("RUST_LOG", "error")
 
 import jax
 import numpy as np
@@ -194,6 +201,7 @@ def _emit(metric, sps):
     if gflop is not None:
         row["mfu"] = round(sps * gflop * 1e9 / PEAK_BF16_FLOPS, 4)
     print(json.dumps(row), flush=True)
+    return row
 
 
 def main():
@@ -228,13 +236,30 @@ def main():
     if only:
         jobs = [(m, f) for m, f in jobs
                 if any(s in m for s in only)]
+    results = []
     for metric, fn in jobs:
         try:
-            _emit(metric, fn())
-        except Exception as e:  # a secondary workload must not kill the run
-            if metric == "pointnet2_ssg_modelnet40_train_throughput":
-                raise
-            print(f"# {metric} failed: {e}", flush=True)
+            results.append(_emit(metric, fn()))
+        except Exception as e:
+            # a broken workload must be LOUD, not a swallowed comment:
+            # it gets a machine-readable row and fails the run's exit
+            # code (round 3 shipped a family that couldn't compile and
+            # the bench exited 0 — VERDICT r3 weak #6)
+            row = {
+                "metric": metric, "value": 0.0, "unit": "samples/sec",
+                "vs_baseline": 0.0, "failed": True,
+                "error": " ".join(str(e).split())[:160],
+            }
+            print(json.dumps(row), flush=True)
+            results.append(row)
+    # Compact re-print of EVERY row as the LAST output: the driver
+    # records only the final ~2000 chars, and the last line must be the
+    # headline row (jobs order keeps it last).
+    print("# ---- all rows ----", flush=True)
+    for row in results:
+        print(json.dumps(row, separators=(",", ":")), flush=True)
+    if any(r.get("failed") for r in results):
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -79,13 +79,35 @@ def _scatter_kernel(g_ref, idx_ref, out_ref):
     out_ref[0] += acc
 
 
-def _tile_m(m: int, k: int, n: int) -> int:
-    # tile M so the one-hot block [Mt*K, N] stays ~2MB in VMEM.
+_VMEM_BUDGET = 12 << 20  # conservative vs the 16 MB scoped-vmem limit
+
+
+def _footprint(mt: int, k: int, n: int, c: int) -> int:
+    """Model of the scatter/gather kernel's scoped-VMEM bytes at tile
+    size ``mt``. Counts what the round-3 budget missed: the in-kernel
+    [mt·k, n] iota (i32) + one-hot (bf16), the hi/lo bf16 splits, the
+    f32 [n, c_lane-padded] accumulator, and the double-buffered value
+    blocks. Calibrated against the compiler's 17.28 MB report at
+    (mt=128, k=8, n=2048, c=131) — the model reads ~19.9 MB there, a
+    ~15% overestimate, which is the right side to err on."""
+    c_pad = -(-c // 128) * 128
+    per_row = k * n * 6 + k * c_pad * 12
+    fixed = n * c_pad * 8
+    return mt * per_row + fixed
+
+
+def _tile_m(m: int, k: int, n: int, c: int) -> int:
+    # tile M so the one-hot block [Mt*K, N] stays ~2MB in VMEM AND the
+    # full kernel footprint (iota + one-hot + accumulator + blocks)
+    # fits the scoped-vmem limit — round 3 budgeted only the one-hot
+    # and OOM'd at (n=2048, c=131) in PointCNN partseg's backward.
     # Mosaic: a block's last-two dims must be (mult of 8, mult of 128)
     # or equal the array dims — mt is the sublane dim of the idx block,
     # so it must be a multiple of 8 (or the whole m).
     row_budget = 1024 if n <= 2048 else max(256, (1 << 21) // n)
     cap = max(1, min(m, row_budget // max(k, 1)))
+    while cap >= 8 and _footprint(cap, k, n, c) > _VMEM_BUDGET:
+        cap -= 8
     for mt in range(cap - cap % 8, 0, -8):
         if m % mt == 0:
             return mt
@@ -109,15 +131,19 @@ def gather_neighbors(
     return _gather_fwd_impl(points, idx, interpret)
 
 
-def _row_pad_plan(m: int, k: int, n: int):
+def _row_pad_plan(m: int, k: int, n: int, c: int):
     """(mt, pad): tile size and the row padding that makes it valid.
     Padding rows carry the sentinel index (>= n -> all-zero one-hot
-    rows) so they gather/scatter exact zeros and are sliced away."""
-    mt = _tile_m(m, k, n)
+    rows) so they gather/scatter exact zeros and are sliced away.
+    (0, 0) means the kernel cannot fit scoped VMEM even at mt=8 —
+    callers must take the XLA route."""
+    if _footprint(8, k, n, c) > _VMEM_BUDGET:
+        return 0, 0
+    mt = _tile_m(m, k, n, c)
     if mt:
         return mt, 0
     pad = (-m) % 8
-    mt = _tile_m(m + pad, k, n) or 8
+    mt = _tile_m(m + pad, k, n, c) or 8
     return mt, pad
 
 
@@ -125,7 +151,15 @@ def _row_pad_plan(m: int, k: int, n: int):
 def _gather_fwd_impl(points, idx, interpret=False):
     b, n, c = points.shape
     _, m, k = idx.shape
-    mt, pad = _row_pad_plan(m, k, n)
+    mt, pad = _row_pad_plan(m, k, n, c)
+    if not mt:
+        # kernel can't fit scoped VMEM at this (n, c) even at mt=8:
+        # XLA row gather, zero-filling the sentinel rows (>= n) per
+        # the documented contract.
+        return jnp.take_along_axis(
+            points, idx.reshape(b, -1, 1), axis=1,
+            mode="fill", fill_value=0.0,
+        ).reshape(b, m, k, c).astype(jnp.float32)
     if pad:
         idx = jnp.pad(idx, ((0, 0), (0, pad), (0, 0)),
                       constant_values=n)
@@ -150,10 +184,38 @@ def _gather_fwd_impl(points, idx, interpret=False):
     return out[:, :m - pad] if pad else out
 
 
+def _scatter_xla(g, idx, n):
+    """XLA scatter-add fallback: ``out[b, idx[b,m,k], :] += g[b,m,k,:]``.
+    ``mode="drop"`` makes sentinel indices (>= n) contribute nothing —
+    the same zero-row convention as the kernel."""
+    b, m, k, c = g.shape
+    out = jnp.zeros((b, n, c), jnp.float32)
+    return out.at[
+        jnp.arange(b)[:, None], idx.reshape(b, m * k)
+    ].add(g.reshape(b, m * k, c).astype(jnp.float32), mode="drop")
+
+
+@functools.partial(jax.jit, static_argnames=("n", "interpret"))
+def scatter_rows(g, idx, n, interpret=False):
+    """Routed transposed-gather (scatter-add): the Pallas
+    scatter-as-matmul kernel when its full VMEM footprint fits the
+    scoped limit, else XLA's native scatter-add. This is the single
+    backward entry point for gather_neighbors and knn_gather — round 3
+    called the kernel unconditionally and OOM'd at (n=2048, c=131)
+    in PointCNN partseg (f32[16,2048,8,131])."""
+    b, m, k, c = g.shape
+    mt, _ = _row_pad_plan(m, k, n, c)
+    if not mt:
+        return _scatter_xla(g, idx, n)
+    return _gather_bwd_impl(g, idx, n, interpret)
+
+
 @functools.partial(jax.jit, static_argnames=("n", "interpret"))
 def _gather_bwd_impl(g, idx, n, interpret=False):
     b, m, k, c = g.shape
-    mt, pad = _row_pad_plan(m, k, n)
+    mt, pad = _row_pad_plan(m, k, n, c)
+    if not mt:
+        return _scatter_xla(g, idx, n)
     if pad:
         g = jnp.pad(g, ((0, 0), (0, pad), (0, 0), (0, 0)))
         idx = jnp.pad(idx, ((0, 0), (0, pad), (0, 0)),
@@ -183,7 +245,7 @@ def _gather_vjp_fwd(points, idx, interpret):
 
 def _gather_vjp_bwd(interpret, res, g):
     idx, n = res
-    return _gather_bwd_impl(g, idx, n, interpret), None
+    return scatter_rows(g, idx, n, interpret), None
 
 
 gather_neighbors.defvjp(_gather_vjp_fwd, _gather_vjp_bwd)

@@ -433,9 +433,12 @@ def _knn_gather_fwd(query, points, values, k, interpret, stride,
 def _knn_gather_bwd(k, interpret, stride, ordered, res, cts):
     _didx, dg = cts
     idx, n = res
-    from pointcloudlib_tpu.ops.pallas.gather import _gather_bwd_impl
+    # routed: Pallas scatter-as-matmul when its footprint fits scoped
+    # VMEM, XLA scatter-add otherwise (round 3 called the kernel
+    # unconditionally and PointCNN partseg OOM'd at f32[16,2048,8,131])
+    from pointcloudlib_tpu.ops.pallas.gather import scatter_rows
 
-    return None, None, _gather_bwd_impl(dg, idx, n, interpret)
+    return None, None, scatter_rows(dg, idx, n, interpret)
 
 
 knn_gather.defvjp(_knn_gather_fwd, _knn_gather_bwd)

@@ -90,6 +90,58 @@ def test_vjp_matches_xla():
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
 
 
+def test_vmem_plan_counts_full_footprint():
+    """Round-4 regression: the scatter plan must budget the FULL kernel
+    footprint (iota + one-hot + [n, c_pad] accumulator + double-buffered
+    blocks), not just the one-hot. At PointCNN partseg's backward shape
+    (m=2048, k=8, n=2048, c=131) round 3 picked mt=128 (17.28 MB — OOM
+    on chip, BENCH_r03); the plan must now pick a tile that fits."""
+    from pointcloudlib_tpu.ops.pallas.gather import (
+        _VMEM_BUDGET, _footprint, _row_pad_plan,
+    )
+
+    mt, pad = _row_pad_plan(2048, 8, 2048, 131)
+    assert mt and mt < 128 and pad == 0
+    assert _footprint(mt, 8, 2048, 131) <= _VMEM_BUDGET
+    # headline SA1-scale gather keeps its round-3 tile (perf-tuned)
+    assert _row_pad_plan(512, 64, 1024, 6) == (16, 0)
+
+
+def test_scatter_rows_xla_fallback_parity():
+    """When even mt=8 cannot fit (huge n·c_pad), scatter_rows must take
+    the XLA scatter-add and match the kernel's semantics, including
+    dropping sentinel rows (idx >= n)."""
+    from pointcloudlib_tpu.ops.pallas import gather as gm
+
+    rng = np.random.default_rng(7)
+    b, m, k, c, n = 2, 24, 4, 6, 64
+    g = jnp.asarray(rng.standard_normal((b, m, k, c)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, n, (b, m, k)), jnp.int32)
+    idx = idx.at[:, 3, 1].set(n)  # sentinel: must contribute nothing
+    want = np.asarray(gm._gather_bwd_impl(g, idx, n, interpret=True))
+    got = np.asarray(gm._scatter_xla(g, idx, n))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    # and scatter_rows itself returns the XLA result when nothing fits
+    assert gm._row_pad_plan(8, 4, 1 << 14, 1 << 12)[0] == 0
+
+
+def test_gather_fwd_xla_fallback_contract(monkeypatch):
+    """_gather_fwd_impl's no-fit fallback zero-fills sentinel rows."""
+    from pointcloudlib_tpu.ops.pallas import gather as gm
+
+    monkeypatch.setattr(gm, "_VMEM_BUDGET", 0)
+    rng = np.random.default_rng(9)
+    pts = jnp.asarray(rng.standard_normal((2, 32, 4)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, 32, (2, 8, 3)), jnp.int32)
+    idx = idx.at[:, :, 1].set(32)
+    got = np.asarray(gm._gather_fwd_impl(pts, idx))
+    np.testing.assert_array_equal(got[:, :, 1], 0.0)
+    want = np.asarray(jnp.take_along_axis(
+        pts, idx.reshape(2, -1, 1), axis=1, mode="fill", fill_value=0.0,
+    ).reshape(2, 8, 3, 4))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
 def test_gather_odd_m_pads_rows():
     """m with no multiple-of-8 divisor (e.g. 37): _tile_m signals a
     row-pad instead of abandoning the VMEM budget with mt=m; sentinel
@@ -100,7 +152,7 @@ def test_gather_odd_m_pads_rows():
         _row_pad_plan, gather_neighbors,
     )
 
-    mt, pad = _row_pad_plan(37, 5, 256)
+    mt, pad = _row_pad_plan(37, 5, 256, 8)
     assert pad > 0 and (37 + pad) % mt == 0 and mt % 8 == 0
 
     rng = np.random.default_rng(3)
