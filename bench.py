@@ -91,8 +91,10 @@ def _surface_clouds(batch_size, n_points, seed=0):
             np.stack([it[1] for it in items]).astype(np.float32))
 
 
-def _bench_cls(model_name, batch_size, n_points, with_normals,
-               iters=30, warmup=3):
+def _setup_cls(model_name, batch_size, n_points, with_normals):
+    """(step, state, sharded_batch, key) for a cls workload — shared by
+    the timing loop below and scripts/compile_sweep.py's trace-time
+    shape recorder (the sweep must cover exactly what bench traces)."""
     import optax  # noqa: F401
 
     from pointcloudlib_tpu.models import get_cls_model
@@ -124,6 +126,14 @@ def _bench_cls(model_name, batch_size, n_points, with_normals,
     state = replicate(mesh, state)
     sharded = shard_batch(mesh, batch)
     step = make_cls_train_step(model, mesh)
+    return step, state, sharded, key
+
+
+def _bench_cls(model_name, batch_size, n_points, with_normals,
+               iters=30, warmup=3):
+    step, state, sharded, key = _setup_cls(
+        model_name, batch_size, n_points, with_normals)
+    batch_size = sharded["xyz"].shape[0]
 
     # NOTE: on the tunneled axon platform block_until_ready can return
     # at enqueue time; only a value transfer (device_get) is a fence.
@@ -139,8 +149,10 @@ def _bench_cls(model_name, batch_size, n_points, with_normals,
     return batch_size * iters / dt
 
 
-def _bench_partseg(model_name="pointnet2", with_feats=True,
-                   batch_size=16, n_points=2048, iters=20, warmup=3):
+def _setup_seg(model_name="pointnet2", with_feats=True,
+               batch_size=16, n_points=2048):
+    """(step, state, sharded_batch, key) for a seg workload — shared by
+    the timing loop below and scripts/compile_sweep.py."""
     from pointcloudlib_tpu.models import get_seg_model
     from pointcloudlib_tpu.parallel import make_mesh, replicate, shard_batch
     from pointcloudlib_tpu.train import (
@@ -177,6 +189,14 @@ def _bench_partseg(model_name="pointnet2", with_feats=True,
     state = replicate(mesh, state)
     sharded = shard_batch(mesh, batch)
     step = make_seg_train_step(model, mesh)
+    return step, state, sharded, key
+
+
+def _bench_partseg(model_name="pointnet2", with_feats=True,
+                   batch_size=16, n_points=2048, iters=20, warmup=3):
+    step, state, sharded, key = _setup_seg(
+        model_name, with_feats, batch_size, n_points)
+    batch_size = sharded["xyz"].shape[0]
 
     for _ in range(warmup):
         state, metrics = step(state, sharded, key)
@@ -204,33 +224,58 @@ def _emit(metric, sps):
     return row
 
 
+# One row per published reference workload. Tuples are
+# (metric, kind, setup-args, iters): compile_sweep.py re-uses the SAME
+# setup via workload_setup() so the on-chip sweep covers exactly the
+# programs bench traces (VERDICT r3 #7: hand-picked sweep shapes missed
+# the pointcnn-partseg compile class two rounds running).
+WORKLOADS = [
+    ("pointnet_modelnet40_train_throughput",
+     "cls", ("pointnet", 64, 1024, False), 30),
+    ("pointnet2_ssg_n4096_normals_train_throughput",
+     "cls", ("pointnet2", 32, 4096, True), 20),
+    ("pointnet2_msg_modelnet40_train_throughput",
+     "cls", ("pointnet2_msg", 32, 1024, True), 15),
+    ("dgcnn_modelnet40_train_throughput",
+     "cls", ("dgcnn", 32, 1024, False), 20),
+    ("pointcnn_modelnet40_train_throughput",
+     "cls", ("pointcnn", 32, 1024, False), 15),
+    ("pointconv_modelnet40_train_throughput",
+     "cls", ("pointconv", 32, 1024, True), 15),
+    ("kpconv_modelnet40_train_throughput",
+     "cls", ("kpconv", 16, 1024, False), 10),
+    ("pointnet2_shapenet_partseg_train_throughput",
+     "seg", ("pointnet2", True), 20),
+    ("dgcnn_shapenet_partseg_train_throughput",
+     "seg", ("dgcnn", False), 10),
+    ("pointcnn_shapenet_partseg_train_throughput",
+     "seg", ("pointcnn", True), 10),
+    ("pointconv_shapenet_partseg_train_throughput",
+     "seg", ("pointconv", False), 10),
+    # headline last — the driver records the final line
+    ("pointnet2_ssg_modelnet40_train_throughput",
+     "cls", ("pointnet2", 64, 1024, True), 30),
+]
+
+
+def workload_setup(metric):
+    """(step, state, sharded_batch, key) for a named workload — the
+    exact objects the timing loop runs (compile_sweep.py entry)."""
+    for name, kind, setup_args, _ in WORKLOADS:
+        if name == metric:
+            setup = _setup_cls if kind == "cls" else _setup_seg
+            return setup(*setup_args)
+    raise KeyError(metric)
+
+
 def main():
     jobs = [
-        ("pointnet_modelnet40_train_throughput",
-         lambda: _bench_cls("pointnet", 64, 1024, False, iters=30)),
-        ("pointnet2_ssg_n4096_normals_train_throughput",
-         lambda: _bench_cls("pointnet2", 32, 4096, True, iters=20)),
-        ("pointnet2_msg_modelnet40_train_throughput",
-         lambda: _bench_cls("pointnet2_msg", 32, 1024, True, iters=15)),
-        ("dgcnn_modelnet40_train_throughput",
-         lambda: _bench_cls("dgcnn", 32, 1024, False, iters=20)),
-        ("pointcnn_modelnet40_train_throughput",
-         lambda: _bench_cls("pointcnn", 32, 1024, False, iters=15)),
-        ("pointconv_modelnet40_train_throughput",
-         lambda: _bench_cls("pointconv", 32, 1024, True, iters=15)),
-        ("kpconv_modelnet40_train_throughput",
-         lambda: _bench_cls("kpconv", 16, 1024, False, iters=10)),
-        ("pointnet2_shapenet_partseg_train_throughput",
-         lambda: _bench_partseg("pointnet2", True)),
-        ("dgcnn_shapenet_partseg_train_throughput",
-         lambda: _bench_partseg("dgcnn", False, iters=10)),
-        ("pointcnn_shapenet_partseg_train_throughput",
-         lambda: _bench_partseg("pointcnn", True, iters=10)),
-        ("pointconv_shapenet_partseg_train_throughput",
-         lambda: _bench_partseg("pointconv", False, iters=10)),
-        # headline last — the driver records the final line
-        ("pointnet2_ssg_modelnet40_train_throughput",
-         lambda: _bench_cls("pointnet2", 64, 1024, True, iters=30)),
+        (metric,
+         (lambda a, it: lambda: _bench_cls(*a, iters=it))(setup_args, iters)
+         if kind == "cls" else
+         (lambda a, it: lambda: _bench_partseg(*a, iters=it))(
+             setup_args, iters))
+        for metric, kind, setup_args, iters in WORKLOADS
     ]
     only = sys.argv[1:]  # substring filters, e.g. `bench.py ssg 4096`
     if only:

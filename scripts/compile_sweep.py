@@ -1,11 +1,24 @@
-"""Compile-and-run sweep of the fused kernels over every shape the
-model zoo uses (plus margins). Catches VMEM/tiling regressions that
-interpret-mode tests cannot (they're Mosaic compile-time properties).
+"""Compile-and-run sweep: every bench workload's REAL train step
+(forward+backward, the exact objects bench.py times) is lowered,
+compiled, and run for one step on the chip — plus a fast kernel-level
+pre-pass over hand-picked shapes that localizes a failure to a single
+Pallas entry point before the whole-program pass names the workload.
 
-Run on the real chip:  python scripts/compile_sweep.py
+The workload pass is derived from bench.WORKLOADS via
+bench.workload_setup(), not a hand-kept shape list: rounds 2 and 3
+each shipped a compile class the hand-picked list missed (gate-keyed
+jit caches; the pointcnn-partseg gather backward at f32[16,2048,8,131]
+— VERDICT r3 #7). If this sweep passes, bench.py cannot fail to
+compile.
+
+Run on the real chip:
+  python scripts/compile_sweep.py              # kernels + all workloads
+  python scripts/compile_sweep.py --kernels    # kernel pre-pass only
+  python scripts/compile_sweep.py pointcnn     # workloads matching substring
 """
 
 import sys
+import time
 
 sys.path.insert(0, "/root/repo")
 
@@ -257,10 +270,46 @@ def sweep_capped_gather():
         os.environ.pop("POINTCLOUDLIB_SA_RUNGS", None)
 
 
+def sweep_workloads(filters=()):
+    """Lower + compile + run ONE step of each bench workload's actual
+    train step. Catches everything bench.py can hit: Mosaic scoped-VMEM
+    OOMs (compile-time), XLA HBM OOMs and runtime faults (the single
+    executed step). Serial — one TPU program in flight at a time."""
+    import bench
+
+    failed = []
+    for metric, _kind, _args, _iters in bench.WORKLOADS:
+        if filters and not any(f in metric for f in filters):
+            continue
+        t0 = time.perf_counter()
+        try:
+            step, state, sharded, key = bench.workload_setup(metric)
+            compiled = step.lower(state, sharded, key).compile()
+            t_compile = time.perf_counter() - t0
+            _state, metrics = compiled(state, sharded, key)
+            loss = float(jax.device_get(metrics["loss"]))
+            assert np.isfinite(loss), f"non-finite loss {loss}"
+            print(f"workload ok  {metric}  compile={t_compile:.1f}s "
+                  f"loss={loss:.3f}", flush=True)
+        except Exception as e:
+            failed.append(metric)
+            print(f"workload FAIL  {metric}: "
+                  f"{' '.join(str(e).split())[:300]}", flush=True)
+    if failed:
+        print(f"sweep FAILED: {failed}", flush=True)
+        sys.exit(1)
+
+
 if __name__ == "__main__":
-    sweep_sa()
-    sweep_edge()
-    sweep_gather_odd()
-    sweep_bq()
-    sweep_capped_gather()
+    argv = sys.argv[1:]
+    kernels_only = "--kernels" in argv
+    filters = tuple(a for a in argv if not a.startswith("--"))
+    if not filters:  # kernel pre-pass (fast, localizes failures)
+        sweep_sa()
+        sweep_edge()
+        sweep_gather_odd()
+        sweep_bq()
+        sweep_capped_gather()
+    if not kernels_only:
+        sweep_workloads(filters)
     print("sweep complete")
