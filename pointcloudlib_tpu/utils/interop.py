@@ -868,3 +868,34 @@ def convert_variables(src: Mapping, template: Mapping) -> Dict:
             src.get("batch_stats", {}), template["batch_stats"],
             stats=True)
     return out
+
+
+# Importer registry: (model registry name, "cls"|"seg") -> state_dict
+# converter. The CLI's --diff-checkpoint and any programmatic migration
+# resolve through this instead of hard-coding per-family function names.
+_IMPORTERS = {
+    ("pointnet", "cls"): pointnet_from_torch,
+    ("pointnet2", "cls"): pointnet2_from_reference,
+    ("pointnet2_msg", "cls"):
+        lambda sd: pointnet2_from_reference(sd, msg=True),
+    ("dgcnn", "cls"): dgcnn_from_torch,
+    ("pointcnn", "cls"): pointcnn_from_reference,
+    ("pointconv", "cls"): pointconv_from_reference,
+    ("kpconv", "cls"): kpcnn_from_reference,
+    ("kpconv_deform", "cls"): kpcnn_from_reference,
+    ("pointnet", "seg"): pointnet_partseg_from_reference,
+    ("pointnet2", "seg"): pointnet2_partseg_from_reference,
+    ("dgcnn", "seg"): dgcnn_partseg_from_reference,
+    ("pointcnn", "seg"): pointcnn_partseg_from_reference,
+    ("pointconv", "seg"): pointconv_partseg_from_reference,
+}
+
+
+def get_importer(model_name: str, kind: str = "cls"):
+    """The torch->flax state_dict converter for a model-zoo entry."""
+    try:
+        return _IMPORTERS[(model_name, kind)]
+    except KeyError:
+        raise KeyError(
+            f"no torch importer for ({model_name!r}, {kind!r}); "
+            f"have {sorted(_IMPORTERS)}") from None

@@ -95,6 +95,17 @@ def parse_args(argv=None):
                         "kpconv_loader.py:199-201); 0 = assemble in "
                         "the prefetch thread. Only pays on multi-core "
                         "hosts — scripts/bench_feed_rate.py measures")
+    p.add_argument("--diff-checkpoint", default=None, metavar="CK.pt",
+                   help="audit a migrated torch checkpoint: import it "
+                        "through utils.interop, run one eval batch with "
+                        "every module's activation captured, then diff "
+                        "against --diff-trace / dump via --dump-trace "
+                        "and exit (reference train_cls.py:330-361 hook)")
+    p.add_argument("--diff-trace", default=None, metavar="NPZ",
+                   help="torch-side activation trace to diff against "
+                        "(record it with scripts/dump_torch_activations.py)")
+    p.add_argument("--dump-trace", default=None, metavar="NPZ",
+                   help="write OUR activation stream for the torch side")
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--log-dir", default=None,
                    help="write JSONL metrics here")
@@ -166,6 +177,29 @@ def main(argv=None):
         synthetic_size=max(64, args.synthetic_size // 4),
         seed=args.seed,
     )
+
+    if args.diff_checkpoint:
+        # activation audit of a migrated checkpoint, then exit (the
+        # reference's hook() mode). KPConv takes pyramid inputs, not
+        # (xyz, feats) — its importer is covered by the static parity
+        # tests instead (tests/test_reference_import_kpconv.py).
+        if is_kpconv:
+            raise SystemExit("--diff-checkpoint supports the (xyz, "
+                             "feats) families; for kpconv use "
+                             "utils.interop.kpcnn_from_reference + "
+                             "utils.actdiff directly")
+        from pointcloudlib_tpu.utils import actdiff
+
+        items = [test_ds[i] for i in range(min(len(test_ds),
+                                               args.batch_size))]
+        xyz = np.stack([it[0] for it in items]).astype(np.float32)
+        feats = (np.stack([it[1] for it in items]).astype(np.float32)
+                 if with_normals else None)
+        actdiff.diff_checkpoint(
+            args.model, "cls", args.diff_checkpoint, xyz, feats,
+            trace=args.diff_trace, dump=args.dump_trace,
+            n_classes=40)
+        return
 
     from pointcloudlib_tpu.models import CLS_MODELS, dp_kwargs
 
