@@ -261,7 +261,8 @@ def diff_checkpoint(model_name: str, kind: str, checkpoint: str,
                     cls_onehot: Optional[np.ndarray] = None,
                     trace: Optional[str] = None,
                     dump: Optional[str] = None,
-                    n_classes: int = 40) -> List[Item]:
+                    n_classes: int = 40,
+                    atol: float = 1e-4) -> List[Item]:
     """CLI entry: import a torch checkpoint through utils.interop,
     run one batch through OUR model with intermediates captured, and
     either diff against a recorded torch-side trace (``trace=``,
@@ -287,7 +288,7 @@ def diff_checkpoint(model_name: str, kind: str, checkpoint: str,
         save_trace(dump, items)
         print(f"dumped {len(items)} activations -> {dump}")
     if trace:
-        print(format_table(diff(items, load_trace(trace))))
+        print(format_table(diff(items, load_trace(trace), atol=atol)))
     return items
 
 

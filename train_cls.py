@@ -106,6 +106,13 @@ def parse_args(argv=None):
                         "(record it with scripts/dump_torch_activations.py)")
     p.add_argument("--dump-trace", default=None, metavar="NPZ",
                    help="write OUR activation stream for the torch side")
+    p.add_argument("--diff-atol", type=float, default=1e-2,
+                   help="per-module mismatch tolerance for "
+                        "--diff-trace. Default 1e-2: on TPU our Dense "
+                        "layers matmul in bf16 (f32 accumulate), so a "
+                        "correct migration still differs from f32 "
+                        "torch by ~5e-3 relative; use 1e-4 when both "
+                        "sides run f32 (CPU)")
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--log-dir", default=None,
                    help="write JSONL metrics here")
@@ -198,7 +205,7 @@ def main(argv=None):
         actdiff.diff_checkpoint(
             args.model, "cls", args.diff_checkpoint, xyz, feats,
             trace=args.diff_trace, dump=args.dump_trace,
-            n_classes=40)
+            n_classes=40, atol=args.diff_atol)
         return
 
     from pointcloudlib_tpu.models import CLS_MODELS, dp_kwargs
