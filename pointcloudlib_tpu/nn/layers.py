@@ -144,6 +144,15 @@ def _fused_sa_enabled() -> bool:
     return USE_PALLAS
 
 
+def _bq_kmax() -> int:
+    """Largest n_samples the in-kernel ball-query fused SA takes
+    (FusedSetAbstraction fuse_bq gate). Read at trace time — A/B flips
+    must use fresh processes (CLAUDE.md round-2b gate-cache lesson)."""
+    import os
+
+    return int(os.environ.get("POINTCLOUDLIB_BQ_KMAX", "64"))
+
+
 class SetAbstraction(nn.Module):
     """PointNet++ single-scale set-abstraction layer.
 
@@ -246,10 +255,15 @@ class FusedSetAbstraction(nn.Module):
         # mask IS the one-hot row) unless the caller precomputed nidx
         # or the windowed path (N >= 4096) takes over
         n = xyz.shape[1]
-        # k <= 64: beyond that the per-slot [mt,N]x[N,C] matmuls lose
-        # to the chunked [cm*k,N] one-hot (measured: MSG's k=128 scale)
+        # k <= 64 by default: beyond that the per-slot [mt,N]x[N,C]
+        # matmuls were measured losing to the chunked [cm*k,N] one-hot
+        # at MSG's k=128 scale — but that A/B predates surface-cloud
+        # profiles (max(cnt)≈66 there, and the bq kernel's slot loop
+        # is bounded by max(cnt), not k). POINTCLOUDLIB_BQ_KMAX
+        # re-opens the gate for on-chip A/Bs.
         fuse_bq = (nidx is None and _window_width(n) is None
-                   and n % 128 == 0 and self.n_samples <= 64)
+                   and n % 128 == 0
+                   and self.n_samples <= _bq_kmax())
         ncnt = None
         if not fuse_bq:
             if nidx is None:

@@ -44,6 +44,27 @@ sys.path.insert(0, str(ROOT / "tests"))
 # Each returns (net, fwd) with fwd(pts_torch [B,N,3] f32, lab_np [B])
 # -> logits ([B, n_cls] for cls, [B, N, 50] for seg).
 
+def _fast_fps(mod, name="torch_fps"):
+    """Swap a mirror's per-step python FPS loop for the native/numpy
+    implementation (pointcloudlib_tpu.native.fps — same algorithm,
+    parity-tested vs the scan oracle). FPS is a discrete selection with
+    no gradient, so this changes nothing about the training dynamics;
+    the pure-torch loop costs ~600 s/epoch at the pn2 ladder shape."""
+    import torch
+
+    from pointcloudlib_tpu import native
+
+    orig = getattr(mod, name)
+    skip = "noskip" not in name
+
+    def fps(xyz, m):
+        pts = xyz.detach().numpy()
+        idx = np.stack([native.fps(p, m, skip) for p in pts])
+        return torch.from_numpy(idx.astype(np.int64))
+
+    setattr(mod, name, fps)
+    return orig
+
 def _onehot(lab, n=16):
     import torch
 
@@ -61,6 +82,7 @@ def b_cls_pointnet():
 def b_cls_pointnet2(msg=False):
     import test_torch_parity_pointnet2 as m
 
+    _fast_fps(m, "torch_fps")
     net = m.RefKeyedPointNet2(n_classes=40, msg=msg)
     # normals ride as feats (train_cls.py with_normals for pointnet2*)
     return net, lambda pts, lab, nrm: net(pts, nrm)
@@ -74,8 +96,10 @@ def b_cls_dgcnn():
 
 
 def b_cls_pointcnn():
+    import test_torch_parity_pointcnn as m
     from test_torch_parity_pointcnn import TPointCNN
 
+    _fast_fps(m, "torch_fps_skip")
     net = TPointCNN(n_classes=40)
     return net, lambda pts, lab, nrm: net(pts)
 
@@ -83,9 +107,7 @@ def b_cls_pointcnn():
 def b_cls_pointconv():
     import test_torch_parity_pointconv as tpc
 
-    # FPS indices are discrete — keep the python loop out of autograd
-    _fps = tpc.torch_fps_noskip
-    tpc.torch_fps_noskip = lambda xyz, m: _fps(xyz.detach(), m)
+    _fast_fps(tpc, "torch_fps_noskip")
     net = tpc.TorchPointConv(n_classes=40)
     return net, lambda pts, lab, nrm: net(pts)
 
@@ -102,6 +124,7 @@ def b_seg_pointnet2():
 
     import test_torch_parity_pointnet2 as m
 
+    _fast_fps(m, "torch_fps")
     net = m.RefKeyedPointNet2PartSeg(part_num=50)
     # the parity-test class carries test-scale SA configs; swap in the
     # full-scale ones our model trains (models/pointnet2.py:101-111)
@@ -123,6 +146,7 @@ def b_seg_dgcnn():
 def b_seg_pointcnn():
     import test_torch_parity_pointcnn as m
 
+    _fast_fps(m, "torch_fps_skip")
     net = m.RPointCNNPartSeg(part_num=50)
     return net, lambda pts, lab: net(pts)
 
@@ -130,8 +154,7 @@ def b_seg_pointcnn():
 def b_seg_pointconv():
     import test_torch_parity_pointconv as tpc
 
-    _fps = tpc.torch_fps_noskip
-    tpc.torch_fps_noskip = lambda xyz, m: _fps(xyz.detach(), m)
+    _fast_fps(tpc, "torch_fps_noskip")
     net = tpc.RefPointConvPartSeg(part_num=50)
     return net, lambda pts, lab: net(pts)
 

@@ -39,13 +39,15 @@ def main():
 
     B, N = 64, 1024
     rng = np.random.default_rng(0)
-    xyz = rng.standard_normal((B, N, 3)).astype(np.float32)
-    # unit sphere like bench.py — unnormalized Gaussians have ~4x
-    # sparser r=0.2 neighborhoods, which flatters the slot-capped
-    # kernels (deeper kc rungs than real data would take)
-    xyz /= np.linalg.norm(xyz, axis=-1, keepdims=True)
-    xyz = jnp.asarray(xyz)
-    feats = jnp.asarray(rng.standard_normal((B, N, 3)), jnp.float32)
+    # SURFACE clouds exactly like bench.py (r3 moved the bench off
+    # sphere-shell Gaussians; occupancy-adaptive kernels must be
+    # profiled at the bench's density profile — CLAUDE.md trap)
+    from pointcloudlib_tpu.data.synthetic import SyntheticModelNet
+
+    ds = SyntheticModelNet(n_points=N, size=B, train=True, seed=0)
+    items = [ds[i] for i in range(B)]
+    xyz = jnp.asarray(np.stack([it[0] for it in items]), jnp.float32)
+    feats = jnp.asarray(np.stack([it[1] for it in items]), jnp.float32)
     label = jnp.asarray(np.arange(B) % 40, jnp.int32)
     batch = {"xyz": xyz, "feats": feats, "label": label}
 
@@ -92,9 +94,19 @@ def main():
         ("SA2", 128, 0.4, 64, (128, 128, 256), 512, 128),
         ("SA3", None, None, None, (256, 512, 1024), 128, 256),
     ]
+    # per-stage inputs carry the REAL geometry (occupancy-adaptive
+    # kernels: Gaussian stand-ins would distort slot counts)
+    from pointcloudlib_tpu.ops import fps_gather
+
+    stage_xyz = {
+        1024: xyz,
+        512: jax.jit(lambda x: fps_gather(x, 512))(xyz),
+        128: jax.jit(lambda x: fps_gather(x, 128))(
+            jax.jit(lambda x: fps_gather(x, 512))(xyz)),
+    }
     for name, m_, r_, k_, mlp, n_in, c_in in shapes:
         sa = SetAbstraction(mlp=mlp, n_points=m_, radius=r_, n_samples=k_)
-        x_in = jnp.asarray(rng.standard_normal((B, n_in, 3)), jnp.float32)
+        x_in = stage_xyz[n_in]
         f_in = jnp.asarray(
             rng.standard_normal((B, n_in, c_in)), jnp.float32)
         v = sa.init(jax.random.key(0), x_in, f_in, True)
