@@ -1,16 +1,17 @@
-"""MSG step decomposition at the published workload shape.
+"""MSG step decomposition at the bench workload shape (B=64, N=1024).
 
-PointNet++ MSG (networks/cls/pointnet2.py:161-196): SA1 npoint=512,
-radii (.1,.2,.4), k (16,32,128), then SA2 npoint=128, radii (.2,.4,.8),
-k (32,64,128), then group_all. The k<=64 scales ride the in-kernel
-ball-query fused SA; the k=128 scales take separate ball_query + fused
-SA with precomputed indices (nn/layers.py fuse_bq gate).
+VERDICT r3 item 4: MSG ships at 1.29x — the three grouping scales
+query the SAME centers against the SAME cloud with three radii, so the
+[M,N] distance work is a shared-candidate for a multi-radius kernel.
+This measures where the step actually goes: full step, each MSG layer
+(fwd / fwd+bwd), each scale in isolation, and the k=128 scale's
+separate ball_query pass. Surface clouds like bench.py (CLAUDE.md:
+occupancy-adaptive kernels must see the bench density profile).
 
-Measures, per scale of SA1/SA2 and for the whole model: fwd and
-fwd+bwd times, chained-call slope style (CLAUDE.md: single calls
-measure the ~4 ms dispatch, not compute).
-
-Run on the TPU chip: python scripts/profile_msg.py
+Run on the TPU chip (one TPU job at a time):
+    python scripts/profile_msg.py
+Gate A/Bs ride env vars read at trace time — fresh process per arm:
+    POINTCLOUDLIB_BQ_KMAX=128 python scripts/profile_msg.py
 """
 
 import sys
@@ -35,104 +36,98 @@ def bench(fn, *args, iters=20, warmup=3):
 
 
 def main():
-    import optax
-    from flax import linen as nn
+    from bench import _surface_clouds
+    from pointcloudlib_tpu.nn.layers import (
+        FusedSetAbstraction,
+        SetAbstractionMSG,
+    )
+    from pointcloudlib_tpu.ops import ball_query, fps_gather
 
-    from pointcloudlib_tpu.nn.layers import FusedSetAbstraction
-    from pointcloudlib_tpu.ops import ball_query, fps, index_points
-
-    B, N = 32, 1024
+    B, N = 64, 1024
     rng = np.random.default_rng(0)
-    xyz = jnp.asarray(rng.standard_normal((B, N, 3)), jnp.float32)
-    xyz = xyz / jnp.linalg.norm(xyz, axis=-1, keepdims=True)
-    feats = jnp.asarray(rng.standard_normal((B, N, 3)), jnp.float32)
+    xyz_np, normals = _surface_clouds(B, N)
+    xyz = jnp.asarray(xyz_np)
+    feats = jnp.asarray(normals)
 
-    # --- per-scale: SA1 shapes (M=512 centers over N=1024) ---
-    SA1 = [(0.1, 16, [32, 32, 64]), (0.2, 32, [64, 64, 128]),
-           (0.4, 128, [64, 96, 128])]
-    idx = jax.jit(lambda x: fps(x, 512))(xyz)
-    new_xyz = index_points(xyz, idx)
+    def run(name, mod, *args):
+        # jit init/apply: eager remote-compiles every op (CLAUDE.md)
+        v = jax.jit(
+            lambda k, *a: mod.init(k, *a, training=False)
+        )(jax.random.key(0), *args)
 
-    for r, k, mlp in SA1:
-        mod = FusedSetAbstraction(mlp=tuple(mlp), n_points=512,
-                                  radius=r, n_samples=k)
-        v = mod.init(jax.random.key(0), xyz, feats, training=False,
-                     new_xyz=new_xyz, nidx=None)
+        def fwd(v, *a):
+            out = mod.apply(v, *a, training=True,
+                            mutable=["batch_stats"])[0]
+            leaves = jax.tree_util.tree_leaves(out)
+            return sum(jnp.sum(x) for x in leaves
+                       if x.dtype != jnp.int32)
 
-        def fwd(v, xyz, feats, new_xyz, mod=mod):
-            out, _ = mod.apply(v, xyz, feats, training=True,
-                               new_xyz=new_xyz, nidx=None,
-                               mutable=["batch_stats"])
-            return out[1].sum()
+        jf = jax.jit(lambda v, *a: fwd(v, *a))
+        jb = jax.jit(lambda v, *a: jax.grad(lambda vv: fwd(vv, *a))(v))
+        tf = bench(jf, v, *args)
+        tb = bench(jb, v, *args)
+        print(f"{name:40s} fwd {tf:7.2f} ms   fwd+bwd {tb:8.2f} ms",
+              flush=True)
+        return jax.jit(
+            lambda v, *a: mod.apply(v, *a, training=False)
+        )(v, *args)
 
-        def bwd(v, xyz, feats, new_xyz, mod=mod, fwd=fwd):
-            return jax.grad(
-                lambda vv: fwd(vv, xyz, feats, new_xyz))(v)
+    # layer 1 at its real input, layer 2 at layer-1's output geometry
+    msg1 = SetAbstractionMSG(
+        n_points=512, radii=[0.1, 0.2, 0.4], n_samples=[16, 32, 128],
+        mlps=[[32, 32, 64], [64, 64, 128], [64, 96, 128]])
+    l1_xyz, l1_f = run("MSG1 (1024->512, k=16/32/128)", msg1, xyz, feats)
+    msg2 = SetAbstractionMSG(
+        n_points=128, radii=[0.2, 0.4, 0.8], n_samples=[32, 64, 128],
+        mlps=[[64, 64, 128], [128, 128, 256], [128, 128, 256]])
+    run("MSG2 (512->128, k=32/64/128)", msg2, l1_xyz, l1_f)
 
-        jf = jax.jit(fwd)
-        jb = jax.jit(bwd)
-        t_f = bench(jf, v, xyz, feats, new_xyz)
-        t_b = bench(jb, v, xyz, feats, new_xyz)
-        print(f"SA1 scale r={r} k={k:3d}: fwd {t_f:6.2f} ms   "
-              f"fwd+bwd {t_b:6.2f} ms")
+    # each scale in isolation (precomputed centers so FPS is excluded)
+    centers1 = jax.jit(lambda x: fps_gather(x, 512))(xyz)
+    centers2 = jax.jit(lambda x: fps_gather(x, 128))(l1_xyz)
+    for lname, src, f_in, ctr, scales in [
+        ("MSG1", xyz, feats, centers1,
+         [(0.1, 16, (32, 32, 64)), (0.2, 32, (64, 64, 128)),
+          (0.4, 128, (64, 96, 128))]),
+        ("MSG2", l1_xyz, l1_f, centers2,
+         [(0.2, 32, (64, 64, 128)), (0.4, 64, (128, 128, 256)),
+          (0.8, 128, (128, 128, 256))]),
+    ]:
+        for r, k, mlp in scales:
+            sa = FusedSetAbstraction(
+                mlp=mlp, n_points=ctr.shape[1], radius=r, n_samples=k)
+            # mirror the MSG call: precomputed centers, nidx=None
+            v = jax.jit(
+                lambda k, s, fi, c, sa=sa: sa.init(
+                    k, s, fi, False, new_xyz=c)
+            )(jax.random.key(0), src, f_in, ctr)
 
-    # the separate ball query the k=128 scale pays today
-    f_bq = jax.jit(lambda c, x: ball_query(c, x, 0.4, 128)[0])
-    print(f"standalone ball_query k=128: {bench(f_bq, new_xyz, xyz):.2f} ms")
+            def fwd(v, s, fi, c, sa=sa):
+                out = sa.apply(v, s, fi, True, new_xyz=c,
+                               mutable=["batch_stats"])[0]
+                return jnp.sum(out[1])
 
-    # unfused XLA route for the same k=128 scale, for comparison
-    from pointcloudlib_tpu.nn.layers import PointMLP
-    from pointcloudlib_tpu.ops import group_points
+            jf = jax.jit(fwd)
+            jb = jax.jit(jax.grad(fwd, argnums=1))
+            tf = bench(jf, v, src, f_in, ctr)
+            # bwd wrt feats (what the step pays; params similar)
+            tb = bench(jb, v, src, f_in, ctr)
+            print(f"{lname} scale r={r:<4} k={k:<3}"
+                  f"{'':17s} fwd {tf:7.2f} ms   fwd+bwd {tb:8.2f} ms",
+                  flush=True)
+        # cnt statistics per radius — what bounds the slot loops
+        for r, k, _ in scales:
+            _, cnt = jax.jit(
+                lambda c, s, r=r, k=k: ball_query(c, s, r, k))(ctr, src)
+            cnt = np.asarray(jax.device_get(cnt))
+            print(f"{lname} r={r:<4} k={k:<3} cnt: max {cnt.max():4d} "
+                  f"mean {cnt.mean():7.1f} p95 "
+                  f"{np.percentile(cnt, 95):7.1f}", flush=True)
 
-    r, k, mlp = SA1[2]
-
-    class UnfusedScale(nn.Module):
-        @nn.compact
-        def __call__(self, xyz, feats, new_xyz, training=False):
-            nidx, _ = ball_query(new_xyz, xyz, r, k)
-            nidx = jax.lax.stop_gradient(nidx)
-            grouped = group_points(xyz, feats, new_xyz, nidx, True)
-            h = PointMLP(list(mlp))(grouped, training)
-            return jnp.max(h, axis=2)
-
-    umod = UnfusedScale()
-    uv = umod.init(jax.random.key(0), xyz, feats, new_xyz,
-                   training=False)
-
-    def ufwd(v, xyz, feats, new_xyz):
-        out, _ = umod.apply(v, xyz, feats, new_xyz, training=True,
-                            mutable=["batch_stats"])
-        return out.sum()
-
-    ub = jax.jit(lambda v, x, f, nx: jax.grad(
-        lambda vv: ufwd(vv, x, f, nx))(v))
-    print(f"unfused XLA scale k=128: fwd "
-          f"{bench(jax.jit(ufwd), uv, xyz, feats, new_xyz):.2f} ms   "
-          f"fwd+bwd {bench(ub, uv, xyz, feats, new_xyz):.2f} ms")
-
-    # --- full model step ---
-    from pointcloudlib_tpu.models import get_cls_model
-
-    model = get_cls_model("pointnet2_msg", n_classes=40)
-    v = model.init(jax.random.key(0), xyz[:1], feats[:1], training=False)
-    labels = jnp.asarray(np.arange(B) % 40, jnp.int32)
-
-    def loss_fn(params, bs):
-        out, upd = model.apply(
-            {"params": params, "batch_stats": bs}, xyz, feats,
-            training=True, mutable=["batch_stats"],
-            rngs={"dropout": jax.random.key(1)})
-        l = optax.softmax_cross_entropy_with_integer_labels(
-            out, labels).mean()
-        return l, upd
-
-    @jax.jit
-    def step(params, bs):
-        (l, upd), g = jax.value_and_grad(loss_fn, has_aux=True)(params, bs)
-        return l, g
-
-    t = bench(step, v["params"], v["batch_stats"], iters=15)
-    print(f"full MSG fwd+bwd: {t:.2f} ms -> {B / (t / 1e3):.0f} samples/s")
+    # the k=128 scale's standalone ball_query (the non-fused pre-pass)
+    jbq = jax.jit(lambda c, s: ball_query(c, s, 0.4, 128)[0])
+    print(f"{'ball_query r=0.4 k=128 (MSG1 pre-pass)':40s} "
+          f"fwd {bench(jbq, centers1, xyz):7.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -55,7 +55,11 @@ def main():
     feats = jnp.asarray(rng.standard_normal((B, N, 3)), jnp.float32)
 
     def run(name, mod, *args, train_kw=None):
-        v = mod.init(jax.random.key(0), *args, training=False)
+        # jit the init: eager runs remote-compile every op individually
+        # on this platform (CLAUDE.md) — minutes per module
+        v = jax.jit(
+            lambda k, *a: mod.init(k, *a, training=False)
+        )(jax.random.key(0), *args)
 
         def fwd(v, *a):
             out = mod.apply(v, *a, training=True,
@@ -71,7 +75,9 @@ def main():
         tb = bench(jb, v, *args)
         print(f"{name:34s} fwd {tf:6.2f} ms   fwd+bwd {tb:7.2f} ms",
               flush=True)
-        return mod.apply(v, *args, training=False)
+        return jax.jit(
+            lambda v, *a: mod.apply(v, *a, training=False)
+        )(v, *args)
 
     # encoder stages at their real shapes
     sa1 = FusedSetAbstraction(mlp=(64, 64, 128), n_points=512,

@@ -109,7 +109,8 @@ def main():
         x_in = stage_xyz[n_in]
         f_in = jnp.asarray(
             rng.standard_normal((B, n_in, c_in)), jnp.float32)
-        v = sa.init(jax.random.key(0), x_in, f_in, True)
+        v = jax.jit(lambda k, x, f: sa.init(k, x, f, True))(
+            jax.random.key(0), x_in, f_in)
 
         def loss(v, x, f):
             out, _ = sa.apply(v, x, f, True, mutable=["batch_stats"])
@@ -128,7 +129,8 @@ def main():
         g_in = jnp.asarray(
             rng.standard_normal((B, m_, k_, c0)), jnp.float32)
         pm = PointMLP(mlp)
-        v = pm.init(jax.random.key(0), g_in, True)
+        v = jax.jit(lambda k, x: pm.init(k, x, True))(
+            jax.random.key(0), g_in)
 
         def mloss(v, x):
             out, _ = pm.apply(v, x, True, mutable=["batch_stats"])
