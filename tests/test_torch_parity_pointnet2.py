@@ -35,21 +35,22 @@ def torch_fps(xyz, m):  # xyz [B, N, 3]
 
 
 def torch_ball_query(centers, points, radius, k):
+    """First-k-in-index-order ball query, repeat-first padding, rows
+    with no hits -> index 0 (reference misc/ops.py:313-327 semantics).
+    Vectorized (r4): the per-(b,m) python loop cost ~170 s/step at the
+    MSG mirror-ladder shape; sorting the index-or-n key is exactly the
+    loop's selection (first k in index order) with the same padding."""
     b, m, _ = centers.shape
     n = points.shape[1]
     d2 = torch.cdist(centers, points) ** 2
     mask = d2 < radius * radius
-    idx = torch.zeros(b, m, k, dtype=torch.long)
-    for bi in range(b):
-        for mi in range(m):
-            inside = torch.nonzero(mask[bi, mi]).flatten()
-            if len(inside) == 0:
-                continue
-            take = inside[:k]
-            row = take[0].repeat(k)
-            row[: len(take)] = take
-            idx[bi, mi] = row
-    return idx
+    pos = torch.where(mask, torch.arange(n)[None, None, :],
+                      torch.tensor(n))
+    sel = torch.sort(pos, dim=-1).values[..., :k]    # [b, m, k]
+    valid = sel < n
+    first = torch.where(valid[..., :1], sel[..., :1],
+                        torch.zeros_like(sel[..., :1]))
+    return torch.where(valid, sel, first)
 
 
 class TorchSA(torch.nn.Module):
