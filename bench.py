@@ -108,8 +108,33 @@ def _setup_cls(model_name, batch_size, n_points, with_normals):
 
     mesh = make_mesh()
     batch_size = max(batch_size, 8 * mesh.devices.size)
-    model = get_cls_model(model_name, n_classes=40)
     xyz, normals = _surface_clouds(batch_size, n_points)
+    model_kw = {}
+    if (model_name.startswith("kpconv")
+            and os.environ.get("POINTCLOUDLIB_BENCH_KP_CALIB") == "1"):
+        # OPT-IN: calibrate pyramid shapes on the profile clouds like
+        # the training CLI (train_cls.py) and the reference loader
+        # (kpconv_loader.py:696-706). Measured r4: single-bucket
+        # calibration on these surface clouds picks far larger voxel
+        # CAPS (truncation-free budgets for the densest cloud) and the
+        # padded work HALVES throughput (459 -> 238 sa/s) — the bench
+        # keeps the r2/r3 frozen KPConvConfig shapes for comparability;
+        # real training gets occupancy-BUCKETED calibration via the CLI
+        # (--kp-buckets), which avoids exactly this padding blowup.
+        from pointcloudlib_tpu.models.kpconv.adapter import KPConvCls
+        from pointcloudlib_tpu.models.kpconv.calibrate import (
+            calibrate_pyramid,
+        )
+        from pointcloudlib_tpu.models.kpconv.model import KPConvConfig
+
+        base = KPConvConfig()
+        calib = calibrate_pyramid(
+            xyz[: min(64, batch_size)], KPConvCls.first_subsampling_dl,
+            base.conv_radius, base.deform_radius, base.architecture,
+        )
+        model_kw.update(caps=calib.caps,
+                        neighborhood_limits=calib.neighborhood_limits)
+    model = get_cls_model(model_name, n_classes=40, **model_kw)
     batch = {
         "xyz": xyz,
         "label": (np.arange(batch_size) % 40).astype(np.int32),

@@ -147,10 +147,24 @@ def _fused_sa_enabled() -> bool:
 def _bq_kmax() -> int:
     """Largest n_samples the in-kernel ball-query fused SA takes
     (FusedSetAbstraction fuse_bq gate). Read at trace time — A/B flips
-    must use fresh processes (CLAUDE.md round-2b gate-cache lesson)."""
+    must use fresh processes (CLAUDE.md round-2b gate-cache lesson).
+    k=128 measured LOSING at step level (bench msg 644.5 -> 614.7
+    sa/s): the bq kernel's slot-outer [b,k,m,c] layout pays an XLA
+    transpose of the 268 MB h1 per k=128 scale."""
     import os
 
     return int(os.environ.get("POINTCLOUDLIB_BQ_KMAX", "64"))
+
+
+def _bq_nmax() -> int:
+    """Largest source-cloud N the in-kernel ball-query fused SA takes.
+    The r4 pass profile has bqf1 ~2x the separate ball_query+f1 cost
+    at N=2048 (9.8 vs ~5 ms net, partseg SA1 shape) — the bq kernel's
+    per-slot [mt, N] rank extraction scales with N while f1's one-hot
+    chunks amortize. Trace-time env read (fresh process per A/B arm)."""
+    import os
+
+    return int(os.environ.get("POINTCLOUDLIB_BQ_NMAX", "99999"))
 
 
 class SetAbstraction(nn.Module):
@@ -262,7 +276,7 @@ class FusedSetAbstraction(nn.Module):
         # is bounded by max(cnt), not k). POINTCLOUDLIB_BQ_KMAX
         # re-opens the gate for on-chip A/Bs.
         fuse_bq = (nidx is None and _window_width(n) is None
-                   and n % 128 == 0
+                   and n % 128 == 0 and n <= _bq_nmax()
                    and self.n_samples <= _bq_kmax())
         ncnt = None
         if not fuse_bq:

@@ -132,8 +132,13 @@ def _m_tile(m: int, k: int, bf16_widths: int, f32_widths: int = 0,
 
 def _chunk(mt: int, k: int) -> int:
     """m-rows per in-kernel chunk (~2048 flat rows — bigger vector ops
-    beat smaller temporaries while VMEM still fits)."""
-    return _divisor_tile(mt, max(1, 2048 // k))
+    beat smaller temporaries while VMEM still fits).
+    POINTCLOUDLIB_CHUNK_ROWS overrides the flat-row target for on-chip
+    A/Bs (trace-time read — fresh process per arm)."""
+    import os
+
+    rows = int(os.environ.get("POINTCLOUDLIB_CHUNK_ROWS", "2048"))
+    return _divisor_tile(mt, max(1, rows // k))
 
 
 def _split_cnt(c1: int) -> bool:
@@ -150,8 +155,19 @@ def _split_cnt(c1: int) -> bool:
 
 def _gchunk(mt: int, k: int, n: int) -> int:
     """Chunk for gather/scatter kernels: the one-hot block
-    [cm·K, N] bf16 plus its int32 iota (6 B/element) stay ~3 MB."""
-    return _divisor_tile(mt, max(1, (3 << 20) // (6 * k * n)))
+    [cm·K, N] bf16 plus its int32 iota (6 B/element) stay ~6 MB.
+
+    6 MB (up from round 2's 3 MB) is the round-4 chip-measured
+    optimum: p2 14.3 → 12.2 ms and f1 6.3 → 5.5 ms at the headline
+    SA1 shape, similar at MSG's k=128 (scripts/bench_p2_knobs.py) —
+    at 3 MB the k=128 shapes fell to cm=4 rows/chunk and the per-chunk
+    Mosaic loop overhead dominated. 10 MB never finished compiling
+    (900 s timeout). POINTCLOUDLIB_GCHUNK_MB overrides for A/Bs
+    (trace-time read — fresh process per arm, CLAUDE.md)."""
+    import os
+
+    mb = int(os.environ.get("POINTCLOUDLIB_GCHUNK_MB", "6"))
+    return _divisor_tile(mt, max(1, (mb << 20) // (6 * k * n)))
 
 
 def _gchunk_w(mt: int, k: int, w: int, cmax: int) -> int:
@@ -162,8 +178,13 @@ def _gchunk_w(mt: int, k: int, w: int, cmax: int) -> int:
     f32 chunk temporaries [cm·K, c] are then no longer bounded by
     n ≥ 4w: charge them explicitly (~2.5 MB across 10 copies) or
     wide-channel shapes blow scoped VMEM (the forced-window SA2 sweep
-    shape OOMed at 16.43 MB with the onehot-only budget)."""
-    by_onehot = (3 << 20) // (6 * k * w)
+    shape OOMed at 16.43 MB with the onehot-only budget).
+    POINTCLOUDLIB_GCHUNK_W_MB overrides the one-hot budget for on-chip
+    A/Bs at N=4096 (the unwindowed 3→6 MB bump won −14% on p2)."""
+    import os
+
+    mb = int(os.environ.get("POINTCLOUDLIB_GCHUNK_W_MB", "3"))
+    by_onehot = (mb << 20) // (6 * k * w)
     by_temps = (5 << 19) // (40 * k * cmax)
     # floor at 8: Mosaic rejects sub-sublane-tile dynamic stores of the
     # per-chunk output rows at wide c (vector<1x4x256> store, sweep);
