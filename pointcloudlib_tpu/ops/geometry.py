@@ -29,6 +29,8 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -129,7 +131,31 @@ def index_points(points: Array, idx: Array) -> Array:
         rows = 1
         for d in idx.shape:
             rows *= int(d)
-        benefit = rows * (6e-6 - 3.5e-9 * (n + pad))
+        # r4 refit: the r3 model ignored the row WIDTH c, underpricing
+        # XLA's per-row cost for wide gathers — it sent every KPConv
+        # and pointconv gather to XLA and cost both families 13-16%
+        # end-to-end (the unexplained r2->r3 "slides", VERDICT #6;
+        # step-level GATHER_FORCE A/Bs in docs/DESIGN.md). Anchors the
+        # c-term honors: canonicalize take_rows (131k rows, n=4096,
+        # c=3) stays XLA; partseg's three_nn coord gather (98k, n=2048,
+        # c=3) stays XLA; KPConv's calibrated layers (320k, n~904) and
+        # pointconv's wide gathers flip to Pallas, recovering r2 rates.
+        benefit = rows * (
+            6e-6 + 4e-7 * points.shape[-1] - 3.5e-9 * (n + pad))
+        # POINTCLOUDLIB_GATHER_FORCE=pallas|xla overrides the cost
+        # model for route-attribution A/Bs (trace-time env read —
+        # fresh process per arm)
+        force = os.environ.get("POINTCLOUDLIB_GATHER_FORCE")
+        if force == "pallas":
+            benefit = 2.0
+        elif force == "xla":
+            benefit = 0.0
+        if os.environ.get("POINTCLOUDLIB_GATHER_LOG") == "1":
+            print(f"# gather route: idx={tuple(idx.shape)} "
+                  f"n={n} c={points.shape[-1]} rows={rows} "
+                  f"benefit={benefit:.2f} -> "
+                  f"{'pallas' if benefit > 1.0 else 'xla'}",
+                  flush=True)
         if benefit > 1.0:
             from pointcloudlib_tpu.ops.pallas.gather import (
                 gather_neighbors,
