@@ -294,6 +294,9 @@ def workload_setup(metric):
 
 
 def main():
+    from pointcloudlib_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     jobs = [
         (metric,
          (lambda a, it: lambda: _bench_cls(*a, iters=it))(setup_args, iters)

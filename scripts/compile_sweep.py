@@ -301,6 +301,12 @@ def sweep_workloads(filters=()):
 
 
 if __name__ == "__main__":
+    from pointcloudlib_tpu.utils.compile_cache import enable_compile_cache
+
+    # NOTE: the cache serves sweep purpose too — a VMEM/tiling failure
+    # is a compile-time property, and cache HITS mean the program
+    # compiled before; only new compile classes pay full price.
+    enable_compile_cache()
     argv = sys.argv[1:]
     kernels_only = "--kernels" in argv
     filters = tuple(a for a in argv if not a.startswith("--"))

@@ -123,6 +123,9 @@ def main(argv=None):
     args = parse_args(argv)
     import optax
 
+    from pointcloudlib_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # remote compiles are the session tax
     from pointcloudlib_tpu.data import cls_batches, make_modelnet40, prefetch
     from pointcloudlib_tpu.models import get_cls_model
     from pointcloudlib_tpu.parallel import make_mesh, replicate, shard_batch

@@ -84,6 +84,9 @@ def main(argv=None):
     args = parse_args(argv)
     import optax
 
+    from pointcloudlib_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # remote compiles are the session tax
     from pointcloudlib_tpu.data import prefetch, seg_batches
     from pointcloudlib_tpu.data.shapenet import make_shapenet
     from pointcloudlib_tpu.models import get_seg_model
