@@ -1039,13 +1039,20 @@ def _bq_setup(c_ref, p_ref, r2_ref):
 
 @pin_default_matmul_precision
 def _k_bqf1(r2_ref, c_ref, p_ref, q_ref, off_ref, idx_ref, h_ref,
-            cnt_ref, psum_ref, *, k: int):
+            cnt_ref, psum_ref, *, k: int, sb: int = 1):
     """Fused ball query + gather + BN stats. The extraction mask
     ``ramp == j+1`` IS the one-hot gather row, and the adaptive slot
     bound (no tile row has more than max(cnt) in-radius points) caps
     the gather matmuls too: padded slots replicate slot 0's row —
     exactly the reference's repeat-first padding
-    (misc/ops.py:321-326) — without touching Q."""
+    (misc/ops.py:321-326) — without touching Q.
+
+    ``sb`` slots extract per loop iteration (round 4): the per-slot
+    [mt, n] compare + matmul was overhead-bound (same disease the
+    6 MB gather chunks fixed) — one [sb·mt, n] one-hot matmul per
+    iteration amortizes it. sb | k, so the dynamic h store covers
+    [j, j+sb) on the OUTER slot dim; slots past a row's cnt (or past
+    this tile's max) write the repeat-first row exactly as before."""
     n, c = q_ref.shape[1], q_ref.shape[2]
     mt = c_ref.shape[1]
     ramp, cnt, lane = _bq_setup(c_ref, p_ref, r2_ref)
@@ -1056,26 +1063,33 @@ def _k_bqf1(r2_ref, c_ref, p_ref, q_ref, off_ref, idx_ref, h_ref,
     q0 = q_ref[0, 0:1, :].astype(jnp.float32)
     nslots = jnp.minimum(jnp.max(cnt), k)
     cntc = cnt[:, None]
+    si = lax.broadcasted_iota(jnp.int32, (sb, 1, 1), 0)
 
-    def slot(j, carry):
+    def slot_block(t, carry):
         idx_out, h0, s, ss = carry
-        eq = ramp == j + 1
-        onehot = eq.astype(jnp.bfloat16)
+        j = t * sb
+        eq = ramp[None, :, :] == (j + 1 + si)          # [sb, mt, n]
+        onehot = eq.astype(jnp.bfloat16).reshape(sb * mt, n)
         g = jnp.dot(onehot, q_ref[0],
                     preferred_element_type=jnp.float32)
-        raw = g - off
-        h0 = jnp.where(j == 0, jnp.where(cntc > 0, raw, h0), h0)
-        h = jnp.where(cntc > j, raw, h0)
-        h_ref[0, pl.ds(j, 1), :, :] = h[None].astype(jnp.bfloat16)
-        idx_j = jnp.sum(jnp.where(eq, lane, 0), axis=1)
-        idx_out = jnp.where(kcol == j, idx_j[:, None], idx_out)
+        raw = g.reshape(sb, mt, c) - off[None]
+        h0 = jnp.where(j == 0, jnp.where(cntc > 0, raw[0], h0), h0)
+        live = cntc[None] > (j + si)                   # [sb, mt, 1]
+        h = jnp.where(live, raw, h0[None])
+        h_ref[0, pl.ds(j, sb), :, :] = h.astype(jnp.bfloat16)
+        idx_j = jnp.sum(jnp.where(eq, lane[None], 0), axis=2)
+        for i in range(sb):
+            idx_out = jnp.where(kcol == j + i,
+                                idx_j[i][:, None], idx_out)
+        h2d = h.reshape(sb * mt, c)
         return (idx_out, h0,
-                s + jnp.sum(h, axis=0, keepdims=True),
-                ss + jnp.sum(h * h, axis=0, keepdims=True))
+                s + jnp.sum(h2d, axis=0, keepdims=True),
+                ss + jnp.sum(h2d * h2d, axis=0, keepdims=True))
 
     # h0 init = the cnt==0 fallback; rows with hits overwrite at j==0
+    nblk = (nslots + sb - 1) // sb
     idx_out, h0, s, ss = lax.fori_loop(
-        0, nslots, slot,
+        0, nblk, slot_block,
         (jnp.zeros((mt, k), jnp.int32),
          jnp.broadcast_to(q0 - off, (mt, c))) + _zeros2(c))
 
@@ -1085,7 +1099,7 @@ def _k_bqf1(r2_ref, c_ref, p_ref, q_ref, off_ref, idx_ref, h_ref,
         return (s + jnp.sum(h0, axis=0, keepdims=True),
                 ss + jnp.sum(h0 * h0, axis=0, keepdims=True))
 
-    s, ss = lax.fori_loop(nslots, k, fill, (s, ss))
+    s, ss = lax.fori_loop(nblk * sb, k, fill, (s, ss))
 
     first = idx_out[:, 0:1]
     idx_ref[0] = jnp.where(kcol < cntc, idx_out, first)
@@ -1099,10 +1113,23 @@ def _call_bqf1(new_xyz, pts, q, off, radius, k, interpret):
     per_row = 2 * (k * c1 * 2 + k * 4 + c1 * 4) + n * 8
     budget = (5 << 20) - 4 * n * (3 + c1)
     mt = _block_tile(m, max(8, budget // per_row))
+    # slot block: largest sb | k whose [sb·mt, n] one-hot (+ its int32
+    # compare source, 6 B/elem) stays ~3.5 MB (r4; see _k_bqf1).
+    # POINTCLOUDLIB_BQ_SB overrides for A/Bs (trace-time env read).
+    import os
+
+    forced_sb = os.environ.get("POINTCLOUDLIB_BQ_SB")
+    sb = 1
+    for cand in (8, 4, 2):
+        if k % cand == 0 and 6 * cand * mt * n <= (7 << 19):
+            sb = cand
+            break
+    if forced_sb:
+        sb = int(forced_sb)
     r2 = jnp.full((1,), radius * radius, jnp.float32)
     nt = m // mt
     idx, h, cnt, psum = pl.pallas_call(
-        functools.partial(_k_bqf1, k=k),
+        functools.partial(_k_bqf1, k=k, sb=sb),
         # flat grid: _psum_init zeroes at program_id(0)==0 exactly once
         grid=(b * nt,),
         in_specs=[
