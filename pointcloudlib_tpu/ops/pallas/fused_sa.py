@@ -130,14 +130,21 @@ def _m_tile(m: int, k: int, bf16_widths: int, f32_widths: int = 0,
     return _block_tile(m, budget // max(1, per_row))
 
 
-def _chunk(mt: int, k: int) -> int:
-    """m-rows per in-kernel chunk (~2048 flat rows — bigger vector ops
-    beat smaller temporaries while VMEM still fits).
-    POINTCLOUDLIB_CHUNK_ROWS overrides the flat-row target for on-chip
-    A/Bs (trace-time read — fresh process per arm)."""
+def _chunk(mt: int, k: int, cmax: int = 128) -> int:
+    """m-rows per in-kernel chunk — bigger vector ops beat smaller
+    temporaries while VMEM still fits.
+
+    Flat-row target min(4096, 512k/cmax) where cmax is the widest f32
+    chunk temporary the pass materializes. Chip anchors (r4): 4096
+    flat rows at c=128 is the measured optimum (headline 2142 -> 2252
+    sa/s, partseg 1055 -> 1064 via POINTCLOUDLIB_CHUNK_ROWS); 4096 at
+    c=256 (MSG2's k=128 scale) and 8192 at c=128 are compile-time
+    VMEM OOMs — the kernel sweep enforces the envelope. Trace-time
+    env override for A/Bs (fresh process per arm)."""
     import os
 
-    rows = int(os.environ.get("POINTCLOUDLIB_CHUNK_ROWS", "2048"))
+    env = os.environ.get("POINTCLOUDLIB_CHUNK_ROWS")
+    rows = int(env) if env else min(4096, (1 << 19) // max(1, cmax))
     return _divisor_tile(mt, max(1, rows // k))
 
 
@@ -1383,7 +1390,8 @@ def _call_stats2(h1, st1, w2, interpret, kc=None):
     c2 = w2.shape[1]
     mt = _m_tile(m, kc, bf16_widths=c1)
     psum = pl.pallas_call(
-        functools.partial(_k_stats2, cm=_chunk(mt, kc), e=k - kc),
+        functools.partial(_k_stats2, cm=_chunk(mt, kc, max(c1, c2)),
+                          e=k - kc),
         grid=(b * (m // mt),),
         in_specs=[_flat(m, mt, (kc, c1)), _st_spec(c1), _w_spec(w2)],
         out_specs=_ps_spec(c2),
@@ -1399,7 +1407,9 @@ def _call_stats3(h1, st1, st2, w2, w3, interpret, kc=None):
     c3 = w3.shape[1]
     mt = _m_tile(m, kc, bf16_widths=c1)
     psum = pl.pallas_call(
-        functools.partial(_k_stats3, cm=_chunk(mt, kc), e=k - kc),
+        functools.partial(_k_stats3,
+                          cm=_chunk(mt, kc, max(c1, w2.shape[1], c3)),
+                          e=k - kc),
         grid=(b * (m // mt),),
         in_specs=[_flat(m, mt, (kc, c1)), _st_spec(c1), _st_spec(w2.shape[1]),
                   _w_spec(w2), _w_spec(w3)],
@@ -1416,7 +1426,8 @@ def _call_out(h1, st1, st2, st3, w2, w3, interpret, kc=None):
     c3 = w3.shape[1]
     mt = _m_tile(m, kc, bf16_widths=c1)
     return pl.pallas_call(
-        functools.partial(_k_out, cm=_chunk(mt, kc)),
+        functools.partial(_k_out,
+                          cm=_chunk(mt, kc, max(c1, w2.shape[1], c3))),
         grid=(b * (m // mt),),
         in_specs=[_flat(m, mt, (kc, c1)), _st_spec(c1),
                   _st_spec(w2.shape[1]), _st_spec(c3),
@@ -1550,7 +1561,13 @@ def _call_p1(h1, dout, st1, st2, st3, w2, w3, interpret, kc=None):
     c2, c3 = w2.shape[1], w3.shape[1]
     mt = _m_tile(m, kc, bf16_widths=c1, f32_widths=c3 // kc + 1)
     return pl.pallas_call(
-        functools.partial(_k_p1, cm=_chunk(mt, kc), e=k - kc),
+        # k>64: the 4096-row p1 variant is 0.46 MB over the 16 MB
+        # scoped limit at MSG's k=128 shape (sweep-caught) — halve
+        functools.partial(
+            _k_p1,
+            cm=_chunk(mt, kc,
+                      max(c1, c2, c3) * (2 if kc > 64 else 1)),
+            e=k - kc),
         grid=(b * (m // mt),),
         in_specs=[_flat(m, mt, (kc, c1)), _flat(m, mt, (c3,)),
                   _st_spec(c1), _st_spec(c2), _st_spec(c3),
