@@ -50,9 +50,10 @@ LADDER = [
     # init via POINTCLOUDLIB_REF_INIT=0), ±5 trajectory noise.
     # Round 4 (VERDICT r3 weak #7): the 10-epoch floor of 22 sat BELOW
     # the ±5 noise band — this row now gets the 40-epoch budget its seg
-    # sibling got so the floor clears the noise (re-based on a 40-epoch
-    # run, see accuracy_ladder.jsonl)
-    ("cls", "pointconv", ["--epochs", "40"], None),  # floor set by r4 run
+    # sibling got so the floor clears the noise. Measured 59.38 at 40
+    # epochs (accuracy_ladder.jsonl r4); floor = 0.8·measured − 3,
+    # same margin convention as the mirror-derived floors.
+    ("cls", "pointconv", ["--epochs", "40"], 44.0),  # measured 59.38
     ("cls", "kpconv", [], 38.0),          # measured 47.66
     ("cls", "kpconv_deform", [], 36.0),   # measured 45.31 (frozen offsets)
     ("seg", "pointnet", [], 38.0),        # measured 48.51
