@@ -1114,25 +1114,29 @@ def _k_bqf1(r2_ref, c_ref, p_ref, q_ref, off_ref, idx_ref, h_ref,
     psum_ref[0] += jnp.concatenate([s, ss], axis=0)
 
 
+def _slot_block(mt: int, n: int, k: int) -> int:
+    """Slots per extraction-loop trip for the in-kernel ball-query
+    kernels: largest sb | k whose [sb·mt, n] one-hot (+ its int32
+    compare source, 6 B/elem) stays ~3.5 MB (r4; see _k_bqf1).
+    POINTCLOUDLIB_BQ_SB overrides for A/Bs (trace-time env read)."""
+    import os
+
+    forced = os.environ.get("POINTCLOUDLIB_BQ_SB")
+    if forced:
+        return int(forced)
+    for cand in (8, 4, 2):
+        if k % cand == 0 and 6 * cand * mt * n <= (7 << 19):
+            return cand
+    return 1
+
+
 def _call_bqf1(new_xyz, pts, q, off, radius, k, interpret):
     b, n, c1 = q.shape
     m = new_xyz.shape[1]
     per_row = 2 * (k * c1 * 2 + k * 4 + c1 * 4) + n * 8
     budget = (5 << 20) - 4 * n * (3 + c1)
     mt = _block_tile(m, max(8, budget // per_row))
-    # slot block: largest sb | k whose [sb·mt, n] one-hot (+ its int32
-    # compare source, 6 B/elem) stays ~3.5 MB (r4; see _k_bqf1).
-    # POINTCLOUDLIB_BQ_SB overrides for A/Bs (trace-time env read).
-    import os
-
-    forced_sb = os.environ.get("POINTCLOUDLIB_BQ_SB")
-    sb = 1
-    for cand in (8, 4, 2):
-        if k % cand == 0 and 6 * cand * mt * n <= (7 << 19):
-            sb = cand
-            break
-    if forced_sb:
-        sb = int(forced_sb)
+    sb = _slot_block(mt, n, k)
     r2 = jnp.full((1,), radius * radius, jnp.float32)
     nt = m // mt
     idx, h, cnt, psum = pl.pallas_call(
@@ -1167,10 +1171,12 @@ def _call_bqf1(new_xyz, pts, q, off, radius, k, interpret):
 
 @pin_default_matmul_precision
 def _k_bqeval(r2_ref, c_ref, p_ref, q_ref, off_ref, st1_ref, st2_ref,
-              st3_ref, w2_ref, w3_ref, out_ref, *, k: int):
+              st3_ref, w2_ref, w3_ref, out_ref, *, k: int, sb: int = 1):
     """Eval: ball query + gather + the whole chain per slot + running
     max — padded slots replicate slot 0 and cannot change the max, so
-    only max(cnt) slots run and no h checkpoint exists."""
+    only max(cnt) slots run and no h checkpoint exists. ``sb`` slots
+    run per loop trip (r4, as _k_bqf1): the chain is row-wise, so one
+    [sb·mt] flat pass replaces sb thin ones."""
     n, c1 = q_ref.shape[1], q_ref.shape[2]
     mt = c_ref.shape[1]
     c3 = w3_ref.shape[1]
@@ -1179,6 +1185,7 @@ def _k_bqeval(r2_ref, c_ref, p_ref, q_ref, off_ref, st1_ref, st2_ref,
     q0 = q_ref[0, 0:1, :].astype(jnp.float32)
     cntc = cnt[:, None]
     nslots = jnp.minimum(jnp.max(cnt), k)
+    si = lax.broadcasted_iota(jnp.int32, (sb, 1, 1), 0)
 
     def chain(h):
         _, _, y2 = _fwd_to(h, st1_ref, st2_ref, w2_ref)
@@ -1186,18 +1193,23 @@ def _k_bqeval(r2_ref, c_ref, p_ref, q_ref, off_ref, st1_ref, st2_ref,
                      preferred_element_type=jnp.float32)
         return _bn_relu2(h3, st3_ref)
 
-    def slot(j, macc):
-        eq = ramp == j + 1
-        onehot = eq.astype(jnp.bfloat16)
+    def slot_block(t, macc):
+        j = t * sb
+        eq = ramp[None, :, :] == (j + 1 + si)          # [sb, mt, n]
+        onehot = eq.astype(jnp.bfloat16).reshape(sb * mt, n)
         g = jnp.dot(onehot, q_ref[0],
                     preferred_element_type=jnp.float32)
         # rows whose slots ran out keep their max (replicated rows
         # can't raise it); rows with cnt==0 are handled below
-        y3 = chain(g - off)
-        return jnp.where(cntc > j, jnp.maximum(macc, y3), macc)
+        raw = (g.reshape(sb, mt, c1) - off[None]).reshape(sb * mt, c1)
+        y3 = chain(raw).reshape(sb, mt, c3)
+        live = cntc[None] > (j + si)                   # [sb, mt, 1]
+        y3 = jnp.where(live, y3, -jnp.inf)
+        return jnp.maximum(macc, jnp.max(y3, axis=0))
 
     macc = lax.fori_loop(
-        0, nslots, slot, jnp.full((mt, c3), -jnp.inf, jnp.float32))
+        0, (nslots + sb - 1) // sb, slot_block,
+        jnp.full((mt, c3), -jnp.inf, jnp.float32))
     y0 = chain(q0 - off)  # cnt==0 rows gather point 0 (XLA-path idx=0)
     out_ref[0] = jnp.where(cntc > 0, macc, y0)
 
@@ -1288,7 +1300,7 @@ def fused_sa_bq_eval(new_xyz, pts, q, off, params: SAParams,
     mt = _block_tile(m, max(8, budget // per_row))
     r2 = jnp.full((1,), radius * radius, jnp.float32)
     return pl.pallas_call(
-        functools.partial(_k_bqeval, k=k),
+        functools.partial(_k_bqeval, k=k, sb=_slot_block(mt, n, k)),
         grid=(b, m // mt),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -181,7 +181,7 @@ def sweep_bq():
     """In-kernel ball-query route (the headline path at k <= 64) —
     its tail passes slot-cap via the kernel's own cnt output."""
     from pointcloudlib_tpu.ops.pallas.fused_sa import (
-        SAParams, fused_sa_bq_train,
+        SAParams, SAStats, fused_sa_bq_eval, fused_sa_bq_train,
     )
 
     rng = np.random.default_rng(2)
@@ -212,6 +212,12 @@ def sweep_bq():
                 new_xyz, xyz, q, off, p, r, k)[0]), argnums=(0, 1, 2)))
         out = g(q, off, params)
         jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+        stats = SAStats(
+            m1=jnp.zeros(c1), v1=jnp.ones(c1), m2=jnp.zeros(c2),
+            v2=jnp.ones(c2), m3=jnp.zeros(c3), v3=jnp.ones(c3))
+        ev = jax.jit(lambda q, off, p: fused_sa_bq_eval(
+            new_xyz, xyz, q, off, p, stats, r, k))(q, off, params)
+        jax.device_get(ev.ravel()[0])
         print(f"bq ok  B={b} N={n} M={m} K={k} C=({c1},{c2},{c3})",
               flush=True)
 
