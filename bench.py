@@ -1,8 +1,10 @@
 #!/usr/bin/env python
-"""Driver benchmark: training throughput across the reference's workloads.
+"""Driver benchmark: train + eval throughput across the reference's
+workloads.
 
-Prints one JSON line per workload; the HEADLINE metric (PointNet++ SSG
-B=64 N=1024 train step) is printed LAST:
+Prints one JSON line per workload — 12 eval (serving) rows first, then
+the 12 train rows with the HEADLINE metric (PointNet++ SSG B=64 N=1024
+train step) printed LAST:
   {"metric": ..., "value": N, "unit": "samples/sec", "vs_baseline": N}
 
 Baselines (labeled estimates — the reference README reports only
@@ -48,6 +50,15 @@ BASELINES = {
     "pointconv_shapenet_partseg_train_throughput": 100.0,
 }
 
+# Eval (serving) baselines: train baseline × 3 — the reference
+# publishes no eval rates; fwd ≈ 1/3 of a fwd+bwd step is the standard
+# yardstick and BASELINE.md "Eval-row baselines" records the labeled
+# derivation (round 5, VERDICT r4 weak #7).
+BASELINES.update({
+    k.replace("_train_", "_eval_"): v * 3.0
+    for k, v in list(BASELINES.items())
+})
+
 
 # Analytic FLOPs per sample of each workload's TRAIN step (GFLOP),
 # derived from the XLA HLO cost analysis of the plain-XLA formulation
@@ -91,10 +102,13 @@ def _surface_clouds(batch_size, n_points, seed=0):
             np.stack([it[1] for it in items]).astype(np.float32))
 
 
-def _setup_cls(model_name, batch_size, n_points, with_normals):
+def _setup_cls(model_name, batch_size, n_points, with_normals,
+               extras=None):
     """(step, state, sharded_batch, key) for a cls workload — shared by
     the timing loop below and scripts/compile_sweep.py's trace-time
-    shape recorder (the sweep must cover exactly what bench traces)."""
+    shape recorder (the sweep must cover exactly what bench traces).
+    ``extras`` (a dict, optional) receives model/mesh for the eval-row
+    benches, which need to build their own step function."""
     import optax  # noqa: F401
 
     from pointcloudlib_tpu.models import get_cls_model
@@ -111,16 +125,21 @@ def _setup_cls(model_name, batch_size, n_points, with_normals):
     xyz, normals = _surface_clouds(batch_size, n_points)
     model_kw = {}
     if (model_name.startswith("kpconv")
-            and os.environ.get("POINTCLOUDLIB_BENCH_KP_CALIB") == "1"):
-        # OPT-IN: calibrate pyramid shapes on the profile clouds like
-        # the training CLI (train_cls.py) and the reference loader
-        # (kpconv_loader.py:696-706). Measured r4: single-bucket
-        # calibration on these surface clouds picks far larger voxel
-        # CAPS (truncation-free budgets for the densest cloud) and the
-        # padded work HALVES throughput (459 -> 238 sa/s) — the bench
-        # keeps the r2/r3 frozen KPConvConfig shapes for comparability;
-        # real training gets occupancy-BUCKETED calibration via the CLI
-        # (--kp-buckets), which avoids exactly this padding blowup.
+            and os.environ.get("POINTCLOUDLIB_BENCH_KP_CALIB", "1")
+            != "0"):
+        # DEFAULT since round 5 (VERDICT r4 weak #5): bench the
+        # CALIBRATED pyramid — the documented user path (the CLI
+        # calibrates, the reference loader does too,
+        # kpconv_loader.py:696-706). The r2-r4 frozen n/4^l caps
+        # (1024/256/64/16/4) truncate the real pyramid hard (layer-1
+        # median occupancy on these clouds is 485 vs cap 256; layer 4:
+        # 36 vs 4) — the old 459-525 sa/s numbers measured a fraction
+        # of the reference's per-sample work. Quantile voxel caps
+        # (cap_quantile=0.9, margin 1.0) keep the padding tail off the
+        # r4 truncation-free blowup (238 sa/s); clouds above the cap
+        # truncate exactly like the reference's max_p batch cap.
+        # POINTCLOUDLIB_BENCH_KP_CALIB=0 restores the frozen shapes
+        # for cross-round comparisons.
         from pointcloudlib_tpu.models.kpconv.adapter import KPConvCls
         from pointcloudlib_tpu.models.kpconv.calibrate import (
             calibrate_pyramid,
@@ -131,6 +150,7 @@ def _setup_cls(model_name, batch_size, n_points, with_normals):
         calib = calibrate_pyramid(
             xyz[: min(64, batch_size)], KPConvCls.first_subsampling_dl,
             base.conv_radius, base.deform_radius, base.architecture,
+            cap_quantile=0.9, margin=1.0,
         )
         model_kw.update(caps=calib.caps,
                         neighborhood_limits=calib.neighborhood_limits)
@@ -151,6 +171,8 @@ def _setup_cls(model_name, batch_size, n_points, with_normals):
     state = replicate(mesh, state)
     sharded = shard_batch(mesh, batch)
     step = make_cls_train_step(model, mesh)
+    if extras is not None:
+        extras.update(model=model, mesh=mesh)
     return step, state, sharded, key
 
 
@@ -175,7 +197,7 @@ def _bench_cls(model_name, batch_size, n_points, with_normals,
 
 
 def _setup_seg(model_name="pointnet2", with_feats=True,
-               batch_size=16, n_points=2048):
+               batch_size=16, n_points=2048, extras=None):
     """(step, state, sharded_batch, key) for a seg workload — shared by
     the timing loop below and scripts/compile_sweep.py."""
     from pointcloudlib_tpu.models import get_seg_model
@@ -214,6 +236,8 @@ def _setup_seg(model_name="pointnet2", with_feats=True,
     state = replicate(mesh, state)
     sharded = shard_batch(mesh, batch)
     step = make_seg_train_step(model, mesh)
+    if extras is not None:
+        extras.update(model=model, mesh=mesh)
     return step, state, sharded, key
 
 
@@ -232,6 +256,56 @@ def _bench_partseg(model_name="pointnet2", with_feats=True,
     loss = float(jax.device_get(metrics["loss"]))
     dt = time.perf_counter() - t0
     assert np.isfinite(loss)
+    return batch_size * iters / dt
+
+
+def _bench_cls_eval(model_name, batch_size, n_points, with_normals,
+                    iters=50, warmup=3):
+    """Eval-mode (serving) throughput: the eval kernels are distinct
+    code paths (rounds + running max, slot-blocked bq eval, no
+    checkpoints) — a serving regression was invisible to the train-only
+    regression net through round 4 (VERDICT r4 weak #7). Matches the
+    reference's voting-test workload, train_cls.py:230-328."""
+    from pointcloudlib_tpu.train import make_cls_eval_step
+
+    ex = {}
+    _, state, sharded, _ = _setup_cls(
+        model_name, batch_size, n_points, with_normals, extras=ex)
+    batch_size = sharded["xyz"].shape[0]
+    eval_step = make_cls_eval_step(ex["model"], ex["mesh"])
+
+    for _ in range(warmup):
+        correct, total = eval_step(state, sharded)
+    jax.device_get(total)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        correct, total = eval_step(state, sharded)
+    got = int(jax.device_get(total))
+    dt = time.perf_counter() - t0
+    assert got == batch_size, (got, batch_size)
+    return batch_size * iters / dt
+
+
+def _bench_seg_eval(model_name="pointnet2", with_feats=True,
+                    batch_size=16, n_points=2048, iters=30, warmup=3):
+    from pointcloudlib_tpu.train.trainer import make_seg_eval_step
+
+    ex = {}
+    _, state, sharded, _ = _setup_seg(
+        model_name, with_feats, batch_size, n_points, extras=ex)
+    batch_size = sharded["xyz"].shape[0]
+    eval_step = make_seg_eval_step(ex["model"], ex["mesh"])
+
+    for _ in range(warmup):
+        pred = eval_step(state, sharded)
+    jax.device_get(pred[0, :1])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        pred = eval_step(state, sharded)
+    # scalar fence (device_get of the full [B, N] pred would drag it
+    # through the ~0.5 GB/s tunnel and time the transfer, not the step)
+    jax.device_get(pred[0, :1])
+    dt = time.perf_counter() - t0
     return batch_size * iters / dt
 
 
@@ -282,6 +356,15 @@ WORKLOADS = [
      "cls", ("pointnet2", 64, 1024, True), 30),
 ]
 
+# One eval (serving) row per workload — same setup args; the eval-mode
+# kernels are distinct code paths (VERDICT r4 weak #7). Run before the
+# train rows so the headline train row stays LAST.
+EVAL_WORKLOADS = [
+    (metric.replace("_train_", "_eval_"), kind, setup_args,
+     2 * iters + 10)
+    for metric, kind, setup_args, iters in WORKLOADS
+]
+
 
 def workload_setup(metric):
     """(step, state, sharded_batch, key) for a named workload — the
@@ -297,7 +380,17 @@ def main():
     from pointcloudlib_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
+    # eval rows first; train rows after so the headline train row is
+    # the LAST line (the driver records the final line)
     jobs = [
+        (metric,
+         (lambda a, it: lambda: _bench_cls_eval(*a, iters=it))(
+             setup_args, iters)
+         if kind == "cls" else
+         (lambda a, it: lambda: _bench_seg_eval(*a, iters=it))(
+             setup_args, iters))
+        for metric, kind, setup_args, iters in EVAL_WORKLOADS
+    ] + [
         (metric,
          (lambda a, it: lambda: _bench_cls(*a, iters=it))(setup_args, iters)
          if kind == "cls" else

@@ -64,11 +64,24 @@ def calibrate_pyramid(
     untouched_ratio: float = 0.9,
     margin: float = 1.15,
     subsample_input: bool = True,
+    cap_quantile: float | None = None,
 ) -> PyramidCalibration:
     """Measure a sample of clouds ``[S, N, 3]`` and derive static pyramid
     shapes. Mirrors the classification_inputs walk
     (kpconv_loader.py:493-603) with the original KPConv's calibration
-    semantics instead of its frozen constants."""
+    semantics instead of its frozen constants.
+
+    ``cap_quantile`` (round 5): derive each layer's voxel cap from that
+    occupancy quantile instead of the observed max — clouds above it
+    get truncated by ``grid_subsample``'s static cap (counted by its
+    ``dropped`` output, surfaced by the trainer), exactly the
+    ``untouched_ratio`` idea applied to voxel budgets. The r4 A/B
+    showed truncation-free caps double the padded work on surface
+    clouds (238 vs 459 sa/s, docs/DESIGN.md); the reference equivalent
+    is its ``max_p`` batch-point cap (kpconv_loader.py:704), which
+    also truncates. ``None`` keeps the truncation-free maxima.
+    Layers after a capped one are measured on the TRUNCATED pyramid —
+    consistent with what the model sees at runtime."""
     clouds = np.asarray(clouds, np.float32)
     s, n, _ = clouds.shape
     mask = np.ones((s, n), bool)
@@ -87,20 +100,24 @@ def calibrate_pyramid(
     pts, msk = clouds, mask
     r = first_dl * conv_radius
     dl = first_dl
+
+    def _cap_from(o: np.ndarray) -> int:
+        budget = (o.max() if cap_quantile is None
+                  else np.quantile(o, cap_quantile))
+        return _round8(int(np.ceil(budget * margin)))
+
     for l, blocks in enumerate(groups):
         if l == 0:
             if subsample_input:
                 o = np.asarray(occ(pts, msk, dl=dl))
-                cap = _round8(int(np.ceil(o.max() * margin)))
-                cap = min(cap, n)
+                cap = min(_cap_from(o), n)
                 pts, msk = sub(pts, msk, dl=dl, n_max=cap)
             else:
                 o = np.full((s,), n)
                 cap = n
         else:
             o = np.asarray(occ(pts, msk, dl=2 * dl))
-            cap = _round8(int(np.ceil(o.max() * margin)))
-            cap = min(cap, pts.shape[1])
+            cap = min(_cap_from(o), pts.shape[1])
             pts, msk = sub(pts, msk, dl=2 * dl, n_max=cap)
             dl *= 2
             r *= 2

@@ -364,28 +364,24 @@ def three_nn_interpolate(query: Array, points: Array, feats: Array) -> Array:
     import os
 
     n = points.shape[1]
-    cv = 3 + feats.shape[-1]
     from pointcloudlib_tpu.ops.dispatch import USE_PALLAS  # lazy: no cycle
 
-    if (USE_PALLAS and n % 128 == 0 and cv >= 16 and n >= 3
-            # DEFAULT OFF (round 3): measured on-chip at the partseg
-            # decoder shapes on surface clouds, the XLA route (knn
-            # top_k + routed gather) beats the fused kernel 929 vs 818
-            # sa/s end-to-end (scripts/bench_partseg_ab.py) — k=3 is
-            # too few rounds to amortize the kernel's per-tile one-hot
-            # builds. POINTCLOUDLIB_FUSED_3NN=1 re-enables for A/B.
-            and os.environ.get("POINTCLOUDLIB_FUSED_3NN") == "1"
+    if (USE_PALLAS and n >= 3
+            # DEFAULT ON (round 5): the dedicated three_interp kernel
+            # (3 static argmin rounds, weights computed in-kernel, one
+            # weighted-one-hot feature matmul, [B,M,C] emitted direct)
+            # replaced the generic knn_gather composite that lost the
+            # r3 A/B (929 vs 818 sa/s — per-slot gathers + [B,M,3,C]
+            # intermediate + slot-outer transpose). r5 step-level A/B:
+            # see docs/DESIGN.md. POINTCLOUDLIB_FUSED_3NN=0 forces the
+            # XLA route for A/Bs.
+            and os.environ.get("POINTCLOUDLIB_FUSED_3NN", "1") != "0"
             and query.dtype == jnp.float32
             and feats.dtype == jnp.float32):
-        from pointcloudlib_tpu.ops.pallas.neighbors import knn_gather
+        from pointcloudlib_tpu.ops.pallas.neighbors import three_interp
 
-        values = jnp.concatenate([points, feats], axis=-1)
-        _, g = knn_gather(query, points, values, 3,
-                          jax.default_backend() != "tpu")
-        d2 = jnp.sum(
-            (query[:, :, None, :] - g[..., :3]) ** 2, axis=-1)
-        weight = _inverse_distance_weights(d2)
-        return jnp.sum(g[..., 3:] * weight[..., None], axis=2)
+        return three_interp(query, points, feats,
+                            jax.default_backend() != "tpu")
     idx, weight = three_nn(query, points)
     gathered = index_points(feats, idx)  # [B, M, 3, C]
     return jnp.sum(gathered * weight[..., None], axis=2)

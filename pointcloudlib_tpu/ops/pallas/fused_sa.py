@@ -1114,18 +1114,27 @@ def _k_bqf1(r2_ref, c_ref, p_ref, q_ref, off_ref, idx_ref, h_ref,
     psum_ref[0] += jnp.concatenate([s, ss], axis=0)
 
 
-def _slot_block(mt: int, n: int, k: int) -> int:
+def _slot_block(mt: int, n: int, k: int, c1: int = 0) -> int:
     """Slots per extraction-loop trip for the in-kernel ball-query
     kernels: largest sb | k whose [sb·mt, n] one-hot (+ its int32
-    compare source, 6 B/elem) stays ~3.5 MB (r4; see _k_bqf1).
-    POINTCLOUDLIB_BQ_SB overrides for A/Bs (trace-time env read)."""
+    compare source, 6 B/elem) stays ~3.5 MB AND whose f32 per-slot-
+    block temporaries (~3 copies of [sb·mt, c1]: g/raw/h in _k_bqf1,
+    the widest chain stage in _k_bqeval) stay ~1.5 MB (ADVICE r4 —
+    mt was sized assuming sb=1, so sb must carry its own charge).
+    POINTCLOUDLIB_BQ_SB overrides for A/Bs (trace-time env read);
+    the override is clamped to the largest divisor of k ≤ forced —
+    sb ∤ k would run the [j, j+sb) dynamic store past the k dim."""
     import os
 
     forced = os.environ.get("POINTCLOUDLIB_BQ_SB")
     if forced:
-        return int(forced)
+        f = max(1, int(forced))
+        while k % f:
+            f -= 1
+        return f
     for cand in (8, 4, 2):
-        if k % cand == 0 and 6 * cand * mt * n <= (7 << 19):
+        if (k % cand == 0 and 6 * cand * mt * n <= (7 << 19)
+                and 12 * cand * mt * max(c1, 1) <= (3 << 19)):
             return cand
     return 1
 
@@ -1136,7 +1145,7 @@ def _call_bqf1(new_xyz, pts, q, off, radius, k, interpret):
     per_row = 2 * (k * c1 * 2 + k * 4 + c1 * 4) + n * 8
     budget = (5 << 20) - 4 * n * (3 + c1)
     mt = _block_tile(m, max(8, budget // per_row))
-    sb = _slot_block(mt, n, k)
+    sb = _slot_block(mt, n, k, c1)
     r2 = jnp.full((1,), radius * radius, jnp.float32)
     nt = m // mt
     idx, h, cnt, psum = pl.pallas_call(
@@ -1300,7 +1309,8 @@ def fused_sa_bq_eval(new_xyz, pts, q, off, params: SAParams,
     mt = _block_tile(m, max(8, budget // per_row))
     r2 = jnp.full((1,), radius * radius, jnp.float32)
     return pl.pallas_call(
-        functools.partial(_k_bqeval, k=k, sb=_slot_block(mt, n, k)),
+        functools.partial(_k_bqeval, k=k,
+                          sb=_slot_block(mt, n, k, max(c1, c2, c3))),
         grid=(b, m // mt),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -202,10 +202,16 @@ def scatter_rows(g, idx, n, interpret=False):
     scoped limit, else XLA's native scatter-add. This is the single
     backward entry point for gather_neighbors and knn_gather — round 3
     called the kernel unconditionally and OOM'd at (n=2048, c=131)
-    in PointCNN partseg (f32[16,2048,8,131])."""
+    in PointCNN partseg (f32[16,2048,8,131]).
+
+    ``n % 128 != 0`` also routes to XLA: the kernel's one-hot build
+    reshapes with n on the lane dim (Mosaic "unsupported shape cast"
+    at n=36 — pointconv partseg's coarse decoder levels, the first
+    unaligned-n caller, round 5), and at such small n the scatter
+    matmul has nothing to win anyway."""
     b, m, k, c = g.shape
     mt, _ = _row_pad_plan(m, k, n, c)
-    if not mt:
+    if not mt or n % 128:
         return _scatter_xla(g, idx, n)
     return _gather_bwd_impl(g, idx, n, interpret)
 

@@ -21,7 +21,8 @@ import time
 sys.path.insert(0, "/root/repo")
 
 CACHE_DIR = os.environ.get(
-    "POINTCLOUDLIB_COMPILE_CACHE", "/root/repo/.jax_cache")
+    "POINTCLOUDLIB_COMPILE_CACHE",
+    os.path.expanduser("~/.cache/pointcloudlib_tpu/xla"))
 
 
 def main():

@@ -69,6 +69,15 @@ def parse_args(argv=None):
                         "program each — the static-shape equivalent of "
                         "the reference's point-budget batching "
                         "(kpconv_loader.py:704); 1 = single shape")
+    p.add_argument("--kp-cap-quantile", type=float, default=0.9,
+                   help="KPConv voxel-cap calibration quantile: each "
+                        "layer's static point budget covers this "
+                        "fraction of observed occupancies; denser "
+                        "clouds truncate (counted and surfaced — the "
+                        "reference's max_p cap also truncates, "
+                        "kpconv_loader.py:704). Truncation-free maxima "
+                        "(pre-r5 behavior) with -1; measured 2x slower "
+                        "at equal data (docs/DESIGN.md r4 ledger)")
     p.add_argument("--n-devices", type=int, default=None,
                    help="devices in the data mesh (default: all)")
     p.add_argument("--dp", default="auto",
@@ -252,6 +261,9 @@ def main(argv=None):
                 cal_clouds, KPConvCls.first_subsampling_dl,
                 base.conv_radius, base.deform_radius, arch,
                 n_buckets=args.kp_buckets,
+                cap_quantile=(None if args.kp_cap_quantile < 0
+                              else args.kp_cap_quantile),
+                margin=1.0 if args.kp_cap_quantile >= 0 else 1.15,
             )
             # init/eval shapes: element-wise max across buckets —
             # buckets[-1]'s neighborhood_limits are measured only on
@@ -265,6 +277,9 @@ def main(argv=None):
             calib = calibrate_pyramid(
                 cal_clouds, KPConvCls.first_subsampling_dl,
                 base.conv_radius, base.deform_radius, arch,
+                cap_quantile=(None if args.kp_cap_quantile < 0
+                              else args.kp_cap_quantile),
+                margin=1.0 if args.kp_cap_quantile >= 0 else 1.15,
             )
             print(f"kpconv calibration ({n_cal} clouds): "
                   f"{calib.describe()}")
