@@ -226,8 +226,9 @@ class Fused2EdgeConv(nn.Module):
 class DGCNN(nn.Module):
     n_classes: int = 40
     k: int = 20
-    axis_name: Optional[str] = None   # shard_map DP: sync-BN
-    world: int = 1
+    dropout: float = 0.5        # reference rate; 0 for the train-
+    axis_name: Optional[str] = None   # equivalence tests (mirror has
+    world: int = 1                    # no dropout); shard_map sync-BN
 
     @nn.compact
     def __call__(
@@ -248,10 +249,10 @@ class DGCNN(nn.Module):
         x = jnp.concatenate([jnp.max(x, axis=1), jnp.mean(x, axis=1)], -1)
         x = DenseBNAct(512, act=_lrelu,
                        axis_name=self.axis_name)(x, training)
-        x = nn.Dropout(0.5, deterministic=not training)(x)
+        x = nn.Dropout(self.dropout, deterministic=not training)(x)
         x = DenseBNAct(256, act=_lrelu, use_bias=True,
                        axis_name=self.axis_name)(x, training)
-        x = nn.Dropout(0.5, deterministic=not training)(x)
+        x = nn.Dropout(self.dropout, deterministic=not training)(x)
         return nn.Dense(self.n_classes,
                         kernel_init=reference_linear_init)(x)
 

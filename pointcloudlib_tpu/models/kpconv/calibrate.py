@@ -55,6 +55,21 @@ def _round8(n: int) -> int:
     return max(8, (n + 7) // 8 * 8)
 
 
+def _round_cap(n: int) -> int:
+    """Voxel caps above 256 round to the NEAREST multiple of 64: the
+    Pallas kNN/radius row tiles must be multiple-of-8 DIVISORS of the
+    layer size ≤ 256, and an awkward cap like 904 (= 8·113) leaves
+    mt=8 as the only legal tile — 113 grid steps per cloud of pure
+    loop overhead (measured r5: the two big-layer radius searches at
+    caps (904, 632) cost 7.3/6.6 ms standalone vs ~1.5 tile-friendly;
+    pyramid 21.5 → 11.0 ms in one jit). Caps ≤ 256 keep 8-granularity
+    — the whole layer is one tile there, and coarse layers are where
+    rounding error would actually truncate voxels."""
+    if n > 256:
+        return (n + 32) // 64 * 64
+    return _round8(n)
+
+
 def calibrate_pyramid(
     clouds: np.ndarray,
     first_dl: float,
@@ -104,7 +119,7 @@ def calibrate_pyramid(
     def _cap_from(o: np.ndarray) -> int:
         budget = (o.max() if cap_quantile is None
                   else np.quantile(o, cap_quantile))
-        return _round8(int(np.ceil(budget * margin)))
+        return _round_cap(int(np.ceil(budget * margin)))
 
     for l, blocks in enumerate(groups):
         if l == 0:

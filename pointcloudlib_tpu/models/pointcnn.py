@@ -267,6 +267,7 @@ class PointCNNPartSeg(nn.Module):
 
 class PointCNNCls(nn.Module):
     n_classes: int = 40
+    dropout: float = 0.5   # reference rate; 0 for train-equivalence
     axis_name: Optional[str] = None
 
     @nn.compact
@@ -287,7 +288,8 @@ class PointCNNCls(nn.Module):
         pts, fts = PointCNNLayer(192, 384, k=16, d=3, p=128,
                                  axis_name=ax)(pts, fts, training)
         h = DenseBlock(192, axis_name=ax)(fts, training)
-        h = DenseBlock(128, drop_rate=0.5, axis_name=ax)(h, training)
+        h = DenseBlock(128, drop_rate=self.dropout,
+                       axis_name=ax)(h, training)
         logits = DenseBlock(self.n_classes, with_bn=False, act=False)(
             h, training
         )

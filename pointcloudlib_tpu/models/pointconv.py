@@ -238,6 +238,7 @@ class PointConvPartSeg(nn.Module):
 
 class PointConvDensityCls(nn.Module):
     n_classes: int = 40
+    dropout: float = 0.4   # reference rate; 0 for train-equivalence
     axis_name: Optional[str] = None
 
     @nn.compact
@@ -261,8 +262,8 @@ class PointConvDensityCls(nn.Module):
         )(xyz2, f2, training)
         x = f3[:, 0]
         x = DenseBNAct(512, use_bias=True, axis_name=ax)(x, training)
-        x = nn.Dropout(0.4, deterministic=not training)(x)
+        x = nn.Dropout(self.dropout, deterministic=not training)(x)
         x = DenseBNAct(256, use_bias=True, axis_name=ax)(x, training)
-        x = nn.Dropout(0.4, deterministic=not training)(x)
+        x = nn.Dropout(self.dropout, deterministic=not training)(x)
         return nn.Dense(self.n_classes,
                         kernel_init=reference_linear_init)(x)
