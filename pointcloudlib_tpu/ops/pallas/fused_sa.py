@@ -302,15 +302,26 @@ def _bn_bwd_row(dz2d, xhat2d, st_ref, s_ref, r: float):
     return sc * (dz2d - u1 - xhat2d * u2)
 
 
-def _maxpool_dz(h3_2d, dout2d, st_ref, cm: int, k: int, e: int = 0):
+def _maxpool_dz(h3_2d, dout2d, st_ref, cm: int, k: int, e: int = 0,
+                sm: bool = False):
     """Per-row gradient at z3 = BN(h3): max-pool (even tie split,
     matching jnp.max) then relu mask. h3_2d is a [cm·k, C] chunk,
     dout2d the matching [cm, C] rows. With the slot dim capped (e > 0)
     the e unread replicas of slot 0 join the tie count whenever slot 0
     ties the max — their (identical) shares are added back analytically
-    by the callers' slot-0 weighting."""
+    by the callers' slot-0 weighting. ``sm``: the chunk is SLOT-major
+    ([k·cm] rows, slot outer) — groups run down axis 0."""
     c = h3_2d.shape[-1]
     y, z = _bn_relu2(h3_2d, st_ref, with_z=True)
+    if sm:
+        a = y.reshape(k, cm, c)
+        amax = jnp.max(a, axis=0, keepdims=True)
+        ties = (a == amax).astype(jnp.float32)
+        tsum = jnp.sum(ties, axis=0, keepdims=True)
+        if e:
+            tsum = tsum + float(e) * ties[0:1]
+        da = dout2d[None, :, :] * ties / tsum
+        return jnp.where(z > 0, da.reshape(k * cm, c), 0.0)
     a = y.reshape(cm, k, c)
     amax = jnp.max(a, axis=1, keepdims=True)
     ties = (a == amax).astype(jnp.float32)
@@ -400,20 +411,26 @@ def _cap_gather() -> bool:
     return os.environ.get("POINTCLOUDLIB_CAP_GATHER") == "1"
 
 
-def _slot_w(cm: int, kc: int, e: int):
-    """[cm*kc, 1] per-row weight: 1+e on each row's slot 0, else 1."""
+def _slot_w(cm: int, kc: int, e: int, sm: bool = False):
+    """[cm*kc, 1] per-row weight: 1+e on each row's slot 0, else 1.
+    ``sm`` (slot-major rows): slot 0 is the FIRST cm rows."""
     i = lax.broadcasted_iota(jnp.int32, (cm * kc, 1), 0)
+    if sm:
+        return jnp.where(i < cm, float(1 + e), 1.0)
     return jnp.where(i % kc == 0, float(1 + e), 1.0)
 
 
-def _slot0(x2d, cm: int, kc: int):
+def _slot0(x2d, cm: int, kc: int, sm: bool = False):
     """The slot-0 rows (i % kc == 0) of a [cm*kc, c] chunk, [cm, c].
+    Slot-major chunks (``sm``): simply the first cm rows.
 
     bf16 contractions account for the e capped-away replicas as
     ``dot(x, y) + e * dot(slot0(x), slot0(y))`` — slicing the SAME
     bf16 operands keeps every product bit-identical to the full-k
     path (weighting an operand by 1+e before the bf16 cast would
     round differently: bf16((1+e)x) != (1+e)bf16(x))."""
+    if sm:
+        return x2d[:cm, :]
     return x2d.reshape(cm, kc, x2d.shape[-1])[:, 0, :]
 
 
@@ -546,19 +563,30 @@ def _k_f1w(s_ref, nb_ref, q_ref, idx_ref, off_ref, h1_ref, psum_ref,
 
 
 @pin_default_matmul_precision
-def _k_stats2(h1_ref, st1_ref, w2_ref, psum_ref, *, cm: int, e: int = 0):
+def _k_stats2(h1_ref, st1_ref, w2_ref, psum_ref, *, cm: int, e: int = 0,
+              sm: int = 0):
     """Σ/Σ² of h2 = relu(BN1(h1))·W2 (nothing written but the sums).
     The block's slot dim may be capped at kc < k; each row's slot 0
     then carries weight 1+e for the e unread replicas (see the slot
-    capping note above _kc_variants)."""
-    mt, kc, c1 = h1_ref.shape[1], h1_ref.shape[2], h1_ref.shape[3]
+    capping note above _kc_variants). ``sm``: h1 arrives SLOT-major
+    ([1, kc, mt, c1] — the bq kernel's native layout, r5): chunks
+    slice the m dim and rows run slot-outer; the sums are row-order
+    free, so only the reads and the slot-0 weights change."""
+    if sm:
+        kc, mt, c1 = h1_ref.shape[1], h1_ref.shape[2], h1_ref.shape[3]
+    else:
+        mt, kc, c1 = h1_ref.shape[1], h1_ref.shape[2], h1_ref.shape[3]
     c2 = w2_ref.shape[1]
     _psum_init(psum_ref)
-    w = _slot_w(cm, kc, e) if e else None
+    w = _slot_w(cm, kc, e, sm) if e else None
 
     def body(i, acc):
-        h1 = h1_ref[0, pl.ds(i * cm, cm), :, :]
-        h1 = h1.astype(jnp.float32).reshape(cm * kc, c1)
+        if sm:
+            h1 = h1_ref[0, :, pl.ds(i * cm, cm), :]
+            h1 = h1.astype(jnp.float32).reshape(kc * cm, c1)
+        else:
+            h1 = h1_ref[0, pl.ds(i * cm, cm), :, :]
+            h1 = h1.astype(jnp.float32).reshape(cm * kc, c1)
         y1 = _bn_relu2(h1, st1_ref)
         h2 = jnp.dot(y1.astype(jnp.bfloat16), w2_ref[:, :],
                      preferred_element_type=jnp.float32)
@@ -573,16 +601,24 @@ def _k_stats2(h1_ref, st1_ref, w2_ref, psum_ref, *, cm: int, e: int = 0):
 
 @pin_default_matmul_precision
 def _k_stats3(h1_ref, st1_ref, st2_ref, w2_ref, w3_ref, psum_ref,
-              *, cm: int, e: int = 0):
-    """Σ/Σ² of h3, recomputed from h1 (slot-capped like _k_stats2)."""
-    mt, kc, c1 = h1_ref.shape[1], h1_ref.shape[2], h1_ref.shape[3]
+              *, cm: int, e: int = 0, sm: int = 0):
+    """Σ/Σ² of h3, recomputed from h1 (slot-capped like _k_stats2;
+    ``sm`` reads the slot-major layout like _k_stats2)."""
+    if sm:
+        kc, mt, c1 = h1_ref.shape[1], h1_ref.shape[2], h1_ref.shape[3]
+    else:
+        mt, kc, c1 = h1_ref.shape[1], h1_ref.shape[2], h1_ref.shape[3]
     c3 = w3_ref.shape[1]
     _psum_init(psum_ref)
-    w = _slot_w(cm, kc, e) if e else None
+    w = _slot_w(cm, kc, e, sm) if e else None
 
     def body(i, acc):
-        h1 = h1_ref[0, pl.ds(i * cm, cm), :, :]
-        h1 = h1.astype(jnp.float32).reshape(cm * kc, c1)
+        if sm:
+            h1 = h1_ref[0, :, pl.ds(i * cm, cm), :]
+            h1 = h1.astype(jnp.float32).reshape(kc * cm, c1)
+        else:
+            h1 = h1_ref[0, pl.ds(i * cm, cm), :, :]
+            h1 = h1.astype(jnp.float32).reshape(cm * kc, c1)
         _, _, y2 = _fwd_to(h1, st1_ref, st2_ref, w2_ref)
         h3 = jnp.dot(y2.astype(jnp.bfloat16), w3_ref[:, :],
                      preferred_element_type=jnp.float32)
@@ -597,20 +633,31 @@ def _k_stats3(h1_ref, st1_ref, st2_ref, w2_ref, w3_ref, psum_ref,
 
 @pin_default_matmul_precision
 def _k_out(h1_ref, st1_ref, st2_ref, st3_ref, w2_ref, w3_ref, out_ref,
-           *, cm: int):
-    """out = max_k relu(BN3(h3)), recomputed from h1."""
-    mt, k, c1 = h1_ref.shape[1], h1_ref.shape[2], h1_ref.shape[3]
+           *, cm: int, sm: int = 0):
+    """out = max_k relu(BN3(h3)), recomputed from h1. ``sm``: h1 is
+    slot-major — the max runs down the leading slot axis; the [B,M,C3]
+    output layout is unchanged (padded replica slots repeat slot 0 and
+    never change a max, so capped kc blocks are exact either way)."""
+    if sm:
+        k, mt, c1 = h1_ref.shape[1], h1_ref.shape[2], h1_ref.shape[3]
+    else:
+        mt, k, c1 = h1_ref.shape[1], h1_ref.shape[2], h1_ref.shape[3]
     c3 = w3_ref.shape[1]
 
     def body(i, _):
-        h1 = h1_ref[0, pl.ds(i * cm, cm), :, :]
-        h1 = h1.astype(jnp.float32).reshape(cm * k, c1)
+        if sm:
+            h1 = h1_ref[0, :, pl.ds(i * cm, cm), :]
+            h1 = h1.astype(jnp.float32).reshape(k * cm, c1)
+        else:
+            h1 = h1_ref[0, pl.ds(i * cm, cm), :, :]
+            h1 = h1.astype(jnp.float32).reshape(cm * k, c1)
         _, _, y2 = _fwd_to(h1, st1_ref, st2_ref, w2_ref)
         h3 = jnp.dot(y2.astype(jnp.bfloat16), w3_ref[:, :],
                      preferred_element_type=jnp.float32)
         y3 = _bn_relu2(h3, st3_ref)
-        out_ref[0, pl.ds(i * cm, cm), :] = jnp.max(
-            y3.reshape(cm, k, c3), axis=1)
+        pooled = (jnp.max(y3.reshape(k, cm, c3), axis=0) if sm
+                  else jnp.max(y3.reshape(cm, k, c3), axis=1))
+        out_ref[0, pl.ds(i * cm, cm), :] = pooled
         return 0
 
     lax.fori_loop(0, mt // cm, body, 0)
@@ -703,12 +750,19 @@ def _k_evalw(s_ref, nb_ref, q_ref, idx_ref, off_ref, st1_ref, st2_ref,
 
 @pin_default_matmul_precision
 def _k_p1(h1_ref, dout_ref, st1_ref, st2_ref, st3_ref, w2_ref, w3_ref,
-          ps3_ref, ps2_ref, mats_ref, *, cm: int, e: int = 0):
+          ps3_ref, ps2_ref, mats_ref, *, cm: int, e: int = 0,
+          sm: int = 0):
     """Backward pass 1: S3 sums + the 6 row-contraction accumulators.
     Slot-capped blocks (e > 0) weight each row's slot 0 by 1+e in every
     row sum — the replica rows' contributions are identical to slot
-    0's (see the note above _kc_variants)."""
-    mt, k, c1 = h1_ref.shape[1], h1_ref.shape[2], h1_ref.shape[3]
+    0's (see the note above _kc_variants). ``sm``: h1 is slot-major;
+    the contractions pair left/right rows in the same (slot-major)
+    order, so only reads, the maxpool axis, and the slot-0 picks
+    change."""
+    if sm:
+        k, mt, c1 = h1_ref.shape[1], h1_ref.shape[2], h1_ref.shape[3]
+    else:
+        mt, k, c1 = h1_ref.shape[1], h1_ref.shape[2], h1_ref.shape[3]
     c2 = w2_ref.shape[1]
     c3 = w3_ref.shape[1]
     _psum_init(ps3_ref)
@@ -719,12 +773,16 @@ def _k_p1(h1_ref, dout_ref, st1_ref, st2_ref, st3_ref, w2_ref, w3_ref,
         mats_ref[0] = jnp.zeros_like(mats_ref[0])
 
     contract = (((0,), (0,)), ((), ()))
-    w = _slot_w(cm, k, e) if e else None
+    w = _slot_w(cm, k, e, sm) if e else None
 
     def body(i, acc):
         s, ss, vecs, mats = acc
-        h1 = h1_ref[0, pl.ds(i * cm, cm), :, :]
-        h1 = h1.astype(jnp.float32).reshape(cm * k, c1)
+        if sm:
+            h1 = h1_ref[0, :, pl.ds(i * cm, cm), :]
+            h1 = h1.astype(jnp.float32).reshape(k * cm, c1)
+        else:
+            h1 = h1_ref[0, pl.ds(i * cm, cm), :, :]
+            h1 = h1.astype(jnp.float32).reshape(cm * k, c1)
         dout = dout_ref[0, pl.ds(i * cm, cm), :]
         y1 = _bn_relu2(h1, st1_ref)
         h2 = jnp.dot(y1.astype(jnp.bfloat16), w2_ref[:, :],
@@ -732,7 +790,7 @@ def _k_p1(h1_ref, dout_ref, st1_ref, st2_ref, st3_ref, w2_ref, w3_ref,
         y2, z2 = _bn_relu2(h2, st2_ref, with_z=True)
         h3 = jnp.dot(y2.astype(jnp.bfloat16), w3_ref[:, :],
                      preferred_element_type=jnp.float32)
-        dz3 = _maxpool_dz(h3, dout, st3_ref, cm, k, e)
+        dz3 = _maxpool_dz(h3, dout, st3_ref, cm, k, e, sm)
         xh3 = _xhat(h3, st3_ref)
         m2 = (z2 > 0).astype(jnp.float32)
         xh2 = _xhat(h2, st2_ref)
@@ -746,8 +804,8 @@ def _k_p1(h1_ref, dout_ref, st1_ref, st2_ref, st3_ref, w2_ref, w3_ref,
             leftb, rightb, contract, preferred_element_type=jnp.float32)
         if e:
             mats = mats + float(e) * lax.dot_general(
-                _slot0(leftb, cm, k), _slot0(rightb, cm, k), contract,
-                preferred_element_type=jnp.float32)
+                _slot0(leftb, cm, k, sm), _slot0(rightb, cm, k, sm),
+                contract, preferred_element_type=jnp.float32)
         return (s + jnp.sum(dz3w, axis=0, keepdims=True),
                 ss + jnp.sum(dz3w * xh3, axis=0, keepdims=True),
                 vecs + jnp.sum(leftw, axis=0, keepdims=True),
@@ -766,14 +824,21 @@ def _k_p1(h1_ref, dout_ref, st1_ref, st2_ref, st3_ref, w2_ref, w3_ref,
 def _k_p2(h1_ref, dout_ref, idx_ref, st1_ref, st2_ref, st3_ref,
           w2_ref, w3_ref, wt3_ref, wt2_ref, us3_ref, us2_ref,
           dw2_ref, ps1_ref, scat_ref, d1_ref, d2_ref, *, cm: int,
-          e: int = 0):
+          e: int = 0, sm: int = 0):
     """Backward pass 2: dW2, S1 sums, and the dQ/dOff scatter pieces.
     us3/us2 are the pre-divided BN sums (Σ/R). Slot-capped blocks
     (e > 0): h1 carries kc slots, idx stays k-wide and is sliced; slot
     0 is weighted 1+e in every row sum and in the scatter — padded
     replicas scatter to the same column (idx[:, 0]) with identical
-    values, so the weighting is exact."""
-    mt, kc, c1 = h1_ref.shape[1], h1_ref.shape[2], h1_ref.shape[3]
+    values, so the weighting is exact. ``sm``: h1 AND idx arrive
+    slot-major ([1, kc, mt, c1] / [1, kc, mt] — the caller transposes
+    idx, a 64x smaller move than transposing h1); rows and one-hot
+    rows share the slot-major order, so the contractions are
+    unchanged."""
+    if sm:
+        kc, mt, c1 = h1_ref.shape[1], h1_ref.shape[2], h1_ref.shape[3]
+    else:
+        mt, kc, c1 = h1_ref.shape[1], h1_ref.shape[2], h1_ref.shape[3]
     c2 = w2_ref.shape[1]
     n = scat_ref.shape[1]
 
@@ -787,8 +852,9 @@ def _k_p2(h1_ref, dout_ref, idx_ref, st1_ref, st2_ref, st3_ref,
         scat_ref[0] = jnp.zeros_like(scat_ref[0])
 
     contract = (((0,), (0,)), ((), ()))
-    lane = lax.broadcasted_iota(jnp.int32, (cm, kc, n), 2)
-    wrow = _slot_w(cm, kc, e) if e else None
+    lane = lax.broadcasted_iota(
+        jnp.int32, (kc, cm, n) if sm else (cm, kc, n), 2)
+    wrow = _slot_w(cm, kc, e, sm) if e else None
     # MXU output lanes pad to 128-tiles: [dz1 ‖ xh1 ‖ ones8] = 2c1+8
     # costs a whole extra tile for 8 integer-count columns. When 2c1 is
     # tile-aligned, ship [dz1 ‖ xh1] alone and derive the counts from a
@@ -801,17 +867,22 @@ def _k_p2(h1_ref, dout_ref, idx_ref, st1_ref, st2_ref, st3_ref,
 
     def body(i, acc):
         dw2, s, ss = acc
-        h1 = h1_ref[0, pl.ds(i * cm, cm), :, :]
-        h1 = h1.astype(jnp.float32).reshape(cm * kc, c1)
+        if sm:
+            h1 = h1_ref[0, :, pl.ds(i * cm, cm), :]
+            h1 = h1.astype(jnp.float32).reshape(kc * cm, c1)
+            idx = idx_ref[0, :, pl.ds(i * cm, cm)]       # [kc, cm]
+        else:
+            h1 = h1_ref[0, pl.ds(i * cm, cm), :, :]
+            h1 = h1.astype(jnp.float32).reshape(cm * kc, c1)
+            idx = idx_ref[0, pl.ds(i * cm, cm), :][:, :kc]
         dout = dout_ref[0, pl.ds(i * cm, cm), :]
-        idx = idx_ref[0, pl.ds(i * cm, cm), :][:, :kc]
         y1, z1 = _bn_relu2(h1, st1_ref, with_z=True)
         h2 = jnp.dot(y1.astype(jnp.bfloat16), w2_ref[:, :],
                      preferred_element_type=jnp.float32)
         y2, z2 = _bn_relu2(h2, st2_ref, with_z=True)
         h3 = jnp.dot(y2.astype(jnp.bfloat16), w3_ref[:, :],
                      preferred_element_type=jnp.float32)
-        dz3 = _maxpool_dz(h3, dout, st3_ref, cm, kc, e)
+        dz3 = _maxpool_dz(h3, dout, st3_ref, cm, kc, e, sm)
         dh3 = _bn_bwd_row(dz3, _xhat(h3, st3_ref), st3_ref, us3_ref, 1.0)
         dy2 = jnp.dot(dh3.astype(jnp.bfloat16), wt3_ref[:, :],
                       preferred_element_type=jnp.float32)
@@ -823,8 +894,8 @@ def _k_p2(h1_ref, dout_ref, idx_ref, st1_ref, st2_ref, st3_ref,
             y1b, dh2b, contract, preferred_element_type=jnp.float32)
         if e:
             dw2 = dw2 + float(e) * lax.dot_general(
-                _slot0(y1b, cm, kc), _slot0(dh2b, cm, kc), contract,
-                preferred_element_type=jnp.float32)
+                _slot0(y1b, cm, kc, sm), _slot0(dh2b, cm, kc, sm),
+                contract, preferred_element_type=jnp.float32)
         dy1 = jnp.dot(dh2.astype(jnp.bfloat16), wt2_ref[:, :],
                       preferred_element_type=jnp.float32)
         dz1 = jnp.where(z1 > 0, dy1, 0.0)
@@ -832,12 +903,18 @@ def _k_p2(h1_ref, dout_ref, idx_ref, st1_ref, st2_ref, st3_ref,
         dz1w = dz1 * wrow if e else dz1
         xh1w = xh1 * wrow if e else xh1
 
-        d1_ref[0, pl.ds(i * cm, cm), :] = jnp.sum(
-            dz1w.reshape(cm, kc, c1), axis=1)
-        d2_ref[0, pl.ds(i * cm, cm), :] = jnp.sum(
-            xh1w.reshape(cm, kc, c1), axis=1)
+        if sm:
+            d1_ref[0, pl.ds(i * cm, cm), :] = jnp.sum(
+                dz1w.reshape(kc, cm, c1), axis=0)
+            d2_ref[0, pl.ds(i * cm, cm), :] = jnp.sum(
+                xh1w.reshape(kc, cm, c1), axis=0)
+        else:
+            d1_ref[0, pl.ds(i * cm, cm), :] = jnp.sum(
+                dz1w.reshape(cm, kc, c1), axis=1)
+            d2_ref[0, pl.ds(i * cm, cm), :] = jnp.sum(
+                xh1w.reshape(cm, kc, c1), axis=1)
         onehot3 = (lane == idx[:, :, None]).astype(jnp.bfloat16)
-        onehot = onehot3.reshape(cm * kc, n)
+        onehot = onehot3.reshape(kc * cm if sm else cm * kc, n)
         if split_cnt:
             right = jnp.concatenate(
                 [dz1.astype(jnp.bfloat16), xh1.astype(jnp.bfloat16)],
@@ -852,12 +929,14 @@ def _k_p2(h1_ref, dout_ref, idx_ref, st1_ref, st2_ref, st3_ref,
             onehot, right, contract, preferred_element_type=jnp.float32)
         if e:
             scat = scat + float(e) * lax.dot_general(
-                _slot0(onehot, cm, kc), _slot0(right, cm, kc), contract,
-                preferred_element_type=jnp.float32)
+                _slot0(onehot, cm, kc, sm), _slot0(right, cm, kc, sm),
+                contract, preferred_element_type=jnp.float32)
         if split_cnt:
-            sslot = jnp.sum(onehot3, axis=1)           # [cm, n] ≤ k
+            # per-center source counts [cm, n] (integers ≤ k)
+            sslot = jnp.sum(onehot3, axis=0 if sm else 1)
             if e:
-                sslot = sslot + float(e) * onehot3[:, 0, :]
+                sslot = sslot + float(e) * (
+                    onehot3[0] if sm else onehot3[:, 0, :])
             cnt8 = lax.dot_general(
                 sslot.astype(jnp.bfloat16), ones8, contract,
                 preferred_element_type=jnp.float32)    # [n, 8]
@@ -1175,7 +1254,11 @@ def _call_bqf1(new_xyz, pts, q, off, radius, k, interpret):
         interpret=interpret,
     )(r2, new_xyz.astype(jnp.float32), pts.astype(jnp.float32),
       q.astype(jnp.bfloat16), off.astype(jnp.float32))
-    return idx, jnp.swapaxes(h, 1, 2), cnt[..., 0], psum
+    # h stays in the kernel's native SLOT-major layout [b, k, m, c1]
+    # (round 5): every tail/backward pass reads it via the sm variants,
+    # killing the 2-byte·b·k·m·c1 XLA transpose this call used to pay
+    # (268 MB ≈ 0.7 ms at headline SA1)
+    return idx, h, cnt[..., 0], psum
 
 
 @pin_default_matmul_precision
@@ -1234,15 +1317,16 @@ def _bq_fwd_impl(new_xyz, pts, q, off, params: SAParams, radius, k,
     st1 = _stack_stats(m1, v1, params.g1, params.b1)
 
     def tail(kc):
-        p2 = _call_stats2(h1, st1, params.w2, interpret, kc=kc)
+        p2 = _call_stats2(h1, st1, params.w2, interpret, kc=kc,
+                          sm=True)
         m2, v2 = _moments(_psum(p2[0], axis_name), r)
         st2 = _stack_stats(m2, v2, params.g2, params.b2)
         p3 = _call_stats3(h1, st1, st2, params.w2, params.w3,
-                          interpret, kc=kc)
+                          interpret, kc=kc, sm=True)
         m3, v3 = _moments(_psum(p3[0], axis_name), r)
         st3 = _stack_stats(m3, v3, params.g3, params.b3)
         out = _call_out(h1, st1, st2, st3, params.w2, params.w3,
-                        interpret, kc=kc)
+                        interpret, kc=kc, sm=True)
         return out, (m2, v2, m3, v3), st2, st3
 
     variants = _kc_variants(k)
@@ -1277,7 +1361,7 @@ def _bq_train_fwd(new_xyz, pts, q, off, params, radius, k, interpret,
         new_xyz, pts, q, off, params, radius, k, interpret, axis_name,
         world)
     res = (idx, h1, st1, st2, st3, params, q.shape[1], None, None,
-           maxcnt)
+           maxcnt, True)  # True: h1 rides the bq kernel's slot-major
     return (out, stats), res
 
 
@@ -1362,6 +1446,22 @@ def _flat(m, mt, tail):
         (1, mt) + tail, lambda i: (i // nmt, i % nmt) + (0,) * len(tail))
 
 
+def _h1_dims(h1, sm):
+    """(b, m, k, c1) regardless of layout: sm h1 is [b, k, m, c1]."""
+    if sm:
+        b, k, m, c1 = h1.shape
+        return b, m, k, c1
+    return h1.shape
+
+
+def _flat_sm(m, mt, kc, c1):
+    """Slot-major h1 block [1, kc, mt, c1] over a flat (b·m/mt,) grid:
+    slot block index 0 always — a capped kc < k reads slots [0, kc)."""
+    nmt = m // mt
+    return pl.BlockSpec(
+        (1, kc, mt, c1), lambda i: (i // nmt, 0, i % nmt, 0))
+
+
 def _call_f1(q, idx, off, interpret, kc=None):
     b, n, c1 = q.shape
     _, m, k = idx.shape
@@ -1406,16 +1506,18 @@ def _call_f1(q, idx, off, interpret, kc=None):
     return h1, psum
 
 
-def _call_stats2(h1, st1, w2, interpret, kc=None):
-    b, m, k, c1 = h1.shape
+def _call_stats2(h1, st1, w2, interpret, kc=None, sm=False):
+    b, m, k, c1 = _h1_dims(h1, sm)
     kc = k if kc is None else kc
     c2 = w2.shape[1]
     mt = _m_tile(m, kc, bf16_widths=c1)
     psum = pl.pallas_call(
         functools.partial(_k_stats2, cm=_chunk(mt, kc, max(c1, c2)),
-                          e=k - kc),
+                          e=k - kc, sm=int(sm)),
         grid=(b * (m // mt),),
-        in_specs=[_flat(m, mt, (kc, c1)), _st_spec(c1), _w_spec(w2)],
+        in_specs=[_flat_sm(m, mt, kc, c1) if sm
+                  else _flat(m, mt, (kc, c1)),
+                  _st_spec(c1), _w_spec(w2)],
         out_specs=_ps_spec(c2),
         out_shape=jax.ShapeDtypeStruct((1, 2, c2), jnp.float32),
         interpret=interpret,
@@ -1423,17 +1525,19 @@ def _call_stats2(h1, st1, w2, interpret, kc=None):
     return psum
 
 
-def _call_stats3(h1, st1, st2, w2, w3, interpret, kc=None):
-    b, m, k, c1 = h1.shape
+def _call_stats3(h1, st1, st2, w2, w3, interpret, kc=None, sm=False):
+    b, m, k, c1 = _h1_dims(h1, sm)
     kc = k if kc is None else kc
     c3 = w3.shape[1]
     mt = _m_tile(m, kc, bf16_widths=c1)
     psum = pl.pallas_call(
         functools.partial(_k_stats3,
                           cm=_chunk(mt, kc, max(c1, w2.shape[1], c3)),
-                          e=k - kc),
+                          e=k - kc, sm=int(sm)),
         grid=(b * (m // mt),),
-        in_specs=[_flat(m, mt, (kc, c1)), _st_spec(c1), _st_spec(w2.shape[1]),
+        in_specs=[_flat_sm(m, mt, kc, c1) if sm
+                  else _flat(m, mt, (kc, c1)),
+                  _st_spec(c1), _st_spec(w2.shape[1]),
                   _w_spec(w2), _w_spec(w3)],
         out_specs=_ps_spec(c3),
         out_shape=jax.ShapeDtypeStruct((1, 2, c3), jnp.float32),
@@ -1442,16 +1546,19 @@ def _call_stats3(h1, st1, st2, w2, w3, interpret, kc=None):
     return psum
 
 
-def _call_out(h1, st1, st2, st3, w2, w3, interpret, kc=None):
-    b, m, k, c1 = h1.shape
+def _call_out(h1, st1, st2, st3, w2, w3, interpret, kc=None, sm=False):
+    b, m, k, c1 = _h1_dims(h1, sm)
     kc = k if kc is None else kc
     c3 = w3.shape[1]
     mt = _m_tile(m, kc, bf16_widths=c1)
     return pl.pallas_call(
         functools.partial(_k_out,
-                          cm=_chunk(mt, kc, max(c1, w2.shape[1], c3))),
+                          cm=_chunk(mt, kc, max(c1, w2.shape[1], c3)),
+                          sm=int(sm)),
         grid=(b * (m // mt),),
-        in_specs=[_flat(m, mt, (kc, c1)), _st_spec(c1),
+        in_specs=[_flat_sm(m, mt, kc, c1) if sm
+                  else _flat(m, mt, (kc, c1)),
+                  _st_spec(c1),
                   _st_spec(w2.shape[1]), _st_spec(c3),
                   _w_spec(w2), _w_spec(w3)],
         out_specs=_flat(m, mt, (c3,)),
@@ -1573,12 +1680,13 @@ def _fused_train_fwd(q, off, idx, params, interpret, axis_name, world,
         _fused_fwd_impl(q, off, idx, params, interpret, axis_name,
                         world, cnt))
     res = (idx_s, h1, st1, st2, st3, params, q.shape[1], sigma, inv,
-           maxcnt)
+           maxcnt, False)
     return (out, stats), res
 
 
-def _call_p1(h1, dout, st1, st2, st3, w2, w3, interpret, kc=None):
-    b, m, k, c1 = h1.shape
+def _call_p1(h1, dout, st1, st2, st3, w2, w3, interpret, kc=None,
+             sm=False):
+    b, m, k, c1 = _h1_dims(h1, sm)
     kc = k if kc is None else kc
     c2, c3 = w2.shape[1], w3.shape[1]
     mt = _m_tile(m, kc, bf16_widths=c1, f32_widths=c3 // kc + 1)
@@ -1589,9 +1697,11 @@ def _call_p1(h1, dout, st1, st2, st3, w2, w3, interpret, kc=None):
             _k_p1,
             cm=_chunk(mt, kc,
                       max(c1, c2, c3) * (2 if kc > 64 else 1)),
-            e=k - kc),
+            e=k - kc, sm=int(sm)),
         grid=(b * (m // mt),),
-        in_specs=[_flat(m, mt, (kc, c1)), _flat(m, mt, (c3,)),
+        in_specs=[_flat_sm(m, mt, kc, c1) if sm
+                  else _flat(m, mt, (kc, c1)),
+                  _flat(m, mt, (c3,)),
                   _st_spec(c1), _st_spec(c2), _st_spec(c3),
                   _w_spec(w2), _w_spec(w3)],
         out_specs=[_ps_spec(c3),
@@ -1641,19 +1751,39 @@ def _combine_p1(ps3, vecs, mats, st3_folded, w3, r, axis_name=None):
 
 
 def _call_p2(h1, dout, idx, st1, st2, st3, w2, w3, us3, us2, n,
-             interpret, kc=None):
-    b, m, k, c1 = h1.shape
+             interpret, kc=None, sm=False):
+    b, m, k, c1 = _h1_dims(h1, sm)
     kc = k if kc is None else kc
     c2, c3 = w2.shape[1], w3.shape[1]
     # the [N, 2C1+8] scatter accumulator (output block + loop carry)
     # lives in VMEM regardless of the row tile
     mt = _m_tile(m, kc, bf16_widths=c1, f32_widths=c3 // kc + 1,
                  fixed_bytes=8 * n * (2 * c1 + 8))
+    if sm:
+        # the slot-major idxT block [1, kc, mt] puts m on the LANE dim:
+        # mt must be a multiple of 128 (or m itself). No legal mt →
+        # fall back to the row-major kernels via one h1 transpose.
+        mt128 = 0
+        for cand in range(mt - mt % 128, 0, -128):
+            if m % cand == 0:
+                mt128 = cand
+                break
+        if mt128 == 0 and m <= mt:
+            mt128 = m
+        if mt128 == 0:
+            return _call_p2(jnp.swapaxes(h1, 1, 2), dout, idx, st1,
+                            st2, st3, w2, w3, us3, us2, n, interpret,
+                            kc=kc, sm=False)
+        mt = mt128
+        idx = jnp.swapaxes(idx, 1, 2)   # [b, k, m] — 64x lighter than
+        # transposing h1, the move this layout exists to kill
     w = _window_width(n)
     in_specs = [
-        pl.BlockSpec((1, mt, kc, c1), lambda i, j: (i, j, 0, 0)),
+        pl.BlockSpec((1, kc, mt, c1), lambda i, j: (i, 0, j, 0)) if sm
+        else pl.BlockSpec((1, mt, kc, c1), lambda i, j: (i, j, 0, 0)),
         pl.BlockSpec((1, mt, c3), lambda i, j: (i, j, 0)),
-        pl.BlockSpec((1, mt, k), lambda i, j: (i, j, 0)),
+        pl.BlockSpec((1, kc, mt), lambda i, j: (i, 0, j)) if sm
+        else pl.BlockSpec((1, mt, k), lambda i, j: (i, j, 0)),
         _st_spec(c1), _st_spec(c2), _st_spec(c3),
         _w_spec(w2), _w_spec(w3),
         pl.BlockSpec((c3, c2), lambda i, j: (0, 0)),
@@ -1680,7 +1810,8 @@ def _call_p2(h1, dout, idx, st1, st2, st3, w2, w3, us3, us2, n,
             jnp.swapaxes(w2, 0, 1).astype(jnp.bfloat16), us3, us2)
     if w is None:
         dw2, ps1, scat, d1, d2 = pl.pallas_call(
-            functools.partial(_k_p2, cm=_gchunk(mt, kc, n), e=k - kc),
+            functools.partial(_k_p2, cm=_gchunk(mt, kc, n), e=k - kc,
+                              sm=int(sm)),
             grid=(b, m // mt),
             in_specs=in_specs,
             out_specs=out_specs,
@@ -1688,6 +1819,7 @@ def _call_p2(h1, dout, idx, st1, st2, st3, w2, w3, us3, us2, n,
             interpret=interpret,
         )(*args)
         return dw2[0], ps1, scat, d1, d2
+    assert not sm, "windowed path is row-major (bq gate excludes it)"
     # windowed chunks budget on w + temporaries (see _gchunk_w); the
     # p2 kernel recomputes the chain through h2/y2 → charge max(c1, c2)
     cm = _gchunk_w(mt, kc, w, max(c1, c2))
@@ -1706,8 +1838,8 @@ def _call_p2(h1, dout, idx, st1, st2, st3, w2, w3, us3, us2, n,
 
 def _fused_train_bwd(interpret, axis_name, world, res, cts):
     (dout, _dstats) = cts  # stats feed running updates only
-    idx, h1, st1, st2, st3, params, n, sigma, inv, maxcnt = res
-    b, m, k, c1 = h1.shape
+    idx, h1, st1, st2, st3, params, n, sigma, inv, maxcnt, sm = res
+    b, m, k, c1 = _h1_dims(h1, sm)
     r = float(b * m * k * world)
     w2, w3 = params.w2, params.w3
 
@@ -1716,14 +1848,14 @@ def _fused_train_bwd(interpret, axis_name, world, res, cts):
 
     def passes(kc):
         ps3, vecs, mats = _call_p1(h1, dout, st1, st2, st3, w2, w3,
-                                   interpret, kc=kc)
+                                   interpret, kc=kc, sm=sm)
         dw3, s2_g, ps3_g = _combine_p1(ps3, vecs, mats, st3, w3, r,
                                        axis_name)
         us3 = ps3_g / r
         us2 = s2_g / r
         dw2, ps1, scat, d1, d2 = _call_p2(
             h1, dout, idx, st1, st2, st3, w2, w3, us3, us2, n,
-            interpret, kc=kc)
+            interpret, kc=kc, sm=sm)
         return ps3, vecs, mats, dw3, s2_g, ps3_g, dw2, ps1, scat, d1, d2
 
     variants = _kc_variants(k)
