@@ -72,7 +72,9 @@ FLOPS_PER_SAMPLE = {  # GFLOP/sample, scripts/flops_table.py
     "dgcnn_modelnet40_train_throughput": 15.35,
     "pointcnn_modelnet40_train_throughput": 1.34,
     "pointconv_modelnet40_train_throughput": 7.51,
-    "kpconv_modelnet40_train_throughput": 0.93,
+    # r5: recomputed at the CALIBRATED pyramid shapes the bench now
+    # runs (q90 caps; the frozen n/4^l shapes measured 0.93)
+    "kpconv_modelnet40_train_throughput": 2.09,
     "pointnet2_shapenet_partseg_train_throughput": 8.40,
     "dgcnn_shapenet_partseg_train_throughput": 22.33,
     "pointcnn_shapenet_partseg_train_throughput": 70.07,

@@ -33,15 +33,24 @@ from pathlib import Path
 
 ROOT = Path(__file__).resolve().parent.parent
 
-# (task, model, extra CLI args, floor %) — floors are the round-2
-# recorded sweep (accuracy_ladder.jsonl, 10-epoch budgets, flat
-# reference lr, seed 0) minus ~20% relative margin. None = record-only.
+# (task, model, extra CLI args, floor %). Round 5: every floor with a
+# torch mirror row cites it (mirror_ladder.jsonl, same budget/seed;
+# scripts/mirror_floors.py audits floor vs 0.8·mirror−3). Floors
+# stricter than mirror-derived keep our higher measured value — a
+# regression to mere mirror level should still fail. Exceptions
+# documented inline: kpconv has no full-model torch mirror (op-level
+# parity only); the MSG mirror costs ~3 h/epoch on this 1-core host
+# (docs/DESIGN.md r5) so its floor stays anchored to the SSG mirror.
 LADDER = [
-    ("cls", "pointnet", [], 32.0),        # measured 40.62
-    ("cls", "pointnet2", [], 30.0),       # measured 38.28
-    ("cls", "pointnet2_msg", [], 34.0),   # measured 42.97
-    ("cls", "dgcnn", [], 36.0),           # measured 46.09
-    ("cls", "pointcnn", [], 38.0),        # measured 47.66
+    ("cls", "pointnet", [], 32.0),        # measured 40.62, mirror 44.53
+    ("cls", "pointnet2", [], 30.0),       # measured 38.28, mirror 39.84
+    ("cls", "pointnet2_msg", [], 34.0),   # measured 42.97; no mirror
+    #                           (infeasible budget); SSG mirror 39.84
+    ("cls", "dgcnn", [], 36.0),           # measured 46.09, mirror 44.53
+    ("cls", "pointcnn", [], 38.0),        # measured 47.66, mirror
+    #                           52.34 (spike epoch in a ±5-noise curve;
+    #                           neighbors 39.06/38.28 — see
+    #                           scripts/probe_pointcnn_gap.py)
     # re-based round 3: reference_linear_init (intentional parity,
     # nn/layers.py:32) slows the 10-epoch budget for this family — the
     # reference-keyed torch mirror itself lands 31.25 best OA here
@@ -53,20 +62,26 @@ LADDER = [
     # sibling got so the floor clears the noise. Measured 59.38 at 40
     # epochs (accuracy_ladder.jsonl r4); floor = 0.8·measured − 3,
     # same margin convention as the mirror-derived floors.
-    ("cls", "pointconv", ["--epochs", "40"], 44.0),  # measured 59.38
-    ("cls", "kpconv", [], 38.0),          # measured 47.66
-    ("cls", "kpconv_deform", [], 36.0),   # measured 45.31 (frozen offsets)
-    ("seg", "pointnet", [], 38.0),        # measured 48.51
-    ("seg", "pointnet2", [], 70.0),       # measured 87.51
-    ("seg", "dgcnn", [], 59.0),           # measured 74.00
-    ("seg", "pointcnn", [], 34.0),        # measured 42.68
+    ("cls", "pointconv", ["--epochs", "40"], 44.0),  # measured 59.38;
+    #                           mirror 31.25 at the 10-epoch budget
+    ("cls", "kpconv", [], 38.0),          # measured 47.66; no mirror
+    ("cls", "kpconv_deform", [], 36.0),   # measured 45.31 (frozen
+    #                           offsets); no mirror
+    ("seg", "pointnet", [], 38.0),        # measured 48.51, mirror 47.37
+    ("seg", "pointnet2", [], 70.0),       # measured 87.51, mirror 85.81
+    # tightened r5: the seg/dgcnn mirror lands 86.38 — the old 59
+    # floor (our 74.00 − 20%) sat BELOW 0.8·mirror−3 = 66.1, i.e. a
+    # regression to well under mirror level would have passed
+    ("seg", "dgcnn", [], 66.0),           # measured 74.00, mirror 86.38
+    ("seg", "pointcnn", [], 34.0),        # measured 42.68, mirror 42.40
     # pointconv partseg converges slowly (head dropout 0.4 on a
     # 256-item budget + deepest encoder/decoder; the reference-keyed
     # torch mirror shows the same family behavior — see
     # scripts/probe_pointconv_seg_convergence.py) — it gets a longer
     # budget so the floor means something (measured 46.25 at 40 epochs,
-    # round 3)
-    ("seg", "pointconv", ["--epochs", "40"], 35.0),
+    # round 3; mirror 49.31 at the same 40-epoch budget, r5 ⇒
+    # 0.8·49.31−3 = 36.5)
+    ("seg", "pointconv", ["--epochs", "40"], 36.5),
 ]
 
 CLS_BUDGET = ["--synthetic", "--synthetic-size", "512", "--epochs", "10",
