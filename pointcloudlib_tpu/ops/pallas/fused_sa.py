@@ -1306,27 +1306,38 @@ def _k_bqeval(r2_ref, c_ref, p_ref, q_ref, off_ref, st1_ref, st2_ref,
     out_ref[0] = jnp.where(cntc > 0, macc, y0)
 
 
+def _sa_sm() -> bool:
+    """Slot-major tail reads for the bq path (r5 default; kills the h1
+    transpose). POINTCLOUDLIB_SA_SM=0 restores the transpose +
+    row-major tails — the kill switch / A/B arm. Trace-time read."""
+    import os
+
+    return os.environ.get("POINTCLOUDLIB_SA_SM", "1") != "0"
+
+
 def _bq_fwd_impl(new_xyz, pts, q, off, params: SAParams, radius, k,
                  interpret, axis_name=None, world=1):
     b, n, _ = q.shape
     m = new_xyz.shape[1]
     r = float(b * m * k * world)
+    sm = _sa_sm()
     idx, h1, cnt, p1 = _call_bqf1(new_xyz, pts, q, off, radius, k,
                                   interpret)
+    if not sm:
+        h1 = jnp.swapaxes(h1, 1, 2)
     m1, v1 = _moments(_psum(p1[0], axis_name), r)
     st1 = _stack_stats(m1, v1, params.g1, params.b1)
 
     def tail(kc):
-        p2 = _call_stats2(h1, st1, params.w2, interpret, kc=kc,
-                          sm=True)
+        p2 = _call_stats2(h1, st1, params.w2, interpret, kc=kc, sm=sm)
         m2, v2 = _moments(_psum(p2[0], axis_name), r)
         st2 = _stack_stats(m2, v2, params.g2, params.b2)
         p3 = _call_stats3(h1, st1, st2, params.w2, params.w3,
-                          interpret, kc=kc, sm=True)
+                          interpret, kc=kc, sm=sm)
         m3, v3 = _moments(_psum(p3[0], axis_name), r)
         st3 = _stack_stats(m3, v3, params.g3, params.b3)
         out = _call_out(h1, st1, st2, st3, params.w2, params.w3,
-                        interpret, kc=kc, sm=True)
+                        interpret, kc=kc, sm=sm)
         return out, (m2, v2, m3, v3), st2, st3
 
     variants = _kc_variants(k)
@@ -1338,7 +1349,7 @@ def _bq_fwd_impl(new_xyz, pts, q, off, params: SAParams, radius, k,
         out, (m2, v2, m3, v3), st2, st3 = _cond_chain(
             maxcnt, variants, tail)
     stats = SAStats(m1, v1, m2, v2, m3, v3)
-    return out, stats, (idx, h1, st1, st2, st3, maxcnt)
+    return out, stats, (idx, h1, st1, st2, st3, maxcnt, sm)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
@@ -1357,11 +1368,11 @@ def fused_sa_bq_train(new_xyz, pts, q, off, params: SAParams, radius,
 
 def _bq_train_fwd(new_xyz, pts, q, off, params, radius, k, interpret,
                   axis_name, world):
-    out, stats, (idx, h1, st1, st2, st3, maxcnt) = _bq_fwd_impl(
+    out, stats, (idx, h1, st1, st2, st3, maxcnt, sm) = _bq_fwd_impl(
         new_xyz, pts, q, off, params, radius, k, interpret, axis_name,
         world)
     res = (idx, h1, st1, st2, st3, params, q.shape[1], None, None,
-           maxcnt, True)  # True: h1 rides the bq kernel's slot-major
+           maxcnt, sm)  # sm: h1 rides the bq kernel's slot-major
     return (out, stats), res
 
 
