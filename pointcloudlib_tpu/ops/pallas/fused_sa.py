@@ -830,11 +830,10 @@ def _k_p2(h1_ref, dout_ref, idx_ref, st1_ref, st2_ref, st3_ref,
     (e > 0): h1 carries kc slots, idx stays k-wide and is sliced; slot
     0 is weighted 1+e in every row sum and in the scatter — padded
     replicas scatter to the same column (idx[:, 0]) with identical
-    values, so the weighting is exact. ``sm``: h1 AND idx arrive
-    slot-major ([1, kc, mt, c1] / [1, kc, mt] — the caller transposes
-    idx, a 64x smaller move than transposing h1); rows and one-hot
-    rows share the slot-major order, so the contractions are
-    unchanged."""
+    values, so the weighting is exact. ``sm``: h1 arrives slot-major
+    ([1, kc, mt, c1]); idx stays row-major and each [cm, kc] chunk is
+    transposed in-kernel so one-hot rows share h1's slot-major row
+    order and the contractions are unchanged."""
     if sm:
         kc, mt, c1 = h1_ref.shape[1], h1_ref.shape[2], h1_ref.shape[3]
     else:
@@ -870,7 +869,12 @@ def _k_p2(h1_ref, dout_ref, idx_ref, st1_ref, st2_ref, st3_ref,
         if sm:
             h1 = h1_ref[0, :, pl.ds(i * cm, cm), :]
             h1 = h1.astype(jnp.float32).reshape(kc * cm, c1)
-            idx = idx_ref[0, :, pl.ds(i * cm, cm)]       # [kc, cm]
+            # idx stays ROW-major even on the sm path: chunks slice its
+            # SUBLANE dim (legal); a [b,kc,m] layout would put m on the
+            # lane dim, and pl.ds there needs 128-multiple starts
+            # (Mosaic rejects cm<128 chunks — r5 headline compile
+            # failure). The [cm,kc] i32 chunk transpose is VPU-cheap.
+            idx = idx_ref[0, pl.ds(i * cm, cm), :][:, :kc].T  # [kc, cm]
         else:
             h1 = h1_ref[0, pl.ds(i * cm, cm), :, :]
             h1 = h1.astype(jnp.float32).reshape(cm * kc, c1)
@@ -1770,31 +1774,15 @@ def _call_p2(h1, dout, idx, st1, st2, st3, w2, w3, us3, us2, n,
     # lives in VMEM regardless of the row tile
     mt = _m_tile(m, kc, bf16_widths=c1, f32_widths=c3 // kc + 1,
                  fixed_bytes=8 * n * (2 * c1 + 8))
-    if sm:
-        # the slot-major idxT block [1, kc, mt] puts m on the LANE dim:
-        # mt must be a multiple of 128 (or m itself). No legal mt →
-        # fall back to the row-major kernels via one h1 transpose.
-        mt128 = 0
-        for cand in range(mt - mt % 128, 0, -128):
-            if m % cand == 0:
-                mt128 = cand
-                break
-        if mt128 == 0 and m <= mt:
-            mt128 = m
-        if mt128 == 0:
-            return _call_p2(jnp.swapaxes(h1, 1, 2), dout, idx, st1,
-                            st2, st3, w2, w3, us3, us2, n, interpret,
-                            kc=kc, sm=False)
-        mt = mt128
-        idx = jnp.swapaxes(idx, 1, 2)   # [b, k, m] — 64x lighter than
-        # transposing h1, the move this layout exists to kill
     w = _window_width(n)
     in_specs = [
         pl.BlockSpec((1, kc, mt, c1), lambda i, j: (i, 0, j, 0)) if sm
         else pl.BlockSpec((1, mt, kc, c1), lambda i, j: (i, j, 0, 0)),
         pl.BlockSpec((1, mt, c3), lambda i, j: (i, j, 0)),
-        pl.BlockSpec((1, kc, mt), lambda i, j: (i, 0, j)) if sm
-        else pl.BlockSpec((1, mt, k), lambda i, j: (i, j, 0)),
+        # idx rides ROW-major on both paths: the sm kernel transposes
+        # its [cm, kc] chunks in-registers (a [1, kc, mt] layout puts m
+        # on the lane dim where dynamic chunk starts are illegal)
+        pl.BlockSpec((1, mt, k), lambda i, j: (i, j, 0)),
         _st_spec(c1), _st_spec(c2), _st_spec(c3),
         _w_spec(w2), _w_spec(w3),
         pl.BlockSpec((c3, c2), lambda i, j: (0, 0)),
@@ -1819,9 +1807,19 @@ def _call_p2(h1, dout, idx, st1, st2, st3, w2, w3, us3, us2, n,
             w2.astype(jnp.bfloat16), w3.astype(jnp.bfloat16),
             jnp.swapaxes(w3, 0, 1).astype(jnp.bfloat16),
             jnp.swapaxes(w2, 0, 1).astype(jnp.bfloat16), us3, us2)
+    cm = _gchunk(mt, kc, n)
+    if sm:
+        # the slot-major h1 chunk load (middle-dim dynamic slice of the
+        # 4D block) carries more Mosaic buffering than the row-major
+        # contiguous load: 4096 flat rows at c=128 — fine row-major
+        # (the r4 anchor) — blows scoped VMEM by 5.9 MB in sm (caught
+        # by the N=256 CLI shape, where small n inflates _gchunk).
+        # Cap sm flat rows at 2048; the headline's cm (F=1024) is
+        # untouched.
+        cm = _divisor_tile(cm, max(1, 2048 // max(1, kc)))
     if w is None:
         dw2, ps1, scat, d1, d2 = pl.pallas_call(
-            functools.partial(_k_p2, cm=_gchunk(mt, kc, n), e=k - kc,
+            functools.partial(_k_p2, cm=cm, e=k - kc,
                               sm=int(sm)),
             grid=(b, m // mt),
             in_specs=in_specs,
