@@ -191,9 +191,14 @@ class PointCNNLayer(nn.Module):
         from pointcloudlib_tpu.ops.dispatch import USE_PALLAS
 
         if (USE_PALLAS and n % 128 == 0 and self.k * self.d <= n
-                and fts is not None and 3 + fts.shape[-1] >= 16
+                and fts is not None
                 and pts.dtype == jnp.float32
                 and fts.dtype == jnp.float32):
+            # no minimum-width gate: even at c=6 (128-lane padding and
+            # all) the fused route beats the XLA knn+top_k+gathers
+            # 4.26 vs 6.79 ms at B=32 N=1024 k=8. The bench families
+            # never hit widths <16 (each layer's pre-DenseBlock widens
+            # fts first) — this covers thin-featured user models
             # fused dilated-kNN + [coords‖feats] gather; ordered=True:
             # XConv's learned X-transform consumes slots positionally,
             # so they must stay in ascending-distance (rank) order

@@ -107,7 +107,8 @@ def main():
         prev = t
 
     # neighbor path standalone per layer (shapes from the prefix runs)
-    from pointcloudlib_tpu.ops.geometry import fps, index_points, knn
+    from pointcloudlib_tpu.ops.geometry import (
+        farthest_point_sample as fps, index_points, knn)
     from pointcloudlib_tpu.ops.pallas.neighbors import knn_gather
 
     shapes = [(N, 3), (N, 48), (384, 96), (128, 192)]
