@@ -185,11 +185,16 @@ def sweep_bq():
     )
 
     rng = np.random.default_rng(2)
-    # (B, N, M, K, C1, C2, C3, r) — SSG SA1/SA2, MSG small scales
+    # (B, N, M, K, C1, C2, C3, r) — SSG SA1/SA2, MSG small scales,
+    # plus the small-N/m>n CLI shape: small n inflates _gchunk's
+    # chunks and caught the slot-major p2 scoped-VMEM overflow that
+    # every bench shape missed (r5; docs/DESIGN.md "Slot-major tails:
+    # chip validation")
     for (b, n, m, k, c1, c2, c3, r) in [
         (8, 1024, 512, 32, 64, 64, 128, 0.2),
         (8, 512, 128, 64, 128, 128, 256, 0.4),
         (8, 1024, 512, 16, 32, 32, 64, 0.1),
+        (8, 256, 512, 64, 64, 64, 128, 0.4),
     ]:
         xyz = rng.standard_normal((b, n, 3)).astype(np.float32)
         xyz /= np.linalg.norm(xyz, axis=-1, keepdims=True)
