@@ -306,6 +306,24 @@ def sweep_workloads(filters=()):
             failed.append(metric)
             print(f"workload FAIL  {metric}: "
                   f"{' '.join(str(e).split())[:300]}", flush=True)
+    # eval (serving) rows are distinct compile classes (rounds +
+    # running-max kernels, slot-blocked bq eval, no grad) — r5 shipped
+    # them in bench.py, so the sweep must cover them too. One full
+    # timed call each via bench's own harness (iters=1).
+    for metric, kind, setup_args, _iters in bench.EVAL_WORKLOADS:
+        if filters and not any(f in metric for f in filters):
+            continue
+        t0 = time.perf_counter()
+        try:
+            fn = (bench._bench_cls_eval if kind == "cls"
+                  else bench._bench_seg_eval)
+            fn(*setup_args, iters=1, warmup=1)
+            print(f"workload ok  {metric}  "
+                  f"{time.perf_counter() - t0:.1f}s", flush=True)
+        except Exception as e:
+            failed.append(metric)
+            print(f"workload FAIL  {metric}: "
+                  f"{' '.join(str(e).split())[:300]}", flush=True)
     if failed:
         print(f"sweep FAILED: {failed}", flush=True)
         sys.exit(1)
